@@ -1,0 +1,66 @@
+"""Fixture-table catalog: parquet scans + temp-view registration.
+
+The driver fixtures (TESTDATA.md) are one parquet file per table.
+``load_tables`` returns DataFrames straight off ``spark.read.parquet``
+so Catalyst keeps predicate pushdown / column pruning; nothing is
+cached here — queries decide what (if anything) to persist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    # Runtime-settable SQL confs the driver's own session may lack:
+    # UTC so date_format/to_date on fixture timestamps match the
+    # UTC-naive oracle; nanosAsLong so NANOS parquet (events.ts) reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
+    # a raw INT64 (spark.sql.legacy.parquet.nanosAsLong). The fixtures
+    # carry no sub-microsecond content (verified across all SFs), so
+    # nanos→micros is lossless and every query sees a TimestampType.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (SQL entry point)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,66 @@
+"""Named query registry — the driver contract behind __spark_entry__.py.
+
+Each query is registered under a stable name together with (usually)
+a DuckDB-runnable oracle SQL string. The driver runs the Spark
+callable and the oracle side-by-side at sf0.01 and compares row count,
+schema, and an order-insensitive value hash; column names therefore
+must match exactly between the two forms.
+
+Queries whose semantics are not SQL-expressible (streaming state,
+iterative algorithms) register without an oracle and get a weaker
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "programmers_data_spark.queries.summary",
+    "programmers_data_spark.queries.analytics",
+    "programmers_data_spark.queries.loads",
+    "programmers_data_spark.queries.transforms",
+    "programmers_data_spark.queries.text_ops",
+    "programmers_data_spark.queries.dedup_ops",
+    "programmers_data_spark.queries.similarity_ops",
+    "programmers_data_spark.queries.streaming_ops",
+    "programmers_data_spark.queries.multimodal_ops",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as queries()[name] (+ oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so decorators populate the registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def get_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    load_all()
+    return dict(ORACLE)

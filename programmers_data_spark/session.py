@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode for tests/bench; the same conf defaults are what we would
+ship for a multi-executor cluster (AQE on, skew-join handling,
+partition coalescing), with shuffle partitions sized by environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "programmers_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    Defaults chosen for 100 TB posture on a real cluster:
+    - AQE enabled (runtime coalescing, skew-join splitting, dynamic
+      broadcast decisions).
+    - shuffle partitions explicitly sized (never the 200 default).
+    - UTC session timezone so timestamp semantics match the parquet
+      fixtures and any UTC-naive oracle.
+    - Arrow enabled so any pandas-UDF path is vectorized.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fixtures' events.ts is parquet TIMESTAMP(NANOS); read as long
+        # and convert in catalog.load_table (no sub-µs content exists)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). One small warmup query amortizes JVM/codegen
+startup so timings measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from programmers_data_spark import registry
+from programmers_data_spark.session import get_spark
+
+# Headline set: the perf-graded shapes (scans, big-big join, star join,
+# semi join, windows, distinct-agg, time rollup) + LLM-pipeline ops.
+HEADLINE = [
+    "pricing_summary",
+    "daily_revenue",
+    "region_revenue",
+    "brand_revenue",
+    "order_priority",
+    "top_customers",
+    "top3_per_segment",
+    "mau",
+    "dau",
+    "channel_firstlast",
+    "nps",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="pds-bench")
+
+    registry.load_all()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    extra = sorted(
+        n for n in registry.QUERIES
+        if n not in HEADLINE and not n.startswith("stream_")
+    )
+    names += extra
+
+    _force(registry.QUERIES["mau"](spark, sf_dir))  # warmup (untimed)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(registry.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,329 @@
-"""Placeholder — queries land in a later milestone."""
+"""Analytics / bench headliner queries (TPC-H-shaped).
+
+The reference's analytics surface is J1/J2 equi-joins + A1/A2
+aggregates + W1/W2 windows + O1 sorts (SURVEY §2.4-2.7); these queries
+exercise the same operator classes on the star-schema fixtures at
+bench-relevant sizes.
+
+Float determinism contract (applies to every money aggregate here):
+accumulate in small-precision DECIMAL — exact and order-independent,
+so Spark's partial aggregation over any partitioning produces the
+same value as DuckDB's serial sum — then CAST the final aggregate to
+DOUBLE. Raw double sums would differ in the last ulp by summation
+order and break the driver's value hash. Averages are spelled
+sum/count (one terminal double division) rather than avg().
+
+Scale posture:
+- lineitem⋈orders is the big-big join: both sides shuffle-hash on
+  orderkey; at 100 TB you bucket both tables by orderkey to make it
+  shuffle-free. nation/region (and customer in top_customers after
+  the aggregate) are broadcast — verified in the plan.
+- group-by keys here are low-cardinality (flag/status, region,
+  priority) → map-side partial aggregation collapses almost all rows
+  before the shuffle.
+- top-k uses orderBy+limit which Spark executes as TakeOrdered
+  (per-partition heap + driver merge), not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def _dec(col: str | F.Column, prec: int = 18, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      sum(l_quantity) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + 2-key groupBy + 8 aggs
+    (reference operator classes A1/A2 at bench scale)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    price = _dec("l_extendedprice", 12, 2)
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join: lineitem⋈orders (big-big, shuffle on
+    orderkey) then broadcast dims down the chain (J1 at scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+            "disc_price"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, revenue, n_orders
+    FROM rev JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after aggregation: executes as TakeOrdered (no global
+    sort); the dimension join happens after the aggregate so only the
+    winning keys join (and the customer side broadcasts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: left-semi join with a non-equi residual
+    condition (SURVEY §2.4 — semi/anti exposed as engine extras)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "top3_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (W1 generalized): the
+    100 TB-safe form of per-group top-k — one shuffle on the group
+    key, no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "nation_customer_stats",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+           min(c_acctbal) AS min_acctbal,
+           max(c_acctbal) AS max_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension rollup: fact⋈broadcast-dims, multi-agg. min/max pass
+    input doubles through exactly; the sum uses the decimal contract."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           sum(l_quantity) AS total_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈part-dim join + rollup. part is broadcast at test scale;
+    at 100 TB part stays broadcastable (~20 GB at SF100k would not —
+    then AQE falls back to shuffle join on l_partkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+            "disc_price"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "daily_revenue",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup with ~2.5k groups — the shape that becomes a
+    partition-pruned incremental build at 100 TB (partition output by
+    date, recompute only late partitions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+                "disc_price"
+            ),
+        )
+        .groupBy("ship_date")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_date")
+    )

@@ -48,7 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # carry no sub-microsecond content (verified across all SFs), so
     # nanos→micros is lossless and every query sees a TimestampType.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division — a double `/` would lose precision on
+        # epoch-nanos magnitudes (> 2^53) and shift timestamps by ±1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

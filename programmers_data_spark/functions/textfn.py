@@ -1,0 +1,117 @@
+"""Text-analysis expressions for the LLM-pipeline tier (north star).
+
+All built-in higher-order functions — tokenization, n-gram shingling,
+stopword/punctuation stats, fingerprints, and an n-gram language-ID
+heuristic run JVM-side inside whole-stage codegen; no Python crosses
+the row path at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: word pieces + digits + punctuation
+    counted separately (a regex proxy for subword tokenizers)."""
+    pieces = F.filter(
+        F.split(_c(col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    return F.size(pieces)
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character shingles via sequence+transform (JVM-side; no UDF)."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substr(c, i, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from whitespace tokens."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokenize(col)
+    words = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, F.lower(t))))
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.regexp_count(_c(col), F.lit(r"[\.,;:!\?\"'\(\)\[\]]"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: 64-bit hash of whitespace-normalized,
+    lowercased text (xxhash64 — Spark-native, seed 42)."""
+    norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def content_md5(col: Column | str) -> Column:
+    """Portable content hash (md5 hex — identical in DuckDB)."""
+    return F.md5(_c(col).cast("binary"))
+
+
+# Tiny per-language stopword profiles for the heuristic language-ID.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language-ID: score = stopword hits per profile,
+    argmax wins ('und' when nothing matches). Pure expressions —
+    scales as a map-only pass."""
+    scores = [
+        F.struct(
+            stopword_count(col, words).alias("score"), F.lit(lang).alias("lang")
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] doc-quality score: length band + punctuation
+    sanity + stopword presence (the classic pretraining filters)."""
+    c = _c(col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    punct_ratio = punct_count(c) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stopword_count(c, LANG_PROFILES["en"]) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    length_ok = (n_chars >= 50) & (n_chars <= 10000)
+    return (
+        length_ok.cast("double") * 0.4
+        + (punct_ratio < 0.2).cast("double") * 0.3
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+    )

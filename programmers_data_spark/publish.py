@@ -1,0 +1,167 @@
+"""Load strategies — the reference's core IP (SURVEY §2.2, K1-K8).
+
+Reference semantics re-expressed Spark-first on parquet paths:
+
+- K1/K2  full refresh (DELETE+INSERT / DROP+CREATE in a txn)
+         → ``full_refresh``: overwrite write; job atomicity replaces
+         the transaction (NameGenderCSVtoRedshift.py:42-61,
+         UpdateSymbol.py:37-63).
+- K5     incremental distinct (temp-table union + SELECT DISTINCT *)
+         → ``incremental_distinct`` (UpdateSymbol_v2.py:55-84).
+- K6     keep-latest dedup (ROW_NUMBER PARTITION BY key ORDER BY
+         created DESC, seq=1) → ``keep_latest``
+         (UpdateSymbol_v3.py:77-83, Weather_to_Redshift_v2.py:78-91).
+- K7     keyed UPSERT (S3ToRedshift method="UPSERT")
+         → ``upsert`` as anti-join + union
+         (MySQL_to_Redshift_v2.py:51-63).
+- K8     CTAS + validate + atomic swap (temp table, count checks,
+         transactional rename) → ``publish_swap``: write to a staging
+         dir, validate, atomically rename into place
+         (plugins/redshift_summary.py:139-178).
+
+Incremental strategies that read and rewrite the same path stage
+through K8's swap — never read-your-own-overwrite (SURVEY §7 gotcha).
+
+Scale posture: on a real cluster these paths live on an object store
+where a transactional table format (Delta/Iceberg MERGE) replaces the
+directory rename; the operator semantics (union+distinct, keep-latest
+window, anti-join upsert) are format-independent and stay as written.
+The upsert anti-join broadcasts the delta side when small — the common
+CDC case — so the target table never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .quality import CountCheck, assert_non_empty, run_df_checks
+
+# ---------------------------------------------------------------- transforms
+
+
+def keep_latest(
+    df: DataFrame, keys: list[str], order_by: str | list[str], tie_break: str | None = None
+) -> DataFrame:
+    """K6: one row per key, the latest by ``order_by`` (desc).
+
+    Matches ROW_NUMBER() OVER (PARTITION BY <keys> ORDER BY <ts> DESC)
+    ... WHERE seq = 1 (UpdateSymbol_v3.py:80-83). ``tie_break`` makes
+    the winner deterministic when order values tie.
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    ordering = [F.desc(c) for c in order_cols]
+    if tie_break:
+        ordering.append(F.desc(tie_break))
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__seq", F.row_number().over(w))
+        .filter(F.col("__seq") == 1)
+        .drop("__seq")
+    )
+
+
+def distinct_union(old: DataFrame, new: DataFrame) -> DataFrame:
+    """K5 core: accumulate + SELECT DISTINCT * (UpdateSymbol_v2.py:69-78)."""
+    return old.unionByName(new).dropDuplicates()
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """K7: keyed upsert — source rows win, unmatched target rows kept.
+
+    Anti-join + union (MySQL_to_Redshift_v2.py:60-61 semantics without
+    a transactional store). The source is usually a small delta →
+    broadcast the anti-join build side so the big target never
+    shuffles; with a transactional format this becomes MERGE INTO.
+    """
+    survivors = target.join(F.broadcast(source.select(*keys)), keys, "left_anti")
+    return survivors.unionByName(source)
+
+
+# ------------------------------------------------------------------- writers
+
+
+def full_refresh(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """K1/K2: replace the table wholesale."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def publish_swap(
+    df: DataFrame,
+    path: str,
+    checks: list[CountCheck] | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """K8: write staging → validate → atomic swap into place.
+
+    On check failure the staging dir is removed and the previous
+    table state is untouched (redshift_summary.py:171-178 semantics:
+    the swap only happens after validation passes).
+    """
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        spark = df.sparkSession
+        staged = spark.read.parquet(staging)
+        n = assert_non_empty(staged, context=f"staged write for {path}")
+        if checks:
+            run_df_checks(staged, checks)
+
+        if os.path.exists(path):
+            os.rename(path, trash)
+        os.rename(staging, path)
+        shutil.rmtree(trash, ignore_errors=True)
+        return n
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def incremental_distinct(spark: SparkSession, path: str, new_rows: DataFrame) -> int:
+    """K5: target ∪ new → DISTINCT → swap back into the target path."""
+    if os.path.exists(path):
+        merged = distinct_union(spark.read.parquet(path), new_rows)
+    else:
+        merged = new_rows.dropDuplicates()
+    return publish_swap(merged, path)
+
+
+def incremental_keep_latest(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    keys: list[str],
+    order_by: str,
+    tie_break: str | None = None,
+) -> int:
+    """K6 as a load strategy: append + keep-latest-per-key + swap
+    (UpdateSymbol_v3.py:58-83 pattern)."""
+    if os.path.exists(path):
+        merged = spark.read.parquet(path).unionByName(new_rows)
+    else:
+        merged = new_rows
+    return publish_swap(keep_latest(merged, keys, order_by, tie_break), path)
+
+
+def incremental_upsert(
+    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+) -> int:
+    """K7 as a load strategy: keyed upsert into the target path."""
+    if os.path.exists(path):
+        merged = upsert(spark.read.parquet(path), source, keys)
+    else:
+        merged = source
+    return publish_swap(merged, path)

@@ -1,1 +1,321 @@
-"""Placeholder — queries land in a later milestone."""
+"""Deduplication operators over `documents` (north-star tier).
+
+- dedup_exact:    content-hash groupBy keep-first (the 100 TB
+                  workhorse: one shuffle on a 128-bit key).
+- dedup_minhash:  shingle → MinHash signature → LSH banding →
+                  candidate pairs → n-gram Jaccard verify. Expressed
+                  entirely in portable hash/string primitives (md5 +
+                  lexicographic min) so DuckDB recomputes it exactly.
+- ngram_jaccard:  brute-force pairwise Jaccard on a bounded doc
+                  subset — the oracle-checkable ground truth for the
+                  LSH path.
+- dedup_simhash:  64-bit SimHash near-dup keys (rows-only — bit
+                  tricks aren't portably SQL-expressible).
+
+The fixtures contain no duplicate texts at the correctness SF, so the
+near-dup queries first augment the corpus with deterministic mutated
+copies (every 20th doc, first 8 words dropped) — both engines build
+the same augmented corpus before deduping it.
+
+Scale posture: MinHash-LSH is the linear-time path — signatures are a
+map-only pass; candidate generation is a groupBy on band keys (LSH
+bucket join), never an all-pairs product. Brute-force Jaccard exists
+only as a bounded-subset oracle. At 100 TB the band-bucket join is
+salted on hot buckets and the signature table is written once and
+reused per incoming batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands × rows of 2 → catches jaccard ≳ 0.5
+
+# ---------------------------------------------------------------------------
+# shared corpus augmentation (identical in Spark and DuckDB)
+
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(toks[9:len(toks)], ' ') AS text
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+    FROM documents
+    WHERE doc_id % 20 = 0
+  )
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    mutated = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 9, F.size(toks) - F.lit(8))
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(mutated)
+
+
+# word-3-gram shingles, as expressions both engines evaluate identically
+def _shingles_spark() -> F.Column:
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+
+
+_SHINGLES_DUCK = """
+  list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 1)),
+    i -> array_to_string(toks[i:i+2], ' ')
+  ))
+"""
+
+_TOKS_DUCK = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    hashed AS (SELECT doc_id, md5(text) AS content_hash FROM aug)
+    SELECT doc_id, content_hash
+    FROM (
+      SELECT doc_id, content_hash,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM hashed
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, keep lowest doc_id per hash.
+    One shuffle on the hash; at 100 TB this is a groupBy(min) — no
+    window needed — but the window form keeps full-row survivorship."""
+    aug = _augmented_docs(spark, sf_dir)
+    hashed = aug.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_sig_spark(shingles: F.Column) -> list[F.Column]:
+    """MinHash_i = lexicographic min over shingles of md5(i|shingle).
+    md5 hex + string min are portable across engines."""
+    return [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, i=i: F.md5(
+                    F.concat(F.lit(f"{i}|"), s).cast("binary")
+                ),
+            )
+        ).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _minhash_sig_duck() -> str:
+    return ",\n".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def _band_cols_spark() -> list[F.Column]:
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{j}") for j in range(b, b + BAND_SIZE)]
+            ).cast("binary")
+        ).alias(f"band{b // BAND_SIZE}")
+        for b in range(0, N_HASHES, BAND_SIZE)
+    ]
+
+
+def _band_cols_duck() -> str:
+    return ",\n".join(
+        "md5("
+        + " || '|' || ".join(f"mh{j}" for j in range(b, b + BAND_SIZE))
+        + f") AS band{b // BAND_SIZE}"
+        for b in range(0, N_HASHES, BAND_SIZE)
+    )
+
+
+_N_BANDS = N_HASHES // BAND_SIZE
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    shingled AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+      FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM aug)
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_duck()}
+      FROM shingled
+    ),
+    banded AS (
+      SELECT doc_id, {_band_cols_duck()}
+      FROM sigs
+    ),
+    pairs AS (
+      {" UNION ".join(
+        f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id'''
+        for i in range(_N_BANDS)
+      )}
+    ),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.doc_a
+      JOIN shingled sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           floor(jaccard * 10000 + 0.5) / 10000 AS jaccard
+    FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → 8 MinHashes → 4 LSH
+    bands → bucket-join candidates → exact Jaccard ≥ 0.5 verify.
+
+    The candidate join is per-band equi-join on the band hash (LSH
+    bucket join) — linear in docs + bucket collisions, never an
+    all-pairs product.
+    """
+    aug = _augmented_docs(spark, sf_dir)
+    shingled = aug.select("doc_id", _shingles_spark().alias("shingles"))
+    sigs = shingled.select("doc_id", "shingles", *_minhash_sig_spark(F.col("shingles")))
+    banded = sigs.select("doc_id", "shingles", *_band_cols_spark())
+
+    pairs = None
+    for i in range(_N_BANDS):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col(f"band{i}").alias("band"),
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col(f"band{i}").alias("band"),
+        )
+        p = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "sh_a", "sh_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH sub AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents WHERE doc_id < 60
+    ),
+    shingled AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM sub
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)) * 10000 + 0.5)
+             / 10000 AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise n-gram Jaccard on a bounded subset
+    (doc_id < 60): the ground-truth oracle for the LSH path. The
+    all-pairs product is intentionally size-capped — at scale this
+    shape only ever runs via dedup_minhash's banding."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    shingled = docs.select("doc_id", _shingles_spark().alias("shingles"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(inter > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(inter.cast("double") / union * 10000 + 0.5) / 10000).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")  # rows-only: 64-bit popcount tricks aren't portable SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup keys: per-token 64-bit xxhash, bit-vote, sign
+    → 64-bit signature, bucketed by the top 16 bits. Pure bitwise
+    expressions (shiftright/&); map-only at scale."""
+    aug = _augmented_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    hashed = aug.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = (F.col(f"v{i}") > 0).cast("long") * F.lit(2**i if i < 63 else -(2**63))
+        sig = bit if sig is None else sig + bit
+    return (
+        per_doc.select("doc_id", sig.alias("simhash"))
+        .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+        .orderBy("doc_id")
+    )

@@ -1,1 +1,146 @@
-"""Placeholder — queries land in a later milestone."""
+"""Load-strategy queries (reference K5/K6/K7 + A4) in driver-checkable
+form.
+
+Each query splits the events table into deterministic "old"/"new"
+snapshots (event_id modulo — FIXTURES.md), applies the publish-layer
+operator, and returns the resulting table state so the DuckDB oracle
+can recompute it in SQL. Timestamps are surfaced as epoch
+microseconds (unix_micros / epoch_us) — integer-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..publish import distinct_union, keep_latest, upsert
+from ..registry import query
+
+_EVENT_COLS = (
+    "event_id",
+    "user_id",
+    "event_type",
+    "value",
+)
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        *_EVENT_COLS, F.unix_micros("ts").alias("ts_us")
+    )
+
+
+_ORACLE_EVENTS_US = """
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+"""
+
+
+@query(
+    "incr_distinct",
+    oracle=f"""
+    WITH ev AS ({_ORACLE_EVENTS_US}),
+    old AS (SELECT * FROM ev WHERE event_id % 3 != 2),
+    new AS (SELECT * FROM ev WHERE event_id % 2 = 0)
+    SELECT DISTINCT * FROM (SELECT * FROM old UNION ALL SELECT * FROM new)
+    """,
+)
+def incr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: temp-table union + SELECT DISTINCT * (UpdateSymbol_v2.py:69-78).
+
+    Old snapshot = 2/3 of events, new batch = 1/2 (overlapping), so
+    the distinct actually collapses duplicates.
+    """
+    ev = _events_us(spark, sf_dir)
+    old = ev.filter(F.col("event_id") % 3 != 2)
+    new = ev.filter(F.col("event_id") % 2 == 0)
+    return distinct_union(old, new)
+
+
+@query(
+    "dedup_keep_latest",
+    oracle=f"""
+    WITH ev AS (
+      SELECT *, strftime(ts, '%Y-%m-%d') AS date FROM ({_ORACLE_EVENTS_US.replace("epoch_us(ts) AS ts_us", "epoch_us(ts) AS ts_us, ts")})
+    )
+    SELECT user_id, date, event_id, event_type, value, ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, date ORDER BY ts_us DESC, event_id DESC
+      ) AS seq
+      FROM ev
+    )
+    WHERE seq = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/W1: keep the latest event per (user_id, day) —
+    ROW_NUMBER ... DESC, seq=1 (UpdateSymbol_v3.py:77-83). event_id
+    breaks timestamp ties deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keep_latest(ev, ["user_id", "date"], "ts_us", tie_break="event_id")
+
+
+@query(
+    "upsert_keyed",
+    oracle=f"""
+    WITH ev AS ({_ORACLE_EVENTS_US}),
+    target AS (SELECT * FROM ev WHERE event_id % 10 < 8),
+    source AS (
+      SELECT event_id, user_id, 'updated' AS event_type, value * 2 AS value, ts_us
+      FROM ev WHERE event_id % 10 >= 5
+    ),
+    unioned AS (
+      SELECT *, 1 AS pri FROM source
+      UNION ALL
+      SELECT *, 2 AS pri FROM target
+    )
+    SELECT event_id, user_id, event_type, value, ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY pri) AS rn
+      FROM unioned
+    )
+    WHERE rn = 1
+    """,
+)
+def upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: keyed upsert — source rows replace target rows on
+    event_id, unmatched target rows survive
+    (MySQL_to_Redshift_v2.py:51-63). value*2 is exact in binary fp,
+    so both engines agree bitwise.
+    """
+    ev = _events_us(spark, sf_dir)
+    target = ev.filter(F.col("event_id") % 10 < 8)
+    source = ev.filter(F.col("event_id") % 10 >= 5).select(
+        "event_id",
+        "user_id",
+        F.lit("updated").alias("event_type"),
+        (F.col("value") * 2).alias("value"),
+        "ts_us",
+    )
+    return upsert(target, source, ["event_id"])
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SELECT DISTINCT projection (channel_summary.py:5)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )

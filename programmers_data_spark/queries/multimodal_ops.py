@@ -1,1 +1,81 @@
-"""Placeholder — queries land in a later milestone."""
+"""Multimodal-column queries: binary payload plumbing over the
+documents fixture (no real media exists in the fixtures, so text
+bytes stand in for payloads — the Spark-side schema, batching, and
+mapInPandas shapes are the real thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..multimodal import attach_binary_payload, decode_media, sample_frames
+from ..registry import query
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload byte length + content
+    hash, computed from the opaque binary representation."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime="text/plain")
+    import pyspark.sql.functions as F
+
+    return media.select(
+        "media_id", "n_bytes", "mime", F.md5("payload").alias("payload_md5")
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full mapInPandas decode path (Arrow-batched, deterministic
+    fake codec) — the oracle recomputes the fake decode arithmetic,
+    so a hash match proves the Python batch plumbing end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime="text/plain")
+    return decode_media(media, fake=True).orderBy("media_id")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, unnest(generate_series(0, greatest(n_bytes // 1000, 1) - 1))
+             AS frame_idx
+    FROM m
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub output shape (one row per sampled frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text")
+    return (
+        sample_frames(media, every_n_bytes=1000)
+        .select("media_id", "frame_idx")
+        .orderBy("media_id", "frame_idx")
+    )

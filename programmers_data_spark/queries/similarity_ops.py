@@ -1,1 +1,175 @@
-"""Placeholder — queries land in a later milestone."""
+"""Similarity search over `embeddings` (north-star tier).
+
+- embedding_topk:    brute-force cosine top-k for a bounded query set
+                     — the correctness baseline.
+- embedding_neardup: all-pairs cosine ≥ threshold (bounded corpus) —
+                     embedding-space near-dup detection.
+- ann_lsh_topk:      random-hyperplane LSH bucketed ANN — the scale
+                     path (rows-only: signed-projection hashing isn't
+                     portable SQL).
+
+Determinism: dot products run as a left-fold over array<double>
+(functions/vectors.py) — the same serial summation DuckDB's
+list_dot_product performs on DOUBLE[], so scores agree bitwise. Output
+columns are ids + rank only (scores stay internal), making the hash
+immune to any last-ulp drift.
+
+Scale posture: brute force is O(Q×N) — fine for a broadcast query set
+against a partitioned corpus (each executor scans its shard; top-k
+via per-partition heaps). For N×N near-dup at 100 TB use ann_lsh_topk:
+hyperplane signatures bucket the corpus so candidates share a bucket
+(linear + collisions), the same banding idea as MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.vectors import as_double_array, cosine, dot
+from ..registry import query
+
+TOPK = 5
+N_QUERIES = 20
+NEARDUP_THRESHOLD = 0.8
+
+_DUCK_COS = (
+    "list_dot_product(a.emb, b.emb)"
+    " / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the bounded query set
+    against the corpus scan, rank per query. The corpus side never
+    shuffles until the (tiny) per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("emb"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "emb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= {NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold {0.8}). All-pairs at
+    test scale; the LSH bucketing in ann_lsh_topk is the 100 TB form."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine("emb_a", "emb_b") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_N_PLANES = 12
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a simple
+    LCG (no numpy at plan build; same plane every run)."""
+    vals = []
+    state = (plane * 2654435761 + 12345) & 0xFFFFFFFF
+    for _ in range(dim):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        vals.append((state / 0x7FFFFFFF) * 2 - 1)
+    return vals
+
+
+@query("ann_lsh_topk")  # rows-only: signed random projections aren't ANSI SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 12-bit sign signature buckets
+    the corpus; top-k is computed within each query's bucket only.
+    Recall trades against bucket size (the standard SimHash-for-
+    cosine construction); candidates-per-query ≈ N/2^12 at uniform
+    spread, so the scan is ~linear."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    dim = 64
+    sig = None
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = (dot(F.col("emb"), plane) > 0).cast("long") * F.lit(2**p)
+        sig = bit if sig is None else sig + bit
+    bucketed = emb.withColumn("bucket", sig)
+
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = bucketed.join(
+        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine("q_emb", "emb")), "vec_id"
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,145 @@
-"""Placeholder — queries land in a later milestone."""
+"""Text-analysis queries over `documents` (north-star tier).
+
+Token/char statistics, quality scoring, fingerprinting, language-ID.
+All Spark forms are pure built-in expressions (functions/textfn.py);
+oracles mirror the same arithmetic in DuckDB (integer counts +
+single-division ratios, so doubles agree bitwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..registry import query
+
+# DuckDB equivalent of textfn.tokenize: non-empty whitespace tokens.
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+_DUCK_STOPS = "['the','and','of','to','a','in','is','it']"
+# regex matching textfn.punct_count's class; embedded in a
+# single-quoted SQL literal, so the single quote is doubled for SQL
+_DUCK_PUNCT = r"""[\.,;:!\?"''\(\)\[\]]"""
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS}) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token + char counts (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfn.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len({_DUCK_TOKS})) AS DOUBLE) / count(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language label: the histogram pass every
+    pretraining pipeline runs first. Integer sums + one terminal
+    division keep doubles exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    chars = F.sum(F.length("text"))
+    toks = F.sum(textfn.token_count("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            cnt.alias("n_docs"),
+            chars.alias("total_chars"),
+            toks.alias("total_tokens"),
+            (chars.cast("double") / cnt).alias("avg_chars"),
+            (toks.cast("double") / cnt).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — the portable content hash used by exact dedup. (The engine
+    also offers xxhash64 fingerprints — textfn.fingerprint — for
+    cheaper 64-bit keys at scale.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '{_DUCK_PUNCT}')) AS n_punct,
+             len(list_filter({_DUCK_TOKS},
+                 t -> list_contains({_DUCK_STOPS}, lower(t)))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars >= 50 AND n_chars <= 10000 AS DOUBLE) * 0.4
+           + CAST(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) < 0.2 AS DOUBLE) * 0.3
+           + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 3, 1.0) * 0.3
+             AS score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite doc-quality score (length band, punctuation sanity,
+    stopword presence) — the classic pretraining filter trio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfn.quality_score("text").alias("score")
+    ).orderBy("doc_id")
+
+
+@query("lang_id_heuristic")  # rows-only: argmax-over-profiles isn't ANSI-SQL
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID (textfn.lang_id) with agreement
+    against the fixture's lang label. Map-only; scales linearly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", textfn.lang_id("text").alias("predicted_lang")
+        )
+        .withColumn(
+            "agrees", (F.col("lang") == F.col("predicted_lang")).cast("int")
+        )
+        .orderBy("doc_id")
+    )

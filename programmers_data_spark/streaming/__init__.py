@@ -1,0 +1,87 @@
+"""Structured Streaming tier over the events table (SURVEY §2.9).
+
+The reference "streams" are cron micro-batches with re-pull +
+keep-latest repair; the engine's streaming tier expresses the same
+semantics natively: tumbling/sliding windows with watermarks,
+session windows, watermarked dedup (K6's streaming form), and
+foreachBatch publishing through the K8 swap writer.
+
+Tests/queries drive a parquet file source synchronously
+(processAllAvailable) — the same plans bind to Kafka/rate sources in
+production. Aggregation queries run in *complete* mode so the
+emitted table equals the batch answer (append mode would hold back
+unclosed windows); dedup runs in append mode since rows emit on
+arrival.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream, ts normalized to
+    TimestampType exactly as catalog.load_table does for batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # file stream sources require a directory; pathGlobFilter scopes
+    # the fixture dir down to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_agg(
+    stream: DataFrame, window: str, *group_cols: str, aggs: list[F.Column]
+) -> DataFrame:
+    return stream.groupBy(F.window("ts", window), *group_cols).agg(*aggs)
+
+
+def sliding_agg(
+    stream: DataFrame, window: str, slide: str, *group_cols: str, aggs: list[F.Column]
+) -> DataFrame:
+    return stream.groupBy(F.window("ts", window, slide), *group_cols).agg(*aggs)
+
+
+def session_agg(
+    stream: DataFrame, gap: str, *group_cols: str, aggs: list[F.Column]
+) -> DataFrame:
+    return stream.groupBy(F.session_window("ts", gap), *group_cols).agg(*aggs)
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming K6: at-most-once per key within the watermark horizon
+    (dropDuplicatesWithinWatermark ↔ re-pull + keep-latest repair)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a (bounded file-source) streaming query synchronously
+    into a memory sink; returns the result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,93 @@
+"""Publish-layer behavior: idempotence, swap atomicity, check gating.
+
+Mirrors the reference's runtime guarantees: repeated runs converge
+(K5/K6 re-pull semantics), failed validation leaves the previous
+table intact (K8 swap), empty results refuse to publish
+(Build_Summary.py:42-45).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from programmers_data_spark.catalog import load_table
+from programmers_data_spark.publish import (
+    full_refresh,
+    incremental_distinct,
+    incremental_keep_latest,
+    incremental_upsert,
+    publish_swap,
+)
+from programmers_data_spark.quality import CountCheck, QualityCheckError
+
+
+@pytest.fixture()
+def events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events")
+
+
+def test_full_refresh_overwrites(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    full_refresh(events.limit(10), path)
+    assert spark.read.parquet(path).count() == 10
+    full_refresh(events.limit(5), path)
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_incremental_distinct_idempotent(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    old = events.filter(F.col("event_id") < 600)
+    new = events.filter(F.col("event_id") >= 400)
+    incremental_distinct(spark, path, old)
+    incremental_distinct(spark, path, new)
+    n1 = spark.read.parquet(path).count()
+    # re-applying the same batch must not grow the table (K5 re-pull)
+    incremental_distinct(spark, path, new)
+    assert spark.read.parquet(path).count() == n1 == events.count()
+
+
+def test_incremental_keep_latest_converges(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    ev = events.withColumn("date", F.to_date("ts"))
+    incremental_keep_latest(spark, path, ev, ["date"], "ts", tie_break="event_id")
+    out = spark.read.parquet(path)
+    days = ev.select("date").distinct().count()
+    assert out.count() == days
+    # second run with the same data keeps exactly one row per day
+    incremental_keep_latest(spark, path, ev, ["date"], "ts", tie_break="event_id")
+    assert spark.read.parquet(path).count() == days
+
+
+def test_incremental_upsert(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    target = events.filter(F.col("event_id") < 800)
+    incremental_upsert(spark, path, target, ["event_id"])
+    delta = (
+        events.filter((F.col("event_id") >= 700) & (F.col("event_id") < 900))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    incremental_upsert(spark, path, delta, ["event_id"])
+    out = spark.read.parquet(path)
+    assert out.count() == 900  # 0..899 exactly once
+    assert out.filter(F.col("event_type") == "updated").count() == 200
+
+
+def test_publish_swap_preserves_on_check_failure(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    publish_swap(events.limit(100), path)
+    with pytest.raises(QualityCheckError):
+        publish_swap(events.limit(3), path, checks=[CountCheck("min50", 50, "ge")])
+    # old state intact, no staging junk left behind
+    assert spark.read.parquet(path).count() == 100
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p or "trash" in p]
+    assert leftovers == []
+
+
+def test_publish_swap_refuses_empty(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(QualityCheckError):
+        publish_swap(events.filter(F.lit(False)), path)
+    assert not os.path.exists(path)

@@ -85,18 +85,28 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(col: Column | str) -> Column:
-    """Heuristic language-ID: score = stopword hits per profile,
-    argmax wins ('und' when nothing matches). Pure expressions —
-    scales as a map-only pass."""
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Heuristic language-ID over pre-lowered tokens: score = stopword
+    hits per profile, argmax wins ('und' when nothing matches).
+    Taking a token column (not raw text) lets the caller tokenize ONCE
+    in a projection — inlining text here would re-run the regex split
+    once per language profile."""
+    def _hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
     scores = [
-        F.struct(
-            stopword_count(col, words).alias("score"), F.lit(lang).alias("lang")
-        )
+        F.struct(_hits(words).alias("score"), F.lit(lang).alias("lang"))
         for lang, words in LANG_PROFILES.items()
     ]
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Language-ID from raw text (single-expression form)."""
+    toks = F.transform(tokenize(col), F.lower)
+    return lang_id_from_tokens(toks)
 
 
 def quality_score(col: Column | str) -> Column:

@@ -27,6 +27,8 @@ reused per incoming batch.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +38,9 @@ from ..registry import query
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands × rows of 2 → catches jaccard ≳ 0.5
+# ASCII flag: Java regex / RE2 \s is ASCII-only; Python's default
+# would also split on unicode whitespace and diverge from the oracle.
+_WS = re.compile(r"\s+", re.ASCII)
 
 # ---------------------------------------------------------------------------
 # shared corpus augmentation (identical in Spark and DuckDB)
@@ -122,25 +127,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_spark(shingles: F.Column) -> list[F.Column]:
-    """MinHash_i = lexicographic min over shingles of md5(i|shingle).
-    md5 hex + string min are portable across engines."""
-    return [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, i=i: F.md5(
-                    F.concat(F.lit(f"{i}|"), s).cast("binary")
-                ),
-            )
-        ).alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
-
-
+# MinHash_i = lexicographic min over shingles of hex digits [4i, 4i+4)
+# of md5(shingle): the "one hash, split bits" construction — one md5
+# per shingle instead of N_HASHES, with 8 disjoint 16-bit slices
+# acting as the independent hash family. Portable: md5 hex + substr +
+# string min evaluate identically in Spark, Python, and DuckDB.
 def _minhash_sig_duck() -> str:
     return ",\n".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> substr(md5(s), {1 + 4 * i}, 4)))"
+        f" AS mh{i}"
         for i in range(N_HASHES)
     )
 
@@ -216,33 +211,77 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product.
     """
     aug = _augmented_docs(spark, sf_dir)
-    shingled = aug.select("doc_id", _shingles_spark().alias("shingles"))
-    sigs = shingled.select("doc_id", "shingles", *_minhash_sig_spark(F.col("shingles")))
-    banded = sigs.select("doc_id", "shingles", *_band_cols_spark())
+    # Signature stage as ONE Arrow-batched pass: tokenizing, 3-gram
+    # shingling, and 8×md5 MinHash in interpreted Catalyst HOFs costs
+    # ~5s/pass at sf0.1 and the self-join + verify replans it 3-4×.
+    # hashlib md5 emits the identical hex the oracle's md5() does, so
+    # parity is untouched. Persisted because three downstream branches
+    # (pair-gen a/b sides, Jaccard verify) read it; at 100 TB this is
+    # the "write the signature table once, reuse per batch" pattern.
+    def _sig_batches(batches):
+        import hashlib
 
-    pairs = None
-    for i in range(_N_BANDS):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("shingles").alias("sh_a"),
-            F.col(f"band{i}").alias("band"),
-        )
-        b = banded.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("shingles").alias("sh_b"),
-            F.col(f"band{i}").alias("band"),
-        )
-        p = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "sh_a", "sh_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+        import pandas as pd
+
+        for pdf in batches:
+            out_sh, out_mh = [], [[] for _ in range(N_HASHES)]
+            for text in pdf["text"]:
+                toks = [t for t in _WS.split(text.strip()) if t]
+                n = max(len(toks) - 2, 1)
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(n)
+                    )
+                )
+                out_sh.append(sh)
+                digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+                for i in range(N_HASHES):
+                    lo = 4 * i
+                    out_mh[i].append(min(d[lo : lo + 4] for d in digests))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shingles": out_sh,
+                    **{f"mh{i}": out_mh[i] for i in range(N_HASHES)},
+                }
+            )
+
+    sig_schema = "doc_id long, shingles array<string>, " + ", ".join(
+        f"mh{i} string" for i in range(N_HASHES)
+    )
+    # spread the Python stage across all cores — the parquet source is
+    # one file, so without this the Arrow pass runs ~single-partition
+    sigs = (
+        aug.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_sig_batches, schema=sig_schema)
+        .persist()
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = pairs.join(sa, "doc_a").join(sb, "doc_b")
 
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        pairs.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        verified.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

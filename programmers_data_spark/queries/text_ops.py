@@ -134,9 +134,16 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID (textfn.lang_id) with agreement
     against the fixture's lang label. Map-only; scales linearly."""
     docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(textfn.tokenize("text"), F.lower).alias("toks"),
+    )
     return (
-        docs.select(
-            "doc_id", "lang", textfn.lang_id("text").alias("predicted_lang")
+        toked.select(
+            "doc_id",
+            "lang",
+            textfn.lang_id_from_tokens(F.col("toks")).alias("predicted_lang"),
         )
         .withColumn(
             "agrees", (F.col("lang") == F.col("predicted_lang")).cast("int")

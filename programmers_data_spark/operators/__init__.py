@@ -1,0 +1,100 @@
+"""Relational operator builders — the engine surface beyond the
+reference's literal SQL (SURVEY §2.4/§2.5 "engine extras").
+
+The reference uses only inner/left equi-joins and plain GROUP BY
+(Build_Summary.py:74-75, config/mau_summary.py:7-8); the engine also
+exposes the shapes its own load strategies decompose into (semi/anti
+joins back K7's upsert) and the scale-variants of its aggregates
+(approx distinct, rollup/cube, top-k) — all stock Catalyst operators,
+no custom planning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "equi_join",
+    "semi_join",
+    "anti_join",
+    "broadcast_join",
+    "rollup_agg",
+    "cube_agg",
+    "approx_distinct",
+    "top_k",
+    "top_k_per_group",
+]
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """J1/J2: equi-join; AQE picks broadcast vs sort-merge at runtime."""
+    return left.join(right, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS: keep left rows with a match, never duplicating them —
+    cheaper than join+distinct (right side reduces to its keys)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS: left rows without a match (the K7 upsert survivor set)."""
+    return left.join(right, on, "left_anti")
+
+
+def broadcast_join(
+    left: DataFrame, small: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Explicit broadcast of a known-small dimension: skips the
+    shuffle regardless of stats (the star-schema dims here are tiny
+    even at SF where facts are 100 TB)."""
+    return left.join(F.broadcast(small), on, how)
+
+
+def rollup_agg(
+    df: DataFrame, dims: Sequence[str], *aggs: Column
+) -> DataFrame:
+    """GROUP BY ROLLUP: hierarchical subtotals (region → nation → all).
+    One shuffle; Spark expands grouping sets map-side."""
+    return df.rollup(*dims).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, dims: Sequence[str], *aggs: Column) -> DataFrame:
+    """GROUP BY CUBE: all dimension combinations."""
+    return df.cube(*dims).agg(*aggs)
+
+
+def approx_distinct(
+    df: DataFrame, group_by: Sequence[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB form of the MAU
+    aggregate (SURVEY §7: exact countDistinct needs a full shuffle of
+    the distinct keys; HLL sketches merge map-side in fixed memory)."""
+    return df.groupBy(*group_by).agg(
+        F.approx_count_distinct(col, rsd).alias(f"approx_{col}")
+    )
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k: orderBy+limit. Catalyst plans TakeOrderedAndProject
+    — per-partition heaps + single merge, never a full sort at scale."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via rank over a window — one shuffle on the
+    group keys; rows beyond k drop at the window operator."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1,0 +1,191 @@
+"""Engine-extra queries: the operator shapes the reference lacks but
+the engine exposes (SURVEY §2.4 note, §2.5 note, §2.7 note) — semi /
+anti joins, rollup subtotals, set ops, approx distinct.
+
+Semi/anti exist because the K7 upsert decomposes into anti-join +
+union; rollup/cube and approx_count_distinct are the documented scale
+variants of the reference's exact aggregates (SURVEY §7 scale
+posture); INTERSECT/EXCEPT round out the set-op surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import anti_join, approx_distinct, rollup_agg, semi_join
+from ..registry import query
+
+
+def _dec(col: str | F.Column, prec: int = 18, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 order. The right
+    side reduces to its join keys before the shuffle — no fact-table
+    payload moves, and no distinct is needed afterwards."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(customer, orders, "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): the K7 upsert survivor shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        anti_join(customer, orders, "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total in ONE
+    shuffle (grouping sets expand map-side) — vs three separate
+    GROUP BYs re-reading the fact table. Dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_totalprice",
+        )
+    )
+    return rollup_agg(
+        joined,
+        ["region", "nation"],
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    ).orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+
+
+@query(
+    "returning_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    ORDER BY custkey
+    """,
+)
+def returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1995 and 1996. Plans as an
+    aggregate + semi-join on the already-distinct key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96).orderBy("custkey")
+
+
+@query(
+    "churned_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    ORDER BY custkey
+    """,
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: active in 1995, gone in 1996 (set difference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.subtract(y96).orderBy("custkey")
+
+
+@query("mau_approx")  # rows-only: HLL++ sketch values are engine-specific
+def mau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAU with approx_count_distinct (HLL++, 5% rsd): the 100 TB form
+    of the exact `mau` query — sketches merge map-side in fixed
+    memory, so the shuffle carries one sketch per month instead of
+    every distinct user id. Same grouping as the exact `mau` query, so
+    the two are directly comparable. Rows-only check (sketch estimates
+    are engine-specific); exact `mau` is the correctness anchor."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_custkey"
+    )
+    return (
+        approx_distinct(monthly, ["month"], "o_custkey")
+        .withColumnRenamed("approx_o_custkey", "approx_mau")
+        .orderBy("month")
+    )

@@ -152,7 +152,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 12
+_N_TABLES = 8  # L hash tables ...
+_N_BITS = 6  # ... of k sign-bits each: P(candidate) = 1-(1-cos_sim^k)^L
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -168,30 +169,71 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 @query("ann_lsh_topk")  # rows-only: signed random projections aren't ANSI SQL
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 12-bit sign signature buckets
-    the corpus; top-k is computed within each query's bucket only.
-    Recall trades against bucket size (the standard SimHash-for-
-    cosine construction); candidates-per-query ≈ N/2^12 at uniform
-    spread, so the scan is ~linear."""
+    """ANN via multi-table random-hyperplane LSH (8 tables × 6 sign
+    bits). A single fine signature leaves every vector in a singleton
+    bucket at moderate N — the classic recall failure — so, exactly as
+    MinHash-LSH bands do, each table uses a SHORT signature and a
+    vector is a candidate if it collides with the query in ANY table.
+    Long-form (table_idx, bucket) rows → one equi-join against the
+    broadcast query set → distinct → rank by exact cosine. Work per
+    query ≈ L × N/2^k candidates — linear scan economics, tunable via
+    (L, k) for the recall/cost point, never N²."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
     dim = 64
-    sig = None
-    for p in range(_N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bit = (dot(F.col("emb"), plane) > 0).cast("long") * F.lit(2**p)
-        sig = bit if sig is None else sig + bit
-    bucketed = emb.withColumn("bucket", sig)
+    n_planes = _N_TABLES * _N_BITS
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    ).T  # (dim, L*k)
+    powers = np.array([2**p for p in range(_N_BITS)], dtype=np.int64)
+
+    # one numpy pass computes all 48 sign bits per vector — as Column
+    # expressions this is 48 literal-array dot products whose codegen
+    # dwarfs the actual work; here it's a single (batch × dim × 48) GEMM
+    def signatures(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            bits = (x @ planes) > 0  # (n, L*k)
+            out = []
+            for t in range(_N_TABLES):
+                chunk = bits[:, t * _N_BITS : (t + 1) * _N_BITS]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "emb": pdf["emb"],
+                            "tbl": t,
+                            "bucket": chunk @ powers,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    bucketed = emb.mapInPandas(
+        signatures, schema="vec_id long, emb array<double>, tbl int, bucket long"
+    )
 
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    cands = bucketed.join(
-        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    cands = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(cosine("q_emb", "emb")), "vec_id"
     )

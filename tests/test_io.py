@@ -1,0 +1,153 @@
+"""Unit tests for the source/sink layers (SURVEY §2.1/§2.2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from programmers_data_spark import sinks, sources
+from programmers_data_spark.catalog import load_table
+
+
+# ----------------------------------------------------------------- sources
+
+
+def test_csv_roundtrip(spark, sf_smoke, tmp_path):
+    """S1/S8: write fixture rows as CSV, read back typed."""
+    nation = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_csv")
+    sinks.write_csv(nation, path, coalesce=1)
+    back = sources.read_csv(
+        spark,
+        path,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert back.count() == nation.count()
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_csv_from_text_http_payload(spark):
+    """S1: the NameGenderCSVtoRedshift extract+transform shape —
+    header skipped, rows split executor-side, typed columns."""
+    payload = "name,gender\nAdaleigh,F\nAmryn,Unknown\nApurva,M\n"
+    df = sources.csv_from_text(spark, payload, "name string, gender string")
+    rows = {(r.name, r.gender) for r in df.collect()}
+    assert rows == {("Adaleigh", "F"), ("Amryn", "Unknown"), ("Apurva", "M")}
+
+
+def test_json_records_nested_projection(spark):
+    """S2+T2: UpdateCountry's d['name']['official'] as col('name.official')."""
+    recs = [
+        {"name": {"official": "Republic of Korea"}, "population": 51, "area": 100.2},
+        {"name": {"official": "Japan"}, "population": 125, "area": 377.9},
+    ]
+    df = sources.json_records(spark, recs)
+    out = df.select(
+        F.col("name.official").alias("country"), "population", "area"
+    ).collect()
+    assert {r.country for r in out} == {"Republic of Korea", "Japan"}
+
+
+def test_json_document_array_field(spark):
+    """S3: Weather_to_Redshift iterates data['daily'] — one row each."""
+    doc = {
+        "lat": 37.5,
+        "daily": [
+            {"dt": 1672531200, "temp": {"day": 1.5}},
+            {"dt": 1672617600, "temp": {"day": 2.5}},
+        ],
+    }
+    df = sources.json_document(spark, doc, "daily")
+    assert df.count() == 2
+    days = [r["day"] for r in df.select(F.col("temp.day").alias("day")).collect()]
+    assert sorted(days) == [1.5, 2.5]
+
+
+def test_from_pandas_arrow(spark):
+    """S4: pandas (yfinance-shaped OHLCV) → DataFrame via Arrow."""
+    pd = pytest.importorskip("pandas")
+    pdf = pd.DataFrame(
+        {
+            "date": pd.to_datetime(["2023-01-02", "2023-01-03"]),
+            "open": [100.0, 101.5],
+            "close": [101.0, 102.5],
+            "volume": [1000, 2000],
+        }
+    )
+    df = sources.from_pandas(spark, pdf)
+    assert df.count() == 2
+    assert dict(df.dtypes)["volume"] == "bigint"
+
+
+def test_read_sheet_rows(spark):
+    """S6: list-of-lists with header line selection and empty-row drop."""
+    rows = [
+        ["col1", "col2", "col3"],
+        ["1", "2", "3"],
+        ["", "", ""],
+        ["4", "5", "6"],
+    ]
+    df = sources.read_sheet(spark, rows)
+    assert df.columns == ["col1", "col2", "col3"]
+    assert df.count() == 2
+
+
+def test_read_sheet_network_is_gated(spark):
+    with pytest.raises((NotImplementedError, ValueError)):
+        sources.read_sheet(spark, sheet_url="https://example.invalid/sheet")
+
+
+def test_read_sql_view(spark, sf_smoke):
+    """S7: SQL over registered views."""
+    from programmers_data_spark.catalog import register_views
+
+    register_views(spark, sf_smoke)
+    df = sources.read_sql(spark, "SELECT count(*) AS n FROM region")
+    assert df.collect()[0].n == 5
+
+
+# ------------------------------------------------------------------- sinks
+
+
+def test_export_rows_cleans_and_caps(spark, sf_smoke):
+    """K9: stringify + null-fill + cap, delivered as (header, rows)."""
+    region = load_table(spark, sf_smoke, "region")
+    delivered = {}
+
+    def deliver(header, rows):
+        delivered["header"] = header
+        delivered["rows"] = rows
+
+    n = sinks.export_rows(region.orderBy("r_regionkey"), deliver, max_rows=3)
+    assert n == 3
+    assert delivered["header"] == ["r_regionkey", "r_name"]
+    assert all(isinstance(c, str) for row in delivered["rows"] for c in row)
+
+
+def test_notify_on_failure_fires_and_reraises():
+    """K11: callback receives context + traceback, exception propagates."""
+    messages = []
+
+    @sinks.notify_on_failure(messages.append, context="unit")
+    def boom():
+        raise RuntimeError("kapow")
+
+    with pytest.raises(RuntimeError):
+        boom()
+    assert len(messages) == 1
+    assert "unit" in messages[0] and "kapow" in messages[0]
+
+
+def test_notify_on_failure_passthrough():
+    messages = []
+
+    @sinks.notify_on_failure(messages.append)
+    def ok():
+        return 42
+
+    assert ok() == 42
+    assert messages == []

@@ -216,3 +216,26 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-user running event counter. The bounded file source drains in
+    one micro-batch, so the final update-mode emission per key equals
+    the batch GROUP BY count — which is the oracle. In production the
+    same operator runs unbounded: state persists across batches and
+    every batch emits refreshed totals."""
+    from ..streaming import stateful_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stateful_counts(stream), output_mode="update")
+    return out.orderBy("user_id")

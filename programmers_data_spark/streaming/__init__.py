@@ -68,6 +68,74 @@ def dedup_within_watermark(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_publish_foreachbatch(
+    stream_df: DataFrame, path: str, checks=None
+) -> None:
+    """K8's streaming form: every micro-batch lands through the
+    checked swap writer (write staging → validate → atomic rename), so
+    readers only ever see a fully-published batch — the foreachBatch ↔
+    swap-publish composition promised by redshift_summary.py:171-178
+    semantics under a stream."""
+    from ..publish import publish_swap
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        publish_swap(batch_df, path, checks=checks)
+
+    q = stream_df.writeStream.outputMode("append").foreachBatch(_publish).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stateful_counts(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-key event counter. Each micro-batch folds its rows into the
+    per-key state and emits the updated total — the primitive behind
+    billing counters / per-user quotas that windowed aggs can't
+    express (state lives across windows, forever, until timeout).
+
+    State is one int per key — the minimal footprint; at 100 TB the
+    state store shards by key exactly like the shuffle would.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
+
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_table(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

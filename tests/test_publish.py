@@ -91,3 +91,19 @@ def test_publish_swap_refuses_empty(spark, events, tmp_path):
     with pytest.raises(QualityCheckError):
         publish_swap(events.filter(F.lit(False)), path)
     assert not os.path.exists(path)
+
+
+def test_stream_publish_foreachbatch(spark, sf_smoke, tmp_path):
+    """K8 streaming form: micro-batches land via checked atomic swap."""
+    from programmers_data_spark.streaming import (
+        read_events_stream,
+        stream_publish_foreachbatch,
+    )
+
+    path = str(tmp_path / "stream_out")
+    stream = read_events_stream(spark, sf_smoke)
+    stream_publish_foreachbatch(stream.select("event_id", "user_id", "ts"), path)
+    out = spark.read.parquet(path)
+    expected = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert out.count() == expected
+    assert set(out.columns) == {"event_id", "user_id", "ts"}

@@ -108,3 +108,88 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1000, fake: bool = True
         "frame_idx",
         (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
     )
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feat_idx", T.IntegerType(), False),
+        T.StructField("feat_val", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM, fake: bool = True) -> DataFrame:
+    """Feature-extraction stub: the embedding-model stage of a media
+    pipeline as Arrow-batched mapInPandas. With fake=True the
+    "features" are a deterministic function of byte length — arbitrary
+    but SQL-expressible, so the whole batch path oracle-checks. Output
+    is long-form (media_id, feat_idx, feat_val): scalar columns hash
+    portably and downstream similarity ops can pivot as needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a vision/audio model"
+                )
+            n = pdf["n_bytes"].to_numpy()
+            out = []
+            for j in range(dim):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": pdf["media_id"],
+                            "feat_idx": j,
+                            "feat_val": ((n * (j + 1)) % 997) / 997.0,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 48, fake: bool = True
+) -> DataFrame:
+    """Resize stub: binary→binary through the real mapInPandas path.
+    With fake=True the "resized" payload is a deterministic truncation
+    to width*height bytes (a stand-in for a pixel buffer); with
+    fake=False this is where Pillow's resize would run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires Pillow")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        None if p is None else bytes(p)[:target]
+                        for p in pdf["payload"]
+                    ],
+                    "mime": pdf["mime"],
+                    "n_bytes": [
+                        0 if p is None else min(len(p), target)
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)

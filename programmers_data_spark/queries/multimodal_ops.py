@@ -79,3 +79,26 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx")
         .orderBy("media_id", "frame_idx")
     )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           j AS feat_idx,
+           CAST((octet_length(encode(text)) * (j + 1)) % 997 AS DOUBLE) / 997.0
+             AS feat_val
+    FROM documents, generate_series(0, 15) AS t(j)
+    ORDER BY media_id, feat_idx
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage through the real Arrow/mapInPandas
+    path (multimodal.extract_features): 16 deterministic features per
+    payload, long-form output. The fake feature arithmetic is
+    SQL-expressible so the full batch path oracle-checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime="text/plain")
+    from ..multimodal import extract_features
+
+    return extract_features(media).orderBy("media_id", "feat_idx")

@@ -4,9 +4,11 @@
                      — the correctness baseline.
 - embedding_neardup: all-pairs cosine ≥ threshold (bounded corpus) —
                      embedding-space near-dup detection.
-- ann_lsh_topk:      random-hyperplane LSH bucketed ANN — the scale
-                     path (rows-only: signed-projection hashing isn't
-                     portable SQL).
+- ann_lsh_topk:      multi-table random-hyperplane LSH ANN — the
+                     data-oblivious scale path (rows-only:
+                     signed-projection hashing isn't portable SQL).
+- ivf_topk:          IVF (k-means coarse quantizer + probe-list scan)
+                     ANN — the data-adaptive scale path (rows-only).
 
 Determinism: dot products run as a left-fold over array<double>
 (functions/vectors.py) — the same serial summation DuckDB's
@@ -233,6 +235,104 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", "vec_id", "emb")
         .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine("q_emb", "emb")), "vec_id"
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVF_CELLS = 16
+_IVF_PROBES = 4
+
+
+@query("ivf_topk")  # rows-only: k-means cell assignment isn't ANSI SQL
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file index): a small k-means coarse
+    quantizer partitions the corpus into cells; each query scans only
+    its ``_IVF_PROBES`` nearest cells. The other standard ANN scale
+    path next to LSH (ann_lsh_topk): cells adapt to the data
+    distribution where hyperplanes are data-oblivious.
+
+    Training is deterministic: centroids seed from evenly-strided
+    sample vectors, then 5 Lloyd iterations on a bounded sample
+    (driver-side numpy — the coarse quantizer is metadata, like a
+    broadcast dim table; the corpus-wide assignment pass is the
+    distributed mapInPandas GEMM). At 100 TB: cells ∝ sqrt(N),
+    assignment is map-only, and each cell's posting list is a
+    bucketed table the probe-join prunes to.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    sample = np.array(
+        [r.emb for r in emb.filter(F.col("vec_id") % 7 < 3).limit(512).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    k = min(_IVF_CELLS, len(sample))
+    stride = max(len(sample) // k, 1)
+    centroids = sample[::stride][:k].copy()
+    for _ in range(5):  # Lloyd iterations (cosine ≈ dot on unit vectors)
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            cell = np.argmax(x @ cents.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "emb": pdf["emb"], "cell": cell}
+            )
+
+    corpus = emb.mapInPandas(
+        assign_cells, schema="vec_id long, emb array<double>, cell int"
+    )
+
+    def probe_cells(batches):
+        import pandas as pd
+
+        cents = bc.value
+        n_probe = min(_IVF_PROBES, len(cents))
+        for pdf in batches:
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            order = np.argsort(-(x @ cents.T), axis=1)[:, :n_probe]
+            out = []
+            for j in range(n_probe):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": pdf["vec_id"],
+                            "q_emb": pdf["emb"],
+                            "cell": order[:, j],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).mapInPandas(
+        probe_cells, schema="query_id long, q_emb array<double>, cell int"
+    )
+
+    cands = corpus.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(cosine("q_emb", "emb")), "vec_id"

@@ -150,3 +150,33 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len({toks}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]'))
+             AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """.format(toks=_DUCK_TOKS),
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored token estimate next to the whitespace count: runs
+    of alphanumerics count once, every other non-space char counts
+    individually — the cheap regex proxy for subword tokenizers
+    (both engines evaluate the same RE2/Java-compatible pattern:
+    no lookarounds, so it ports exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        textfn.token_count("text").alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    ).orderBy("doc_id")

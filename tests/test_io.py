@@ -151,3 +151,40 @@ def test_notify_on_failure_passthrough():
 
     assert ok() == 42
     assert messages == []
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_resize_media_binary_roundtrip(spark, sf_smoke):
+    """binary→binary mapInPandas path: payload truncated to the pixel
+    buffer size, dims attached."""
+    from programmers_data_spark.multimodal import attach_binary_payload, resize_media
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.width == 8 and r.height == 4
+        assert r.n_bytes <= 32
+        assert r.payload is None or len(r.payload) == r.n_bytes
+
+
+def test_real_decode_paths_are_gated(spark, sf_smoke):
+    from programmers_data_spark.multimodal import (
+        attach_binary_payload,
+        decode_media,
+        extract_features,
+        resize_media,
+    )
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_smoke, "documents").limit(2)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    for fn in (decode_media, extract_features, resize_media):
+        with _pytest.raises(Exception) as ei:
+            fn(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )

@@ -334,27 +334,52 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # rows-only: 64-bit popcount tricks aren't portable SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup keys: per-token 64-bit xxhash, bit-vote, sign
-    → 64-bit signature, bucketed by the top 16 bits. Pure bitwise
-    expressions (shiftright/&); map-only at scale."""
+    """SimHash near-dup keys: per-token 64-bit hash (blake2b-8), bit
+    vote, sign → 64-bit signature, bucketed by the top 16 bits.
+
+    SimHash is inherently map-only — each doc's signature depends only
+    on its own tokens — so it runs as one Arrow pass with numpy doing
+    the 64-bit-vote accumulation. (The previous explode + groupBy(64
+    sums) form shuffled every token row to re-group what was never
+    ungrouped.) At 100 TB this stays a linear scan; near-dup candidate
+    pairs then bucket-join on the 16-bit prefix like MinHash bands.
+    """
+
+    def sim_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                toks = [t for t in _WS.split(text.strip()) if t]
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "big",
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = (hs[:, None] >> shifts) & np.uint64(1)  # (T, 64)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
     aug = _augmented_docs(spark, sf_dir)
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    hashed = aug.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+    sigs = aug.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        sim_batches, schema="doc_id long, simhash long"
     )
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(64):
-        bit = (F.col(f"v{i}") > 0).cast("long") * F.lit(2**i if i < 63 else -(2**63))
-        sig = bit if sig is None else sig + bit
     return (
-        per_doc.select("doc_id", sig.alias("simhash"))
-        .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+        sigs.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
         .orderBy("doc_id")
     )

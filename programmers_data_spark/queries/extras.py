@@ -189,3 +189,34 @@ def mau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("approx_o_custkey", "approx_mau")
         .orderBy("month")
     )
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations
+    in one shuffle — low-cardinality dims, so map-side partial agg
+    collapses everything before the exchange."""
+    from ..operators import cube_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return cube_agg(
+        orders,
+        ["status", "priority"],
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    ).orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())

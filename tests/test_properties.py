@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the load-strategy algebra.
+
+The publish layer's correctness claims are algebraic — idempotence,
+convergence, key uniqueness — and hold for ANY input, not just the
+fixtures; hypothesis generates the adversarial cases (dup keys, ties,
+empty deltas) that example-based tests miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from programmers_data_spark.publish import distinct_union, keep_latest, upsert
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.integers(min_value=0, max_value=5),  # ts
+        st.text(alphabet="abc", max_size=2),  # payload
+    ),
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows or [(0, 0, "")], "key int, ts int, payload string"
+    ).limit(len(rows))
+
+
+@pytest.mark.usefixtures("spark")
+class TestLoadStrategyProperties:
+    @given(rows=ROWS)
+    @_SETTINGS
+    def test_keep_latest_unique_and_maximal(self, spark, rows):
+        """keep_latest emits exactly one row per key, carrying the max ts."""
+        df = _df(spark, rows)
+        out = keep_latest(df, ["key"], "ts", tie_break="payload").collect()
+        keys = [r.key for r in out]
+        assert len(keys) == len(set(keys))
+        by_key_max = {}
+        for k, ts, _ in rows:
+            by_key_max[k] = max(by_key_max.get(k, ts), ts)
+        for r in out:
+            assert r.ts == by_key_max[r.key]
+
+    @given(rows=ROWS)
+    @_SETTINGS
+    def test_distinct_union_idempotent(self, spark, rows):
+        """old ∪ old distinct == old distinct (K5 re-run safety)."""
+        df = _df(spark, rows)
+        once = {tuple(r) for r in distinct_union(df, df).collect()}
+        assert once == {tuple(r) for r in df.distinct().collect()}
+
+    @given(rows=ROWS, delta=ROWS)
+    @_SETTINGS
+    def test_upsert_source_wins_and_keys_unique(self, spark, rows, delta):
+        """After upsert: every source key's rows come from source only;
+        target rows without a delta key survive untouched."""
+        target = keep_latest(_df(spark, rows), ["key"], "ts", tie_break="payload")
+        source = keep_latest(_df(spark, delta), ["key"], "ts", tie_break="payload")
+        out = upsert(target, source, ["key"]).collect()
+        keys = [r.key for r in out]
+        assert len(keys) == len(set(keys))
+        src = {r.key: (r.ts, r.payload) for r in source.collect()}
+        tgt = {r.key: (r.ts, r.payload) for r in target.collect()}
+        for r in out:
+            expected = src.get(r.key, tgt.get(r.key))
+            assert (r.ts, r.payload) == expected

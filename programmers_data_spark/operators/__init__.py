@@ -98,3 +98,26 @@ def top_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the left (skewed) side gets a random salt
+    in [0, salt); the right side replicates each row `salt` times so
+    every (key, salt) partner exists. The hot key's rows then spread
+    over `salt` reducers instead of one straggler. AQE's skew-join
+    splitting handles moderate skew automatically — explicit salting
+    is for the pathological keys AQE can't split (single giant group
+    feeding a window/agg). Cost: right side inflates ×salt, so use
+    with a small-ish build side.
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    salted_r = right.withColumn("__salt", salts)
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

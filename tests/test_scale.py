@@ -1,0 +1,86 @@
+"""Scale-posture tests: the plan-shape claims the docstrings make
+(bucketed joins shuffle-free, partitioned writes prune, salting
+spreads skew) proven against actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from programmers_data_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
+    """Both sides bucketed by the join key → SortMergeJoin with NO
+    Exchange: the 100 TB big-big join strategy (SURVEY §7)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    (
+        orders.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the join must pick a shuffle-or-bucket SMJ
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"), "o_orderkey"
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    """Date-partitioned output + date filter → the scan touches only
+    the matching partition directories (T13 at scale)."""
+    from programmers_data_spark.publish import full_refresh
+
+    events = load_table(spark, sf_smoke, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_parted")
+    full_refresh(events, path, partition_by=["event_date"])
+
+    all_parts = spark.read.parquet(path)
+    one_day = all_parts.select(F.max("event_date")).collect()[0][0]
+    pruned = all_parts.filter(F.col("event_date") == F.lit(one_day))
+    plan = _plan(pruned)
+    # partition filters appear as PartitionFilters on the scan, and the
+    # result is correct
+    assert "PartitionFilters" in plan
+    assert pruned.count() == events.filter(F.col("event_date") == F.lit(one_day)).count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    """Salting is semantics-preserving: same rows as the plain join."""
+    from programmers_data_spark.operators import salted_join
+
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    ).limit(500)
+    plain = lineitem.join(orders, "o_orderkey").count()
+    salted = salted_join(lineitem, orders, "o_orderkey", salt=4).count()
+    assert plain == salted

@@ -1,0 +1,157 @@
+"""The reference's pipelines, end-to-end, as Spark jobs (EP1/EP2
+lifecycle → single driver program; SURVEY §3).
+
+Every DAG in the reference is extract → transform → load with one of
+the K-strategies at the end; each function here is that pipeline with
+the network fetch factored out (pass the payload the fetch would
+return — the reference's own extract() is a one-line GET). A reference
+user maps their DAG onto the same-named function:
+
+- NameGenderCSVtoRedshift(.py v1-v5)        → ``name_gender``
+- UpdateSymbol.py / _v2 / _v3               → ``update_symbol``
+- UpdateCountry.py                          → ``update_country``
+- Weather_to_Redshift.py / _v2              → ``weather``
+- MySQL_to_Redshift.py / _v2                → ``table_copy``
+- Gsheet_to_Redshift.py                     → ``gsheet_load``
+- SQL_to_Sheet.py                           → ``sql_to_sheet``
+
+Airflow's schedule/execution_date become the ``run_date`` parameter
+(T13 incremental predicate); retries/catchup are the platform's
+concern, idempotence is guaranteed here by the load strategies
+(re-running any pipeline converges to the same table state —
+verified in tests/test_pipelines.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import sinks, sources
+from .functions.cleaning import clean_numeric
+from .publish import (
+    full_refresh,
+    incremental_distinct,
+    incremental_keep_latest,
+    incremental_upsert,
+)
+
+
+def name_gender(
+    spark: SparkSession, csv_text: str, target_path: str
+) -> int:
+    """NameGenderCSVtoRedshift.py:24-68 (all five versions): HTTP CSV
+    → header skip + 2-col projection (T1) → full refresh (K1).
+    Returns rows loaded."""
+    df = sources.csv_from_text(spark, csv_text, "name string, gender string")
+    full_refresh(df, target_path)
+    return spark.read.parquet(target_path).count()
+
+
+def update_symbol(
+    spark: SparkSession,
+    history: Any,
+    target_path: str,
+    mode: str = "keep_latest",
+) -> int:
+    """UpdateSymbol.py:25-63 (+v2 :55-84, +v3 :58-83): market OHLCV
+    pandas frame → typed rows (S4), then the version's load strategy:
+    'full_refresh' (v1, K2), 'distinct' (v2, K5 union+DISTINCT), or
+    'keep_latest' (v3, K6 ROW_NUMBER dedup on date)."""
+    df = sources.from_pandas(spark, history)
+    df = df.withColumn("created_date", F.current_timestamp())
+    if mode == "full_refresh":
+        full_refresh(df.drop("created_date"), target_path)
+        return spark.read.parquet(target_path).count()
+    if mode == "distinct":
+        return incremental_distinct(spark, target_path, df.drop("created_date"))
+    if mode == "keep_latest":
+        return incremental_keep_latest(
+            spark, target_path, df, keys=["date"], order_by="created_date"
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def update_country(
+    spark: SparkSession, records: Iterable[dict] | str, target_path: str
+) -> int:
+    """UpdateCountry.py:27-79: REST JSON array → nested projection
+    (T2: name.official, population, area) → full refresh (K2)."""
+    raw = sources.json_records(spark, records)
+    df = raw.select(
+        F.col("name.official").alias("country"),
+        F.col("population").cast("long").alias("population"),
+        F.col("area").cast("double").alias("area"),
+    )
+    full_refresh(df, target_path)
+    return spark.read.parquet(target_path).count()
+
+
+def weather(
+    spark: SparkSession, doc: dict | str, target_path: str
+) -> int:
+    """Weather_to_Redshift.py:30-51 (+v2 :56-91): one JSON document,
+    iterate data['daily'] (S3), epoch→date (T3), temp fields → K6
+    keep-latest on date (v2's dedup semantics)."""
+    raw = sources.json_document(spark, doc, "daily")
+    df = raw.select(
+        F.to_date(F.from_unixtime(F.col("dt"))).cast("string").alias("date"),
+        F.col("temp.day").cast("double").alias("temp"),
+        F.col("temp.min").cast("double").alias("min_temp"),
+        F.col("temp.max").cast("double").alias("max_temp"),
+    ).withColumn("created_date", F.current_timestamp())
+    return incremental_keep_latest(
+        spark, target_path, df, keys=["date"], order_by="created_date"
+    )
+
+
+def table_copy(
+    spark: SparkSession,
+    source_df: DataFrame,
+    target_path: str,
+    upsert_keys: list[str] | None = None,
+    run_date: dt.date | str | None = None,
+    date_col: str = "created_at",
+) -> int:
+    """MySQL_to_Redshift.py:34-58 (+v2 :36,51-63): table copy. v1 is a
+    full refresh; v2 filters the source to the run date (T13) and
+    UPSERTs on keys (K7). ``source_df`` is the JDBC scan
+    (sources.read_jdbc) or any DataFrame."""
+    if run_date is not None:
+        source_df = source_df.filter(
+            F.to_date(F.col(date_col)) == F.lit(str(run_date))
+        )
+    if upsert_keys:
+        return incremental_upsert(spark, target_path, source_df, upsert_keys)
+    full_refresh(source_df, target_path)
+    return spark.read.parquet(target_path).count()
+
+
+def gsheet_load(
+    spark: SparkSession,
+    rows: list[list[str]],
+    target_path: str,
+    numeric_cols: list[str] | None = None,
+) -> int:
+    """Gsheet_to_Redshift.py:119-130 + plugins/gsheet.py:78-99,143-144:
+    sheet rows → header-line parse (S6) → currency/percent cleaning
+    (T10/T11) on selected columns → full refresh via staged swap."""
+    df = sources.read_sheet(spark, rows)
+    for c in numeric_cols or []:
+        df = df.withColumn(c, clean_numeric(F.col(c)))
+    full_refresh(df, target_path)
+    return spark.read.parquet(target_path).count()
+
+
+def sql_to_sheet(
+    spark: SparkSession,
+    sql: str,
+    deliver: Callable[[list[str], list[list[str]]], Any],
+    max_rows: int = 10_000,
+) -> int:
+    """SQL_to_Sheet.py:10-35: query result → sheet-shaped export (S7 +
+    K9, with the reference's T12/T14 export cleaning)."""
+    return sinks.export_rows(sources.read_sql(spark, sql), deliver, max_rows=max_rows)

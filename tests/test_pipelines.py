@@ -1,0 +1,126 @@
+"""End-to-end tests for the reference-pipeline jobs: each runs the
+full extract→transform→load and re-runs to prove the load strategy's
+idempotence/convergence (the reference's implicit contract — its DAGs
+re-run daily against overlapping data)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from programmers_data_spark import pipelines
+from programmers_data_spark.catalog import load_table, register_views
+
+
+def test_name_gender_full_refresh(spark, tmp_path):
+    csv = "name,gender\nAdaleigh,F\nAmryn,Unknown\nApurva,M\n"
+    path = str(tmp_path / "name_gender")
+    assert pipelines.name_gender(spark, csv, path) == 3
+    # re-run = same state (K1 refresh, not append)
+    assert pipelines.name_gender(spark, csv, path) == 3
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"name", "gender"}
+
+
+def _ohlcv(dates, base=100.0):
+    return pd.DataFrame(
+        {
+            "date": dates,
+            "open": [base + i for i in range(len(dates))],
+            "high": [base + 1 + i for i in range(len(dates))],
+            "low": [base - 1 + i for i in range(len(dates))],
+            "close": [base + 0.5 + i for i in range(len(dates))],
+            "volume": [1000 + i for i in range(len(dates))],
+        }
+    )
+
+
+def test_update_symbol_keep_latest_converges(spark, tmp_path):
+    path = str(tmp_path / "stock_info")
+    n1 = pipelines.update_symbol(spark, _ohlcv(["2023-01-02", "2023-01-03"]), path)
+    assert n1 == 2
+    # overlapping re-pull: day 3 re-arrives with corrected close + day 4
+    n2 = pipelines.update_symbol(
+        spark, _ohlcv(["2023-01-03", "2023-01-04"], base=200.0), path
+    )
+    assert n2 == 3  # one row per date, latest pull wins
+    out = {r.date: r.close for r in spark.read.parquet(path).collect()}
+    assert out["2023-01-03"] == 200.5  # corrected value won
+
+
+def test_update_symbol_distinct_mode(spark, tmp_path):
+    path = str(tmp_path / "stock_v2")
+    pdf = _ohlcv(["2023-01-02"])
+    assert pipelines.update_symbol(spark, pdf, path, mode="distinct") == 1
+    # identical re-pull adds nothing (K5 SELECT DISTINCT *)
+    assert pipelines.update_symbol(spark, pdf, path, mode="distinct") == 1
+
+
+def test_update_country_nested_projection(spark, tmp_path):
+    recs = [
+        {"name": {"official": "Republic of Korea"}, "population": 51, "area": 100.2},
+        {"name": {"official": "Japan"}, "population": 125, "area": 377.9},
+    ]
+    path = str(tmp_path / "country_info")
+    assert pipelines.update_country(spark, recs, path) == 2
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"country", "population", "area"}
+    assert dict(out.dtypes)["population"] == "bigint"
+
+
+def test_weather_keep_latest(spark, tmp_path):
+    doc = {
+        "daily": [
+            {"dt": 1672617600, "temp": {"day": 1.5, "min": -1.0, "max": 3.0}},
+            {"dt": 1672704000, "temp": {"day": 2.5, "min": 0.0, "max": 4.0}},
+        ]
+    }
+    path = str(tmp_path / "weather_forecast")
+    assert pipelines.weather(spark, doc, path) == 2
+    # late re-forecast of day 2
+    doc2 = {"daily": [{"dt": 1672704000, "temp": {"day": 9.9, "min": 5.0, "max": 11.0}}]}
+    assert pipelines.weather(spark, doc2, path) == 2
+    out = {r.date: r.temp for r in spark.read.parquet(path).collect()}
+    assert out["2023-01-03"] == 9.9
+
+
+def test_table_copy_daily_upsert(spark, sf_smoke, tmp_path):
+    """v2 semantics: run-date filter + keyed upsert, re-run idempotent."""
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.col("ts").alias("created_at")
+    )
+    day = str(events.select(F.to_date(F.min("created_at"))).collect()[0][0])
+    path = str(tmp_path / "copy")
+    n1 = pipelines.table_copy(
+        spark, events, path, upsert_keys=["event_id"], run_date=day
+    )
+    n2 = pipelines.table_copy(
+        spark, events, path, upsert_keys=["event_id"], run_date=day
+    )
+    assert n1 == n2 > 0
+
+
+def test_gsheet_load_cleans_numerics(spark, tmp_path):
+    rows = [
+        ["item", "price", "share"],
+        ["a", "$1,234", "12%"],
+        ["b", "$99", "7.5"],
+    ]
+    path = str(tmp_path / "sheet")
+    assert pipelines.gsheet_load(spark, rows, path, numeric_cols=["price", "share"]) == 2
+    out = {r.item: (r.price, r.share) for r in spark.read.parquet(path).collect()}
+    assert out["a"] == (1234.0, 0.12)
+    assert out["b"] == (99.0, 7.5)
+
+
+def test_sql_to_sheet_export(spark, sf_smoke):
+    register_views(spark, sf_smoke)
+    delivered = {}
+    n = pipelines.sql_to_sheet(
+        spark,
+        "SELECT r_name, r_regionkey FROM region ORDER BY r_regionkey",
+        lambda h, rows: delivered.update(header=h, rows=rows),
+    )
+    assert n == 5
+    assert delivered["header"] == ["r_name", "r_regionkey"]

@@ -352,6 +352,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         shifts = np.arange(64, dtype=np.uint64)
+        vocab: dict[str, int] = {}  # token → uint64 hash, amortized per batch
+
+        def _h(tok: str) -> int:
+            h = vocab.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                vocab[tok] = h
+            return h
+
         for pdf in batches:
             sigs = []
             for text in pdf["text"]:
@@ -359,15 +370,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not toks:
                     sigs.append(0)
                     continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "big",
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
+                hs = np.fromiter(
+                    (_h(t) for t in toks), dtype=np.uint64, count=len(toks)
                 )
                 bits = (hs[:, None] >> shifts) & np.uint64(1)  # (T, 64)
                 votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)

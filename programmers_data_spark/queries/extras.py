@@ -220,3 +220,52 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
     ).orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+
+
+@query(
+    "running_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue,
+           CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE) AS delta_prev_day
+    FROM daily
+    ORDER BY day
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + LAG window over the daily rollup: running total and
+    day-over-day delta (the frame classes the reference never uses —
+    default RANGE running frame and offset windows). Aggregated input
+    is one row per day, so the unpartitioned window is safe: the
+    window operates on ~hundreds of rows, never the fact table."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    )
+    daily = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            _dec("o_totalprice").alias("p"),
+        )
+        .groupBy("day")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("day")
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w_cum).cast("double").alias("cum_revenue"),
+        (F.col("rev") - F.lag("rev").over(w_lag)).cast("double").alias("delta_prev_day"),
+    ).orderBy("day")

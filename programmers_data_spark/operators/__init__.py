@@ -121,3 +121,61 @@ def salted_join(
     salted_r = right.withColumn("__salt", salts)
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (point-in-time) join: for every left row, attach the
+    right row with the greatest ``right_ts`` ≤ ``left_ts`` within the
+    same ``on`` key — the time-series lookup Spark has no native
+    operator for.
+
+    Implementation is the merge-scan form: union both sides tagged,
+    sort within each key by (ts, side) — right rows first at equal
+    timestamps, making the match inclusive — and carry the latest
+    right payload forward with last(ignorenulls) over a running frame.
+    ONE shuffle on the key, no range cross-product, state is one
+    payload per key: this is the shape that survives 100 TB (a range
+    join would explode; per-key loops wouldn't distribute).
+
+    Ties on right_ts within a key are broken arbitrarily among equal
+    timestamps; project only tie-invariant payload columns (or
+    pre-dedupe the right side) when determinism matters.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    merged = r.withColumn(
+        "__left", F.lit(None).cast(l.schema["__left"].dataType)
+    ).unionByName(l)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__match.__rts").alias(f"asof_{right_ts}"))
+    out_cols += [F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols]
+    return matched.select(*out_cols)

@@ -269,3 +269,38 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w_cum).cast("double").alias("cum_revenue"),
         (F.col("rev") - F.lag("rev").over(w_lag)).cast("double").alias("delta_prev_day"),
     ).orderBy("day")
+
+
+@query(
+    "asof_last_order",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.as_of_join): each event matched to the
+    user's most recent order at-or-before the event time — the
+    point-in-time lookup every feature-store / market-data pipeline
+    needs and Spark lacks natively. Output carries only the matched
+    timestamp (tie-invariant); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from ..operators import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = as_of_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+    ).orderBy("event_id")

@@ -180,3 +180,69 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         textfn.token_count("text").alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
     ).orderBy("doc_id")
+
+
+_WINNOW_K = 8  # char-gram length
+_WINNOW_W = 4  # winnowing window (mins over w consecutive gram hashes)
+
+
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(t) - {_WINNOW_K - 1}, 1)),
+               i -> substr(md5(substr(t, i, {_WINNOW_K})), 1, 8)
+             ) AS hs
+      FROM norm
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+               j -> list_min(hs[j:j+{_WINNOW_W - 1}])
+             )) AS fps
+      FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp
+    FROM wins
+    ORDER BY doc_id, fp
+    """,
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash scheme behind MOSS):
+    hash every 8-char gram of the normalized text, keep the minimum
+    hash of each 4-gram window, emit the distinct mins — a position-
+    robust fingerprint set that survives local edits, unlike the
+    whole-document md5 (doc_fingerprint). Bounded to doc_id < 200:
+    the per-doc fingerprint set is ~text_length/w rows, and the
+    operator itself is map-only (scales linearly; the bound only caps
+    oracle-comparison volume)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (_WINNOW_K - 1), F.lit(1))),
+        lambda i: F.substring(
+            F.md5(norm.substr(i, F.lit(_WINNOW_K)).cast("binary")), 1, 8
+        ),
+    )
+    with_hs = docs.select("doc_id", grams.alias("hs"))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("hs") - (_WINNOW_W - 1), F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice("hs", j, _WINNOW_W)),
+        )
+    )
+    return (
+        with_hs.select("doc_id", F.explode(wins).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )

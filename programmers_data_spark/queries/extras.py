@@ -304,3 +304,94 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
     ).orderBy("event_id")
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value: one map-side-combining
+    shuffle over ≤ a dozen buckets — the profiling pass that sizes
+    every later decision (skew, binning, outliers)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(
+             f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily counts, one column per event type. Explicit value
+    list so the plan is a single conditional-count aggregate — a
+    pivot without a value list needs an extra distinct pass to
+    discover the columns, which is the scale trap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, subset=list(_EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.50) * 100 + 0.5) / 100 AS p50,
+           floor(quantile_cont(value, 0.95) * 100 + 0.5) / 100 AS p95,
+           floor(quantile_cont(value, 0.99) * 100 + 0.5) / 100 AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ↔
+    DuckDB `quantile_cont`, both linear-interpolation), rounded to
+    cents to absorb last-ulp interpolation differences. At 100 TB the
+    drop-in scale form is approx_percentile (t-digest sketch, fixed
+    memory, map-side mergeable)."""
+    events = load_table(spark, sf_dir, "events")
+    def p(q, name):
+        return (
+            F.floor(F.expr(f"percentile(value, {q})") * 100 + F.lit(0.5)) / 100
+        ).alias(name)
+    return (
+        events.groupBy("event_type")
+        .agg(p(0.50, "p50"), p(0.95, "p95"), p(0.99, "p99"))
+        .orderBy("event_type")
+    )

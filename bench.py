@@ -75,13 +75,18 @@ def main() -> None:
         _force(registry.QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # value = the FIXED headline set, so the metric stays comparable
+    # across rounds as query coverage grows; every query's timing is
+    # still reported, with the non-headline sum alongside
+    headline_total = round(sum(timings[n] for n in names if n in HEADLINE), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": headline_total,
                 "unit": "sec",
+                "all_queries_total": total,
                 "queries": timings,
                 "sf": sf,
             }

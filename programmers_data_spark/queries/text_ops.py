@@ -246,3 +246,63 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_hs.select("doc_id", F.explode(wins).alias("fp"))
         .orderBy("doc_id", "fp")
     )
+
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             CAST(length(text) >= 50 AND length(text) <= 10000 AS DOUBLE) * 0.4
+             + CAST(CAST(len(regexp_extract_all(text, '{_DUCK_PUNCT}')) AS DOUBLE)
+                    / greatest(length(text), 1) < 0.2 AS DOUBLE) * 0.3
+             + least(CAST(len(list_filter({_DUCK_TOKS},
+                     t -> list_contains({_DUCK_STOPS}, lower(t)))) AS DOUBLE)
+                     / greatest(len({_DUCK_TOKS}), 1) * 3, 1.0) * 0.3
+               AS score
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM scored WHERE score >= 0.7
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text
+      FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        FROM kept
+      )
+      WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus pass: quality filter (≥0.7) →
+    exact dedup (keep lowest doc_id per content hash) → per-language
+    doc/token counts — the operators above chained as one Catalyst
+    plan. The filter prunes before the dedup shuffle, the shuffle key
+    is the content hash, and the final agg combines map-side: the
+    composition costs one shuffle more than the cheapest member."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(textfn.quality_score("text") >= 0.7)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textfn.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

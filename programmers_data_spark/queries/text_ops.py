@@ -306,3 +306,26 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_sample_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(text), 1, 2) < '1a'
+    ORDER BY doc_id
+    """,
+)
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by content hash (first md5
+    byte < 0x1a ≈ 26/256). Unlike df.sample(), the same document is
+    in or out on every run, every engine, every partitioning — the
+    reproducible-sampling primitive for eval splits and A/B corpus
+    experiments. Map-only; the predicate pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.substring(F.md5(F.col("text").cast("binary")), 1, 2) < "1a")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

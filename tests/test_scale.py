@@ -84,3 +84,26 @@ def test_salted_join_matches_plain_join(spark, sf_smoke):
     plain = lineitem.join(orders, "o_orderkey").count()
     salted = salted_join(lineitem, orders, "o_orderkey", salt=4).count()
     assert plain == salted
+
+
+def test_analytics_plan_shapes(spark, sf_smoke):
+    """Plan-shape regression guards: the optimizations the analytics
+    docstrings claim stay in the plan (broadcast dims, pruned scans,
+    top-k as TakeOrdered, map-side partial aggregation)."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+
+    rr = registry.QUERIES["region_revenue"](spark, sf_smoke)
+    plan = _plan(rr)
+    assert plan.count("BroadcastHashJoin") >= 3  # dims never shuffle the fact side
+    assert "SortMergeJoin" not in plan or "Exchange hashpartitioning" in plan
+
+    mau = registry.QUERIES["mau"](spark, sf_smoke)
+    mplan = _plan(mau)
+    # column pruning: the orders scan reads exactly custkey + orderdate
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate" in mplan
+
+    tc = registry.QUERIES["top_customers"](spark, sf_smoke)
+    tplan = _plan(tc)
+    assert "TakeOrderedAndProject" in tplan  # top-k, not a global sort

@@ -11,11 +11,18 @@ thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from programmers_data_spark import registry
+# import must work however the driver launches us (cwd-independent)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from programmers_data_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

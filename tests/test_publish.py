@@ -107,3 +107,50 @@ def test_stream_publish_foreachbatch(spark, sf_smoke, tmp_path):
     expected = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
     assert out.count() == expected
     assert set(out.columns) == {"event_id", "user_id", "ts"}
+
+
+def test_append_mode_watermark_closes_windows(spark, sf_smoke, tmp_path):
+    """Genuine late-data semantics: with maxFilesPerTrigger=1 the
+    watermark advances across micro-batches, so append mode emits the
+    first batch's closed daily windows once the second batch's event
+    times pass them."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    lo, hi = events.select(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "src")
+    events.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{src}/a.parquet")
+    events.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_wm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("append_wm")
+    # only windows strictly before the final watermark can have been
+    # emitted; there must be at least one (the first batch's days) and
+    # fewer than the complete-mode answer (open windows held back)
+    n_emitted = out.count()
+    n_total = events.groupBy(F.window("ts", "1 day")).count().count()
+    assert 0 < n_emitted < n_total

@@ -148,3 +148,54 @@ def nps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.floor(score * 100 + 0.5) / 100).alias("nps"))
         .orderBy("date")
     )
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup') AS first_signup,
+             min(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT strftime(first_signup, '%Y-%m-%d') AS signup_day,
+           count(*) AS n_signed_up,
+           count(*) FILTER (first_purchase >= first_signup) AS n_converted
+    FROM firsts
+    WHERE first_signup IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per-user first signup and first
+    purchase via conditional MIN aggregates (one shuffle on user_id —
+    no self-join, no window), then conversion counts by signup day.
+    The behavioral-analytics shape next to mau/nps/channel_firstlast
+    (same events table the reference's summaries roll up)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return (
+        firsts.filter(F.col("first_signup").isNotNull())
+        .groupBy(
+            F.date_format("first_signup", "yyyy-MM-dd").alias("signup_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count(
+                F.when(
+                    F.col("first_purchase") >= F.col("first_signup"), F.lit(1)
+                )
+            ).alias("n_converted"),
+        )
+        .orderBy("signup_day")
+    )

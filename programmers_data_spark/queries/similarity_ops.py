@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import as_double_array, cosine, dot
+from ..functions.vectors import as_double_array, cosine
 from ..registry import query
 
 TOPK = 5

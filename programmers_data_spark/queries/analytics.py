@@ -327,3 +327,107 @@ def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_date")
     )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered
+    orders ⋈ unshipped lineitems → top-10 orders by revenue. Both
+    date predicates push to the scans; customer reduces to a
+    broadcast key set; top-k is TakeOrdered, not a sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    ).select(
+        "l_orderkey",
+        (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+            "disc_price"
+        ),
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share per ship month —
+    conditional aggregate over a broadcast dim join, with both sums
+    decimal-exact so the final double division matches bitwise."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+            "disc_price"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # both sums stay exact in decimal; the ONLY inexact step is one
+    # terminal double division, identical in both engines (decimal
+    # division would truncate at engine-specific scales)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("disc_price")).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    total = F.sum("disc_price")
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            ((promo * 100).cast("double") / total.cast("double")).alias(
+                "promo_pct"
+            )
+        )
+        .orderBy("ship_month")
+    )

@@ -239,3 +239,35 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = run_stream_to_table(stateful_counts(stream), output_mode="update")
     return out.orderBy("user_id")
+
+
+@query(
+    "stream_enrich_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (broadcast per micro-batch — the join
+    itself keeps no stream state), aggregated by market segment. The
+    standard enrichment topology: dims are slowly-changing tables the
+    stream looks up, not co-streams. (Exact count-distinct isn't
+    available inside streaming aggregations — the engine's streaming
+    form for that is approx_count_distinct, per SCALE.md.)"""
+    from ..catalog import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(customer), "user_id")
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_stream_to_table(agg).orderBy("segment")

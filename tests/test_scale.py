@@ -107,3 +107,31 @@ def test_analytics_plan_shapes(spark, sf_smoke):
     tc = registry.QUERIES["top_customers"](spark, sf_smoke)
     tplan = _plan(tc)
     assert "TakeOrderedAndProject" in tplan  # top-k, not a global sort
+
+
+def test_tpch_shape_plan_guards(spark, sf_smoke):
+    """Plan guards for the Q7/Q10/Q15/Q18/Q19-shaped queries: scans
+    stay pruned+filtered, dims stay broadcast, top-k stays TakeOrdered,
+    and top_supplier scans lineitem exactly once."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+
+    ntv = _plan(registry.QUERIES["nation_trade_volume"](spark, sf_smoke))
+    # two-year shipdate predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in ntv
+    assert ntv.count("BroadcastHashJoin") >= 4
+
+    ric = _plan(registry.QUERIES["returned_item_customers"](spark, sf_smoke))
+    assert "EqualTo(l_returnflag,R)" in ric
+    assert "TakeOrderedAndProject" in ric
+
+    lo = _plan(registry.QUERIES["large_orders"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in lo
+
+    dr = _plan(registry.QUERIES["discounted_revenue"](spark, sf_smoke))
+    # the OR-of-conjuncts quantity bounds push to the lineitem scan
+    assert "LessThanOrEqual(l_quantity,11" in dr
+
+    ts = _plan(registry.QUERIES["top_supplier"](spark, sf_smoke))
+    assert ts.count("lineitem.parquet") == 1, "top_supplier must scan lineitem once"

@@ -27,6 +27,9 @@ __all__ = [
     "approx_distinct",
     "top_k",
     "top_k_per_group",
+    "salted_join",
+    "as_of_join",
+    "range_join",
 ]
 
 
@@ -121,6 +124,61 @@ def salted_join(
     salted_r = right.withColumn("__salt", salts)
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    equi: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Binned range (interval) join: match each left row's point
+    column to right rows whose half-open interval [start, end)
+    contains it, optionally alongside extra equi keys.
+
+    Spark has no native range-join operator: a pure inequality join
+    plans as BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, a
+    non-starter at 100 TB. This rewrites it as an equi-join: quantize
+    the point axis into fixed-width buckets, explode each interval
+    into every bucket it overlaps, hash-join on (bucket, *equi), then
+    re-check the exact predicate as a cheap residual filter. One
+    shuffle on the bucket key; the right side inflates by
+    ceil(interval/bucket_width)+1 copies, so pick ``bucket_width`` at
+    or above the typical interval length (×2 inflation) — the same
+    binning Databricks' range-join hint and KDB's window joins use.
+
+    Point/interval columns may be numeric or timestamp (timestamps
+    compare as epoch seconds). Column names must be distinct across
+    the two sides apart from the ``equi`` keys.
+    """
+    w = float(bucket_width)
+
+    def axis(df: DataFrame, col: str) -> Column:
+        # temporal types have no direct →double cast (TIMESTAMP_NTZ in
+        # particular); route through timestamp → epoch-seconds double
+        if df.schema[col].dataType.typeName() in ("timestamp", "timestamp_ntz", "date"):
+            return F.col(col).cast("timestamp").cast("double")
+        return F.col(col).cast("double")
+
+    l = left.withColumn("__bucket", F.floor(axis(left, left_point) / w))
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(axis(right, right_start) / w),
+                F.floor(axis(right, right_end) / w),
+            )
+        ),
+    )
+    # exact predicate re-checked on the original typed columns
+    residual = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    return l.join(r, ["__bucket", *equi], how).filter(residual).drop("__bucket")
 
 
 def as_of_join(

@@ -395,3 +395,133 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(p(0.50, "p50"), p(0.95, "p95"), p(0.99, "p99"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "post_purchase_clicks",
+    oracle="""
+    SELECT p.user_id,
+           count(*) AS n_clicks,
+           CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT user_id, ts AS p_ts,
+                 ts + INTERVAL 1 DAY AS p_end
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value
+          FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.p_ts
+     AND c.ts < p.p_end
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def post_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join attribution: click events landing in the 24 h after
+    a purchase by the same user — the marketing-attribution /
+    feature-window shape. Runs through the engine's binned
+    `range_join` (operators/__init__.py): interval → overlapped
+    buckets → hash join on (bucket, user) + residual, never the
+    BroadcastNestedLoopJoin a raw inequality join plans."""
+    from ..operators import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("p_end"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    attributed = range_join(
+        clicks,
+        purchases,
+        left_point="ts",
+        right_start="p_ts",
+        right_end="p_end",
+        bucket_width=86400,
+        equi=["user_id"],
+    )
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "acctbal_quartiles",
+    oracle="""
+    SELECT c_mktsegment, quartile,
+           count(*) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ) AS quartile
+      FROM customer
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: account-balance quartiles within each market
+    segment (W-class window beyond the reference's ROW_NUMBER /
+    FIRST_VALUE). Deterministic because the window order is a total
+    order (tie-break on custkey). One shuffle on the segment key; at
+    100 TB segments are few → skew, so the scale form replaces ntile
+    with approx_percentile cutoffs + a join (documented in SCALE.md)."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY 1, 2
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    revenue at (status, priority), (status), and grand-total grains in
+    ONE pass — Spark expands the sets map-side and shares the single
+    shuffle, vs. three scans + a union by hand."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY 1, 2
+        """
+    )

@@ -135,3 +135,57 @@ def test_tpch_shape_plan_guards(spark, sf_smoke):
 
     ts = _plan(registry.QUERIES["top_supplier"](spark, sf_smoke))
     assert ts.count("lineitem.parquet") == 1, "top_supplier must scan lineitem once"
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_smoke):
+    """Binned range join returns exactly the naive inequality-join
+    rows, and plans as a hash/merge join on the bucket key — not the
+    BroadcastNestedLoopJoin a raw range predicate degenerates to."""
+    from programmers_data_spark.operators import range_join
+
+    events = load_table(spark, sf_smoke, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("p_end"),
+        F.col("event_id").alias("p_id"),
+    )
+    binned = range_join(
+        clicks, purchases, "ts", "p_ts", "p_end",
+        bucket_width=86400, equi=["user_id"],
+    )
+    naive = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (clicks.ts >= purchases.p_ts)
+        & (clicks.ts < purchases.p_end),
+    )
+    n = binned.count()
+    assert n > 0, "fixture must produce overlapping click/purchase windows"
+    assert n == naive.count()
+    assert binned.select("event_id", "p_id").subtract(
+        naive.select("event_id", "p_id")
+    ).count() == 0
+
+    # pure range join (no equi key): a small synthetic interval table,
+    # broadcast disabled → the binned form must still hash-join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands = spark.range(10).select(
+            (F.col("id") * 10.0).alias("lo"),
+            ((F.col("id") + 1) * 10.0).alias("hi"),
+            F.col("id").alias("band"),
+        )
+        vals = load_table(spark, sf_smoke, "events").select("event_id", "value")
+        out = range_join(vals, bands, "value", "lo", "hi", bucket_width=10.0)
+        plan = _plan(out)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert out.count() == vals.join(
+            bands, (vals.value >= bands.lo) & (vals.value < bands.hi)
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -734,3 +734,162 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    query that measures raw scan bandwidth. Every predicate reaches
+    the parquet reader (PushedFilters), the projection reads 4 of 11
+    columns, and the single global aggregate needs a one-row shuffle.
+    At 100 TB this is bounded by I/O alone — exactly what you want."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice", 12, 2) * _dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH allrev AS (
+      SELECT strftime(o_orderdate, '%Y') AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             r_name
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN r_name = 'AMERICA' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS amer_share
+    FROM allrev
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one region's share of PROMO-part revenue per
+    order year. Conditional-sum / total-sum on the same aggregate pass
+    — a single shuffle on year; the p_type filter cuts the fact rows
+    via the broadcast part join before any exchange. Both sums stay
+    decimal-exact; the one double division terminates."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(
+            "volume"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.date_format("o_orderdate", "yyyy").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    amer = F.sum(
+        F.when(F.col("r_name") == "AMERICA", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("o_year")
+        .agg((amer.cast("double") / F.sum("volume").cast("double")).alias("amer_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           strftime(o_orderdate, '%Y') AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(9,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (discounted revenue minus retail cost ×
+    quantity — the fixture has no partsupp, so p_retailprice stands in
+    for ps_supplycost; cited semantics otherwise per SURVEY §2.5) by
+    supplier nation and order year for parts matching a name pattern.
+    The LIKE filter reduces part BEFORE it broadcasts; lineitem⋈orders
+    stays the only shuffle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+        ).alias("gross"),
+        F.col("l_quantity").cast("decimal(9,1)").alias("qty_dec"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy").alias("o_year")
+    )
+    profit_term = F.col("gross") - _dec("p_retailprice", 12, 2) * F.col("qty_dec")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )

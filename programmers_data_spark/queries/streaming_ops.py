@@ -271,3 +271,70 @@ def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     return run_stream_to_table(agg).orderBy("segment")
+
+
+@query(
+    "stream_join_attribution",
+    oracle="""
+    SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS purchase_day,
+           count(*) AS n_clicks,
+           CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 1 DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the click stream joined to the
+    purchase stream on user + a 24 h event-time range, watermarked on
+    BOTH sides so the join state expires (without watermarks + a time
+    bound, stream-stream join state grows forever). Inner joins emit
+    on match, so append mode drains completely on a bounded source;
+    the per-day rollup runs as a batch finisher over the drained
+    matches. Batch equivalent: the binned `range_join` behind
+    `post_purchase_clicks`."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("p_end"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "value",
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") < F.col("p_end")),
+    )
+    matches = run_stream_to_table(joined, output_mode="append")
+    return (
+        matches.groupBy(
+            F.date_format(F.date_trunc("day", "p_ts"), "yyyy-MM-dd").alias(
+                "purchase_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("purchase_day")
+    )

@@ -35,7 +35,11 @@ from ..registry import query
 
 TOPK = 5
 N_QUERIES = 20
-NEARDUP_THRESHOLD = 0.8
+# near-orthogonal synthetic vectors top out at cos≈0.51 (sf0.01), so a
+# "real" 0.8+ dedup threshold would make every near-dup query vacuous;
+# 0.42 yields ~34 pairs at sf0.01 / ~441 at sf0.1 — enough to exercise
+# the operators and measure LSH recall against the exact pair set
+NEARDUP_THRESHOLD = 0.42
 
 _DUCK_COS = (
     "list_dot_product(a.emb, b.emb)"
@@ -110,7 +114,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.8).
+    """Embedding-cosine near-dup pairs (threshold NEARDUP_THRESHOLD).
 
     Broadcast-corpus block matmul: the L2-normalized corpus ships to
     every task (same driver-collect a broadcast hash join does); each
@@ -342,4 +346,85 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+_ND_TABLES = 8  # L tables of k=4 sign bits: recall ≈ 1-(1-p^4)^8,
+_ND_BITS = 4  # p = 1 - acos(cos)/π — ~0.77 at cos 0.42, ~1 near 1.0
+
+
+@query("embedding_neardup_lsh")  # rows-only: approximate (recall < 1)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for N×N embedding near-dup: LSH-bucket both
+    sides, GEMM within buckets — no broadcast of the whole corpus, no
+    N² pair space. This is the variant `embedding_neardup`'s docstring
+    points at for when the corpus outgrows per-executor memory.
+
+    Short hyperplane signatures (k=4 bits) over L=8 tables: every
+    vector lands in L buckets; candidate pairs share a bucket in ANY
+    table. Each (table, bucket) group runs one pairwise float64 GEMM
+    over its members and emits pairs ≥ threshold (exact re-check, so
+    precision is 1.0 by construction; recall is the LSH collision
+    probability). Bucket count 2^k caps group size ~N/2^k — the
+    applyInPandas groups stay bounded, and a skewed bucket splits by
+    raising k. dropDuplicates collapses pairs found in several tables.
+
+    Recall vs the exact pair set is asserted in tests
+    (test_scale.py::test_neardup_lsh_recall)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    dim = 64
+    n_planes = _ND_TABLES * _ND_BITS
+    planes = np.array(
+        [_hyperplane(dim, 1000 + p) for p in range(n_planes)], dtype=np.float64
+    ).T
+    powers = np.array([2**p for p in range(_ND_BITS)], dtype=np.int64)
+
+    def signatures(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            bits = (x @ planes) > 0
+            out = []
+            for t in range(_ND_TABLES):
+                chunk = bits[:, t * _ND_BITS : (t + 1) * _ND_BITS]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "emb": pdf["emb"],
+                            "tbl": t,
+                            "bucket": chunk @ powers,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    bucketed = emb.mapInPandas(
+        signatures, schema="vec_id long, emb array<double>, tbl int, bucket long"
+    )
+
+    def pairwise(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.array(list(pdf["emb"]), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ x.T
+        ai, bi = np.nonzero(sims >= NEARDUP_THRESHOLD)
+        a, b = ids[ai], ids[bi]
+        keep = a < b
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(pairwise, schema="vec_a long, vec_b long")
+        .dropDuplicates()
+        .orderBy("vec_a", "vec_b")
     )

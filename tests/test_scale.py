@@ -189,3 +189,24 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_smoke):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_neardup_lsh_recall(spark, sf_oracle):
+    """The LSH-bucketed near-dup (scale path) finds a substantial
+    fraction of the exact pair set with perfect precision (every
+    emitted pair is re-checked against the threshold in-operator)."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_neardup"](spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_neardup_lsh"](spark, sf_oracle).collect()
+    }
+    assert exact, "exact near-dup set must be non-empty at this threshold"
+    assert approx <= exact  # precision 1.0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below bound"

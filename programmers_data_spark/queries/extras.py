@@ -52,16 +52,25 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    )
     ORDER BY c_custkey
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): the K7 upsert survivor shape."""
+    """Left-anti join (NOT EXISTS): the K7 upsert survivor shape.
+    Scoped to a one-year order window — every fixture customer has
+    SOME order, so the unscoped form would be vacuously empty; this
+    way the anti-join actually filters (~20% of customers match)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return (
         anti_join(customer, orders, "c_custkey")
         .select("c_custkey", "c_name")

@@ -27,6 +27,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.summary",
     "programmers_data_spark.queries.analytics",
     "programmers_data_spark.queries.extras",
+    "programmers_data_spark.queries.subqueries",
     "programmers_data_spark.queries.loads",
     "programmers_data_spark.queries.transforms",
     "programmers_data_spark.queries.text_ops",

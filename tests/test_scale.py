@@ -210,3 +210,36 @@ def test_neardup_lsh_recall(spark, sf_oracle):
     assert approx <= exact  # precision 1.0
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f} below bound"
+
+
+def test_subquery_decorrelation_plan_guards(spark, sf_smoke):
+    """Plan guards for the Q2/Q11/Q16/Q21/Q22-shaped subquery set: the
+    decorrelation the docstrings claim is what Catalyst actually plans
+    (semi/anti joins for EXISTS, 1-row broadcast for scalar subqueries,
+    partial-agg min for correlated min — no window sort)."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+
+    # Q2: correlated min decorrelates to a partial-aggregable min —
+    # no Window node, dims broadcast
+    q2 = _plan(registry.QUERIES["cheapest_supplier_per_part"](spark, sf_smoke))
+    assert "Window" not in q2
+    assert q2.count("BroadcastHashJoin") >= 2
+
+    # Q11: scalar subquery joins as a 1-row broadcast, not a shuffle
+    q11 = _plan(registry.QUERIES["supplier_value_share"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in q11
+
+    # Q16: NOT IN planned as a broadcast anti join
+    q16 = _plan(registry.QUERIES["supplier_cnt_by_part"](spark, sf_smoke))
+    assert "LeftAnti" in q16
+
+    # Q21: EXISTS / NOT EXISTS planned as semi + anti joins
+    q21 = _plan(registry.QUERIES["waiting_suppliers"](spark, sf_smoke))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+    # Q22: anti join on the date-filtered orders; predicate pushed to scan
+    q22 = _plan(registry.QUERIES["idle_rich_customers"](spark, sf_smoke))
+    assert "LeftAnti" in q22
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in q22

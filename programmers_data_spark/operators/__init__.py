@@ -30,6 +30,7 @@ __all__ = [
     "salted_join",
     "as_of_join",
     "range_join",
+    "connected_components",
 ]
 
 
@@ -237,3 +238,66 @@ def as_of_join(
     out_cols.append(F.col("__match.__rts").alias(f"asof_{right_ts}"))
     out_cols += [F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every vertex repeatedly adopts the smallest label reachable over
+    one hop until no label changes. Returns (vertex, component) with
+    component = min vertex id in the component.
+
+    Scale posture: each iteration is one shuffle join (edges ⋈ labels
+    on vertex) + one min-aggregate — both partition on the vertex key,
+    so AQE reuses one exchange layout across iterations; results are
+    persisted per iteration and the previous one unpersisted to keep
+    lineage flat. Iteration count is the graph DIAMETER, which for
+    dedup graphs (small dense near-dup clusters) is tiny; for
+    long-chain graphs swap in the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14),
+    which converges in O(log^2 n) rounds of the same join+agg shape.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["vertex"])
+            .groupBy(F.col("b").alias("vertex"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    "component", F.coalesce("neighbor_component", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -387,3 +387,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sub AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM aug WHERE doc_id % 1000000 < 120
+    ),
+    shingled AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM sub),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
+      WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) * 10000 + 0.5)
+              / 10000 >= 0.5
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM shingled
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT — the step after pair generation
+    that production dedup pipelines actually need (keep one doc per
+    cluster, not one per pair): connected components over the
+    jaccard ≥ 0.5 near-dup graph, cluster id = min doc_id reached.
+
+    Pairs here are brute-force on a bounded subset (doc_id % 1e6 <
+    120, same contract as ngram_jaccard) so the DuckDB oracle can
+    recompute the exact graph and resolve components with a recursive
+    CTE. At 100 TB the edge list comes from dedup_minhash's LSH
+    banding instead, and the same connected_components operator
+    (iterative min-label propagation; large-star/small-star for
+    long-chain graphs) resolves clusters — component resolution cost
+    scales with the EDGE list, not the corpus.
+    """
+    from ..operators import connected_components
+
+    sub = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 1000000 < 120)
+    shingled = sub.select("doc_id", _shingles_spark().alias("shingles")).persist()
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.floor(inter.cast("double") / union * 10000 + 0.5) / 10000 >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(edges, "doc_a", "doc_b")
+    return (
+        shingled.select("doc_id")
+        .join(labels, shingled["doc_id"] == labels["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -278,7 +278,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE l_returnflag = 'R') l1
     JOIN supplier ON s_suppkey = l1.l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
-    WHERE n_name = 'CHINA'
+    WHERE n_name = 'NATION_3'
       AND EXISTS (SELECT 1 FROM pairs l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
@@ -291,8 +291,8 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21-shaped EXISTS / NOT EXISTS chain: Chinese suppliers who were
-    the sole 'R'-flagged supplier on a multi-supplier order.
+    """Q21-shaped EXISTS / NOT EXISTS chain: suppliers in one nation
+    who were the sole 'R'-flagged supplier on a multi-supplier order.
 
     Decorrelation: both correlated EXISTS become joins on orderkey
     against the DISTINCT (orderkey, suppkey) projection — left_semi
@@ -302,7 +302,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
 
     pairs = li.select("l_orderkey", "l_suppkey", "l_returnflag").distinct()
     l1 = (
@@ -384,4 +384,59 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "bulk_suppliers_for_parts",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 500
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def bulk_suppliers_for_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped nested-IN chain: suppliers (in two nations) who
+    shipped more than 500 units of 'small…' parts.
+
+    Decorrelation: the inner IN is a broadcast left_semi on partkey;
+    the HAVING subquery is an aggregate-then-semi-join — the outer IN
+    becomes a left_semi of the tiny supplier dim against the
+    aggregated suppkey set. Quantity accumulates in DECIMAL so the
+    HAVING boundary is exact in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    heavy = (
+        li.join(F.broadcast(part_keys), "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("qty"))
+        .filter(F.col("qty") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi"
+        )
+        .join(heavy, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )

@@ -329,3 +329,69 @@ def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# deterministic PII injection (the fixture corpus contains no PII):
+# every 10th doc gains a synthetic email + phone, identically in both
+# engines, so the redaction path is exercised non-vacuously.
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — a first-class training-data pipeline stage:
+    count and redact email/phone matches per document. Pure built-in
+    regexp expressions (JVM-side, whole-stage codegen), map-only, so
+    at 100 TB this is a linear scan with zero shuffle; the patterns
+    are ASCII-only so Java regex and RE2 agree byte-for-byte.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    ).orderBy("doc_id")

@@ -395,3 +395,141 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     ).orderBy("doc_id")
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-100 token frequencies — the
+    wordcount that seeds tokenizer training. explode → groupBy is the
+    canonical two-phase aggregate (map-side partial counts collapse
+    the token stream before the shuffle); the top-k runs as
+    TakeOrdered (per-partition heap), never a global sort. Ties break
+    alphabetically so the cutoff row is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textfn.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "top_terms_per_doc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM scored WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms: top-3 terms per document scored
+    tf × (N/df) — a LINEAR inverse-document-frequency, deliberately:
+    score is one IEEE division of exact integers, so Spark and DuckDB
+    produce bit-identical doubles, where log-idf would differ in the
+    last ulp between libm implementations.
+
+    Shape: explode → per-(doc,term) tf agg → term df agg joined back
+    on term → per-doc top-3 window. At 100 TB the df table is the
+    small side (vocabulary-sized) and broadcasts; the window
+    partitions by doc_id, which is also tf's grouping key, so the
+    sort reuses the same partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(textfn.tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver-side scalar: one count job, literal thereafter
+    score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", "term")
+    )
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_id,
+           array_to_string(toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk,
+           CAST(least(len(toks) - (i-1)*24, 32) AS INT) AS n_tokens
+    FROM toks,
+         LATERAL unnest(generate_series(
+           1, greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)))) AS t(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into token windows
+    of 32 with stride 24 (8-token overlap) — the chunk layout LLM
+    pretraining pipelines feed tokenizers. Pure built-in expressions
+    (sequence + transform + slice, then posexplode): map-only, no
+    Python, no shuffle; output order is (doc_id, chunk_id) so
+    downstream writes cluster chunks of a document together.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfn.tokenize("text")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size("toks") - F.lit(8)) / F.lit(24.0)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice("toks", (i - 1) * 24 + 1, 32)).alias("chunk"),
+            F.least(F.size("toks") - (i - 1) * 24, F.lit(32)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_tokens").cast("int").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

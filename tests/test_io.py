@@ -188,3 +188,46 @@ def test_real_decode_paths_are_gated(spark, sf_smoke):
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_smoke, tmp_path):
+    """write_partitioned: one file per partition dir, and a filter on
+    the partition column prunes to that directory in the plan."""
+    import glob
+
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.sinks import write_partitioned
+
+    events = load_table(spark, sf_smoke, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, ["event_type"], sort_by=["user_id"])
+
+    for d in glob.glob(f"{out}/event_type=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d} has {len(files)} files"
+
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == events.filter("event_type = 'click'").count()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
+    """compact_parquet: a fragmented table collapses to few files with
+    identical contents."""
+    import glob
+
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.sinks import compact_parquet
+
+    events = load_table(spark, sf_smoke, "events")
+    out = str(tmp_path / "fragmented")
+    events.repartition(16).write.parquet(out)
+    n_before = len(glob.glob(f"{out}/*.parquet"))
+    assert n_before >= 16
+
+    n_rows = compact_parquet(spark, out)
+    n_after = len(glob.glob(f"{out}/*.parquet"))
+    assert n_after < n_before
+    assert n_rows == events.count()
+    assert spark.read.parquet(out).count() == n_rows

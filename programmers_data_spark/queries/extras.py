@@ -534,3 +534,77 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+@query(
+    "event_type_unpivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide daily-counts matrix from
+    event_type_pivot folded back to long form — the inverse op a
+    feature-store export needs. unpivot is a zero-shuffle generator
+    (each wide row emits one row per value column); absent (day,type)
+    combos surface as nulls and are dropped to match the long-form
+    GROUP BY. The only shuffle is the pivot's own aggregate.
+    """
+    wide = event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=list(_EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n").isNotNull())
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_events
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase revenue per market segment through the SKEW-SAFE join
+    path: events (the skewed fact — real clickstreams have hot users)
+    joins the customer dim via salted_join, spreading any hot
+    user_id over 8 reducers. Salting is plan-level only, so the
+    oracle is the plain equi-join — identical results by
+    construction. At 100 TB this is the fallback for pathological
+    keys AQE's skew splitting can't break up; the ×8 replication
+    rides the small dim side.
+    """
+    from ..operators import salted_join
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"), "value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(events, cust, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("c_mktsegment")
+    )

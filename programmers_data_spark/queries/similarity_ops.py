@@ -428,3 +428,60 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "label_quality_profile",
+    oracle="""
+    WITH j AS (
+      SELECT e.label,
+             d.n_chars,
+             list_aggregate(CAST(e.embedding AS DOUBLE[]), 'max') AS peak
+      FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.n_chars >= 150
+    )
+    SELECT label,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(CASE WHEN peak > 0.29 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_peaked_vectors
+    FROM j
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composite: text quality gate (n_chars) joined 1:1
+    to the embedding table, profiling each label's surviving docs and
+    how many carry PEAKED vectors (max component above 0.29 — a
+    concentration proxy) — the text⋈vector join every curation
+    pipeline runs before training-set cuts.
+
+    Determinism: the peak is an element-wise max (exact comparisons,
+    no float summation, identical in both engines); avg_chars is one
+    exact-int IEEE division. Scale: the join is a
+    1:1 equi-join on the id — bucket both tables by id at 100 TB and
+    it is shuffle-free; everything after is a 10-group aggregate.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 150)
+        .select(F.col("doc_id").alias("vec_id"), "n_chars")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("emb")
+    )
+    return (
+        docs.join(emb, "vec_id")
+        .withColumn("peak", F.array_max("emb"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(F.when(F.col("peak") > 0.29, 1).otherwise(0)).alias(
+                "n_peaked_vectors"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -75,3 +75,55 @@ class TestLoadStrategyProperties:
         for r in out:
             expected = src.get(r.key, tgt.get(r.key))
             assert (r.ts, r.payload) == expected
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components must agree with a serial union-find on any
+    random graph (self-loops, multi-edges, chains, stars included)."""
+    from programmers_data_spark.operators import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # canonicalize: component id = min vertex of the component
+    comp_min: dict[int, int] = {}
+    for v, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vertex"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == set(expected.items())

@@ -153,3 +153,37 @@ def run_stream_to_table(
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stream_incremental_keep_latest(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: str,
+    tie_break: str | None = None,
+) -> None:
+    """K6's streaming form: each micro-batch MERGES into the target
+    through the keep-latest load strategy instead of replacing it —
+    the UpdateSymbol_v3 daily re-pull + window-dedup repair loop run
+    as a continuous query. Combined with the swap inside
+    incremental_keep_latest, every batch is all-or-nothing and
+    re-processing a batch converges to the same table (idempotent
+    merge), which is exactly the exactly-once story plain parquet can
+    offer. At scale the merge cost is bounded by target ∪ batch; a
+    transactional table format turns it into MERGE INTO.
+    """
+    from ..publish import incremental_keep_latest
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_keep_latest(
+            batch_df.sparkSession, path, batch_df, keys=keys,
+            order_by=order_by, tie_break=tie_break,
+        )
+
+    q = stream_df.writeStream.outputMode("append").foreachBatch(_merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

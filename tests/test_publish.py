@@ -154,3 +154,45 @@ def test_append_mode_watermark_closes_windows(spark, sf_smoke, tmp_path):
     n_emitted = out.count()
     n_total = events.groupBy(F.window("ts", "1 day")).count().count()
     assert 0 < n_emitted < n_total
+
+
+def test_stream_incremental_keep_latest_converges(spark, sf_smoke, tmp_path):
+    """K6 streaming form: per-batch keep-latest merges converge — the
+    target holds exactly one (latest) row per key, replay included."""
+    from programmers_data_spark.streaming import stream_incremental_keep_latest
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    src = str(tmp_path / "src")
+    # two micro-batches with overlapping user_ids (later file wins)
+    events.limit(400).coalesce(1).write.parquet(f"{src}/a.parquet")
+    events.limit(700).coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .select("user_id", "ts", "event_id")
+    )
+    path = str(tmp_path / "latest_per_user")
+    stream_incremental_keep_latest(
+        stream, path, keys=["user_id"], order_by="ts", tie_break="event_id"
+    )
+
+    out = spark.read.parquet(path)
+    assert out.count() == out.select("user_id").distinct().count()
+    # replaying the full source again converges to the same state
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .select("user_id", "ts", "event_id")
+    )
+    before = sorted(out.collect())
+    stream_incremental_keep_latest(
+        stream2, path, keys=["user_id"], order_by="ts", tie_break="event_id"
+    )
+    assert sorted(spark.read.parquet(path).collect()) == before

@@ -31,6 +31,7 @@ __all__ = [
     "as_of_join",
     "range_join",
     "connected_components",
+    "connected_components_two_phase",
 ]
 
 
@@ -301,3 +302,100 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round variant for graphs whose diameter
+    is too large for per-hop label propagation (long chains). Same
+    contract as connected_components: returns (vertex, component),
+    component = min vertex id.
+
+    Each round is two map+groupBy passes over the edge list:
+    large-star hangs every larger neighbor of u onto min(Γ(u) ∪ u);
+    small-star re-hangs the smaller neighborhood onto its min. The
+    edge list monotonically flattens into stars (child → root);
+    convergence is detected when the edge set stops changing. All
+    shuffles key on the vertex — the same single partitioning reused
+    every round.
+    """
+    a, b = F.col("_u"), F.col("_v")
+    cur = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .filter(a != b)
+        .distinct()
+        .persist()
+    )
+    vertices = (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+        .persist()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}; connect each v > u to m(u)
+        m = e.groupBy("_u").agg(F.least(F.min("_v"), F.col("_u")).alias("_m"))
+        return (
+            e.join(m, "_u")
+            .filter(b > a)
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient each edge (max, min); re-hang u's smaller
+        # neighborhood (and u itself) onto its minimum
+        d = e.filter(b < a)
+        m = d.groupBy("_u").agg(F.min("_v").alias("_m"))
+        hang_nbrs = (
+            d.join(m, "_u")
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        )
+        hang_self = m.select("_u", F.col("_m").alias("_v"))
+        return (
+            hang_nbrs.union(hang_self)
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        # large-star works on the symmetric neighborhood; each round's
+        # output is directed (child → min), so re-symmetrize first
+        return (
+            e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        # localCheckpoint (not persist): each round's plan nests the
+        # previous round's unions/joins, so lineage depth is
+        # exponential in rounds unless truncated here
+        nxt = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=True)
+        same = (
+            nxt.count() == cur.count()
+            and nxt.subtract(cur).limit(1).count() == 0
+        )
+        cur.unpersist()
+        cur = nxt
+        if same:
+            break
+
+    # converged edges are (child → root) stars; roots map to themselves
+    mapping = cur.select(
+        F.col("_u").alias("vertex"), F.col("_v").alias("component")
+    )
+    out = (
+        vertices.join(mapping, "vertex", "left")
+        .select("vertex", F.coalesce("component", "vertex").alias("component"))
+    )
+    return out

@@ -87,16 +87,27 @@ EDGES = st.lists(
 )
 
 
+@pytest.mark.parametrize("algorithm", ["label_prop", "two_phase"])
 @given(edges=EDGES)
 @settings(
-    max_examples=8,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_connected_components_matches_union_find(spark, edges):
-    """connected_components must agree with a serial union-find on any
-    random graph (self-loops, multi-edges, chains, stars included)."""
-    from programmers_data_spark.operators import connected_components
+def test_connected_components_matches_union_find(spark, algorithm, edges):
+    """Both CC algorithms (min-label propagation and large-star/
+    small-star) must agree with a serial union-find on any random
+    graph (self-loops, multi-edges, chains, stars included)."""
+    from programmers_data_spark.operators import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    cc = (
+        connected_components
+        if algorithm == "label_prop"
+        else connected_components_two_phase
+    )
 
     parent: dict[int, int] = {}
 
@@ -122,8 +133,5 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {v: comp_min[find(v)] for v in parent}
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        (r["vertex"], r["component"])
-        for r in connected_components(df).collect()
-    }
+    got = {(r["vertex"], r["component"]) for r in cc(df).collect()}
     assert got == set(expected.items())

@@ -452,3 +452,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    sub AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM aug WHERE doc_id % 1000000 < 120
+    ),
+    shingled AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM sub),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
+      WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) * 10000 + 0.5)
+              / 10000 >= 0.5
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM shingled
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT doc_id FROM clusters WHERE doc_id = cluster_id ORDER BY doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dup pipeline: the deduplicated corpus —
+    one canonical document (min doc_id) per connected cluster, i.e.
+    what actually ships to training after dedup_clusters resolves the
+    graph. Composition of dedup_clusters + a filter; at 100 TB the
+    cluster table is (doc_id, cluster_id) pairs, so the keep-step is
+    a map-only filter — no extra shuffle over the corpus.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

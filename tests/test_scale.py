@@ -243,3 +243,29 @@ def test_subquery_decorrelation_plan_guards(spark, sf_smoke):
     q22 = _plan(registry.QUERIES["idle_rich_customers"](spark, sf_smoke))
     assert "LeftAnti" in q22
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in q22
+
+
+def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
+    """Global policy guard (SCALE.md 'Python boundary policy'): only
+    the declared Arrow/Python-tier queries may contain Python
+    evaluation nodes; every other registered query must plan as pure
+    JVM expressions (no BatchEvalPython/ArrowEvalPython/mapInPandas,
+    i.e. whole-stage-codegen eligible)."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    PYTHON_TIER = {
+        "dedup_minhash", "dedup_simhash", "embedding_neardup",
+        "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
+        "multimodal_decode", "multimodal_features",
+    }
+    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+               "FlatMapGroupsInPandas")
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name in PYTHON_TIER or name.startswith("stream_"):
+            continue
+        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        if any(m in plan for m in markers):
+            offenders.append(name)
+    assert not offenders, f"Python nodes leaked into SQL-tier plans: {offenders}"

@@ -269,3 +269,20 @@ def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
         if any(m in plan for m in markers):
             offenders.append(name)
     assert not offenders, f"Python nodes leaked into SQL-tier plans: {offenders}"
+
+
+def test_q20_and_salted_plan_guards(spark, sf_smoke):
+    """bulk_suppliers_for_parts plans as a pure semi-join chain (no
+    row-multiplying joins); salted_segment_revenue carries the salt
+    through an equi-join, not a nested loop."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+
+    q20 = _plan(registry.QUERIES["bulk_suppliers_for_parts"](spark, sf_smoke))
+    assert q20.count("LeftSemi") >= 2
+    assert "NestedLoop" not in q20
+
+    ssr = _plan(registry.QUERIES["salted_segment_revenue"](spark, sf_smoke))
+    assert "NestedLoop" not in ssr
+    assert "EqualTo(event_type,purchase)" in ssr  # filter reaches the scan

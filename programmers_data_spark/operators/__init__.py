@@ -300,6 +300,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop exhausted with labels still moving: the graph's
+        # diameter exceeds max_iterations and the labels are NOT
+        # component ids — returning them silently would present an
+        # unconverged partition as a correct result
+        sym.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); the graph's "
+            "diameter exceeds the cap — raise max_iterations or use "
+            "connected_components_two_phase (O(log^2 n) rounds)."
+        )
     sym.unpersist()
     return labels
 
@@ -389,6 +402,13 @@ def connected_components_two_phase(
         cur = nxt
         if same:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in "
+            f"{max_iterations} rounds (edge set still changing); "
+            "raise max_iterations — O(log^2 n) rounds suffice for any "
+            "graph, so hitting this cap indicates n far beyond design."
+        )
 
     # converged edges are (child → root) stars; roots map to themselves
     mapping = cur.select(

@@ -105,6 +105,16 @@ def publish_swap(
     On check failure the staging dir is removed and the previous
     table state is untouched (redshift_summary.py:171-178 semantics:
     the swap only happens after validation passes).
+
+    Atomicity caveat: the swap is two sequential renames (live→trash,
+    staging→live), not the single transaction the reference gets from
+    Redshift — a reader racing the swap can see the path briefly
+    absent, and a crash between the renames leaves the previous state
+    in the trash dir (recoverable by renaming it back) rather than
+    live. On a real deployment use a transactional table format
+    (Delta/Iceberg commit) or a versioned-directory + pointer-file
+    layout where the pointer replace is the single atomic op; the
+    validation-before-visibility contract is unchanged either way.
     """
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
@@ -128,6 +138,25 @@ def publish_swap(
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+
+
+def incremental_append(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    checks: list[CountCheck] | None = None,
+) -> int:
+    """Append new rows to the target through the checked swap: read
+    current ∪ batch → validate → swap. Unlike a raw append-mode write,
+    readers never see a half-written batch and failed validation
+    leaves the target untouched; unlike publish_swap alone, earlier
+    rows survive. On a transactional table format this is a plain
+    ACID append."""
+    if os.path.exists(path):
+        merged = spark.read.parquet(path).unionByName(new_rows)
+    else:
+        merged = new_rows
+    return publish_swap(merged, path, checks=checks)
 
 
 def incremental_distinct(spark: SparkSession, path: str, new_rows: DataFrame) -> int:

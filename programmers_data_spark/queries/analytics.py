@@ -109,7 +109,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-shaped star join: lineitem⋈orders (big-big, shuffle on
-    orderkey) then broadcast dims down the chain (J1 at scale).
+    orderkey) then dims down the chain (J1 at scale). Only the
+    fixed-cardinality dims (nation, region) carry explicit broadcast
+    hints; customer grows with SF, so its join strategy is left to
+    AQE + autoBroadcastJoinThreshold (still broadcast at test SF,
+    shuffle at 100× — guarded in tests/test_scale.py).
 
     The distinct-order count rides the join key, so lineitem is
     pre-aggregated per orderkey BEFORE the join: afterwards every
@@ -131,7 +135,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
@@ -160,7 +164,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k after aggregation: executes as TakeOrdered (no global
     sort); the dimension join happens after the aggregate so only the
-    winning keys join (and the customer side broadcasts)."""
+    winning keys join. Customer grows with SF — no forced broadcast;
+    AQE picks broadcast while it fits the threshold."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     rev = orders.groupBy("o_custkey").agg(
@@ -168,7 +173,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -359,8 +364,9 @@ def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered
     orders ⋈ unshipped lineitems → top-10 orders by revenue. Both
-    date predicates push to the scans; customer reduces to a
-    broadcast key set; top-k is TakeOrdered, not a sort."""
+    date predicates push to the scans; customer and filtered orders
+    both scale with SF, so join strategy is AQE's call (broadcast at
+    test SF, sort-merge at 100×); top-k is TakeOrdered, not a sort."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -377,7 +383,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -465,8 +471,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border trade volume by (supplier nation,
     customer nation, year). The one genuinely big-big join is
-    lineitem⋈orders on orderkey; supplier/customer key maps and both
-    nation aliases broadcast. Two years of shipdate predicate push to
+    lineitem⋈orders on orderkey; both nation aliases broadcast by
+    hint, while the SF-growing supplier/customer key maps are left to
+    AQE. Two years of shipdate predicate push to
     the lineitem scan, cutting the shuffle before it happens — at
     100 TB this is the difference between shuffling 2/7 of the fact
     table and all of it."""
@@ -493,8 +500,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -525,9 +532,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue in a
-    quarter. The quarter predicate shrinks orders to a broadcastable
-    key set; the returnflag predicate pushes to the lineitem scan;
-    top-20 is TakeOrdered."""
+    quarter. The quarter predicate shrinks orders ~45× but the slice
+    still scales with SF, so no forced broadcast — AQE broadcasts it
+    while small; the returnflag predicate pushes to the lineitem
+    scan; top-20 is TakeOrdered."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-04-01"))
@@ -545,10 +553,10 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum("disc_price").alias("disc_sum"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_custkey",
@@ -640,7 +648,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn("max_rev", max_rev)
         .filter(F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
         )
@@ -685,7 +693,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big_keys, orders.o_orderkey == big_keys.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -836,7 +844,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("o_year")
@@ -895,7 +903,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_term = F.col("gross") - _dec("p_retailprice", 12, 2) * F.col("qty_dec")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", "o_year")

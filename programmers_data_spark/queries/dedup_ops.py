@@ -67,7 +67,11 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.concat_ws(
-                " ", F.slice(toks, 9, F.size(toks) - F.lit(8))
+                # length clamped at 0: for docs under 9 tokens a
+                # negative slice length is a runtime error in Spark,
+                # while DuckDB's toks[9:len(toks)] yields [] — clamp
+                # so both engines agree on empty text
+                " ", F.slice(toks, 9, F.greatest(F.size(toks) - F.lit(8), F.lit(0)))
             ).alias("text"),
         )
     )

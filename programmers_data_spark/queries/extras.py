@@ -95,14 +95,16 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals region → nation → grand total in ONE
     shuffle (grouping sets expand map-side) — vs three separate
-    GROUP BYs re-reading the fact table. Dims broadcast."""
+    GROUP BYs re-reading the fact table. Fixed-cardinality dims
+    (nation, region) broadcast by hint; customer grows with SF so
+    its join is AQE's call."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

@@ -41,6 +41,11 @@ N_QUERIES = 20
 # the operators and measure LSH recall against the exact pair set
 NEARDUP_THRESHOLD = 0.42
 
+# embedding_neardup collects the corpus driver-side for the broadcast
+# GEMM; ~50 GB of 64-dim float64 ≈ 100M rows is the physical ceiling,
+# capped well below it so the guard fires before memory pressure does.
+NEARDUP_COLLECT_CAP = 10_000_000
+
 _DUCK_COS = (
     "list_dot_product(a.emb, b.emb)"
     " / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -127,12 +132,23 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~64-dim × 100M rows ≈ 50 GB is the ceiling); beyond that, bucket
     both sides with the ann_lsh_topk hyperplane signatures and matmul
     within buckets, which keeps the same kernel and drops the N².
+    The ceiling is ENFORCED: a corpus above NEARDUP_COLLECT_CAP rows
+    raises before any driver collect, pointing at the LSH twin — a
+    library call can't silently OOM the driver.
     """
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
+    n = emb.count()
+    if n > NEARDUP_COLLECT_CAP:
+        raise ValueError(
+            f"embedding_neardup collects the corpus on the driver and is "
+            f"capped at {NEARDUP_COLLECT_CAP} rows (got {n}); use "
+            f"embedding_neardup_lsh — the bucketed scale path with the "
+            f"same kernel and no driver collect."
+        )
     rows = emb.collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.emb for r in rows], dtype=np.float64)

@@ -94,7 +94,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(F.broadcast(part), "p_partkey")
-        .join(F.broadcast(supp), best["b.l_suppkey"] == supp["s_suppkey"])
+        .join(supp, best["b.l_suppkey"] == supp["s_suppkey"])
         .select(
             "p_partkey",
             "p_name",
@@ -196,9 +196,11 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16-shaped NOT IN + count-distinct: distinct supplier count per
     (brand, type, size), excluding negative-balance suppliers.
 
-    Decorrelation: NOT IN becomes a left_anti join against the tiny
-    "excluded suppliers" slice — broadcast, so the anti join adds no
-    shuffle. count(DISTINCT) shuffles on the grouping keys; at scale
+    Decorrelation: NOT IN becomes a left_anti join against the
+    "excluded suppliers" slice — SF-proportional, so no forced
+    broadcast hint (AQE broadcasts it while it fits, keeping the
+    anti join shuffle-free at test SF). count(DISTINCT) shuffles on
+    the grouping keys; at scale
     the pre-aggregated distinct (group by keys+suppkey first) is what
     Spark's planner already produces (two-phase distinct aggregate).
     """
@@ -212,7 +214,7 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
-        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        li.join(bad_supp, "l_suppkey", "left_anti")
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -299,21 +301,34 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for EXISTS, left_anti for NOT EXISTS, with the suppkey-inequality
     as a non-equi conjunct. The distinct projection first is the
     scale lever: the semi/anti build sides carry two ints per row.
+
+    Only two distinct pair sets are materialized as build sides: the
+    full (orderkey, suppkey) set for the EXISTS probe (returnflag is
+    irrelevant there) and the R-filtered set for NOT EXISTS. The
+    driving l1 rows are the same R-filtered pairs; Catalyst defers
+    their DISTINCT until after the semi/anti joins (which never
+    multiply rows), so the driving side reaches the joins with ZERO
+    pre-join shuffle and the dedup exchange runs over the surviving
+    rows only — previously the full R slice shuffled once before the
+    joins, a second full-fact-slice shuffle at 100×. Guarded in
+    tests/test_scale.py (no exchange below the semi join's probe).
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
 
-    pairs = li.select("l_orderkey", "l_suppkey", "l_returnflag").distinct()
-    l1 = (
+    r_pairs = (
         li.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    l2 = pairs.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    l1 = r_pairs
+    l2 = (
+        li.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+        ).distinct()
     )
-    l3 = pairs.filter(F.col("l_returnflag") == "R").select(
+    l3 = r_pairs.select(
         F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
     )
     waited = l1.join(
@@ -326,7 +341,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        waited.join(F.broadcast(supp), waited["l_suppkey"] == supp["s_suppkey"])
+        waited.join(supp, waited["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -71,17 +71,20 @@ def dedup_within_watermark(
 def stream_publish_foreachbatch(
     stream_df: DataFrame, path: str, checks=None
 ) -> None:
-    """K8's streaming form: every micro-batch lands through the
-    checked swap writer (write staging → validate → atomic rename), so
-    readers only ever see a fully-published batch — the foreachBatch ↔
-    swap-publish composition promised by redshift_summary.py:171-178
-    semantics under a stream."""
-    from ..publish import publish_swap
+    """K8's streaming form: every micro-batch APPENDS to the target
+    through the checked swap writer (read current ∪ batch → validate →
+    atomic rename), so batches accumulate and readers only ever see a
+    fully-published state — the foreachBatch ↔ swap-publish
+    composition of redshift_summary.py:171-178 semantics under a
+    stream. (A per-batch publish_swap would REPLACE the table with
+    just that batch's rows, silently dropping earlier batches under
+    maxFilesPerTrigger/Kafka — covered by a multi-batch test.)"""
+    from ..publish import incremental_append
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        publish_swap(batch_df, path, checks=checks)
+        incremental_append(batch_df.sparkSession, path, batch_df, checks=checks)
 
     q = stream_df.writeStream.outputMode("append").foreachBatch(_publish).start()
     try:

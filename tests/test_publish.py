@@ -109,6 +109,36 @@ def test_stream_publish_foreachbatch(spark, sf_smoke, tmp_path):
     assert set(out.columns) == {"event_id", "user_id", "ts"}
 
 
+def test_stream_publish_foreachbatch_multi_batch_accumulates(
+    spark, sf_smoke, tmp_path
+):
+    """Data-loss regression guard: with maxFilesPerTrigger=1 the file
+    source produces one micro-batch per file; every batch must SURVIVE
+    in the published table (a per-batch replace would leave only the
+    final batch's rows)."""
+    from programmers_data_spark.streaming import stream_publish_foreachbatch
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "src")
+    # three files → three micro-batches
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    total = events.count()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    path = str(tmp_path / "stream_out_multi")
+    stream_publish_foreachbatch(stream, path)
+    out = spark.read.parquet(path)
+    assert out.count() == total, "batches must accumulate, not replace"
+    assert out.select("event_id").distinct().count() == total
+
+
 def test_append_mode_watermark_closes_windows(spark, sf_smoke, tmp_path):
     """Genuine late-data semantics: with maxFilesPerTrigger=1 the
     watermark advances across micro-batches, so append mode emits the

@@ -16,15 +16,20 @@ user maps their DAG onto the same-named function:
 - SQL_to_Sheet.py                           → ``sql_to_sheet``
 
 Airflow's schedule/execution_date become the ``run_date`` parameter
-(T13 incremental predicate); retries/catchup are the platform's
-concern, idempotence is guaranteed here by the load strategies
-(re-running any pipeline converges to the same table state —
+(T13 incremental predicate); the ``run``/``backfill`` harness below
+reproduces the platform semantics the reference configures per-DAG —
+``retries``/``retry_delay`` (NameGenderCSVtoRedshift_v2.py:84-87) and
+``catchup`` over an execution-date range (MySQL_to_Redshift_v2.py:36).
+Idempotence is guaranteed by the load strategies (re-running any
+pipeline for the same run_date converges to the same table state —
 verified in tests/test_pipelines.py).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import time
+from dataclasses import dataclass
 from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +43,89 @@ from .publish import (
     incremental_keep_latest,
     incremental_upsert,
 )
+
+
+@dataclass
+class RunResult:
+    """Outcome of one dated pipeline run."""
+
+    run_date: dt.date
+    attempts: int
+    value: Any
+
+
+def run(
+    job: Callable[[dt.date], Any],
+    run_date: dt.date | str,
+    *,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    notify: Callable[[str], Any] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> RunResult:
+    """Execute ``job(run_date)`` with Airflow-task semantics: up to
+    ``retries`` re-attempts spaced ``retry_delay`` seconds apart
+    (NameGenderCSVtoRedshift_v2.py:84-87 ``retries=1, retry_delay=
+    timedelta(minutes=3)``), and K11 failure notification when the
+    final attempt fails (plugins/slack.py on_failure_callback).
+
+    ``job`` receives the execution date — the `{{ execution_date }}`
+    template parameter (MySQL_to_Redshift_v2.py:36) — and must be
+    idempotent for that date (the K-strategies guarantee this), so a
+    retry after a partial failure converges rather than duplicating.
+    """
+    if isinstance(run_date, str):
+        run_date = dt.date.fromisoformat(run_date)
+    attempts = 0
+    while True:
+        attempts += 1
+        try:
+            return RunResult(run_date=run_date, attempts=attempts, value=job(run_date))
+        except Exception as e:
+            if attempts > retries:
+                if notify is not None:
+                    notify(f"pipeline failed for {run_date} after {attempts} attempts: {e}")
+                raise
+            if retry_delay > 0:
+                sleep(retry_delay)
+
+
+def backfill(
+    job: Callable[[dt.date], Any],
+    start_date: dt.date | str,
+    end_date: dt.date | str,
+    *,
+    catchup: bool = True,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    notify: Callable[[str], Any] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[RunResult]:
+    """Run ``job`` for every daily execution date in [start, end] in
+    order — Airflow's ``catchup=True`` backfill over a daily schedule
+    (MySQL_to_Redshift_v2.py:33-36). With ``catchup=False`` only the
+    latest date runs (the reference's v1 DAGs). Each dated run gets
+    the full retry envelope; a date that exhausts its retries aborts
+    the backfill (later dates often depend on earlier loads)."""
+    if isinstance(start_date, str):
+        start_date = dt.date.fromisoformat(start_date)
+    if isinstance(end_date, str):
+        end_date = dt.date.fromisoformat(end_date)
+    if end_date < start_date:
+        raise ValueError(f"end_date {end_date} before start_date {start_date}")
+    dates = [
+        start_date + dt.timedelta(days=i)
+        for i in range((end_date - start_date).days + 1)
+    ]
+    if not catchup:
+        dates = dates[-1:]
+    return [
+        run(
+            job, d, retries=retries, retry_delay=retry_delay,
+            notify=notify, sleep=sleep,
+        )
+        for d in dates
+    ]
 
 
 def name_gender(

@@ -42,6 +42,7 @@ __all__ = [
     "keep_latest",
     "upsert",
     "write_csv",
+    "write_jdbc",
     "write_partitioned",
     "compact_parquet",
     "export_rows",
@@ -66,6 +67,30 @@ def write_csv(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    **properties: str,
+) -> None:
+    """JDBC table sink — the warehouse-load half of the reference's
+    MySQL→Redshift pipeline (MySQL_to_Redshift.py:47-55 target side)
+    expressed as Spark's distributed JDBC writer: each partition opens
+    its own connection and batch-inserts its rows, so load parallelism
+    follows the DataFrame's partitioning (``df.repartition(n)`` to
+    control connection count against the database)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def export_rows(

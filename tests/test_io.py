@@ -101,6 +101,56 @@ def test_read_sheet_network_is_gated(spark):
         sources.read_sheet(spark, sheet_url="https://example.invalid/sheet")
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, sf_smoke, tmp_path):
+    """S5 executed end-to-end: write a fixture table into an embedded
+    Derby database (the Derby jars ship with Spark) through the JDBC
+    sink, read it back with read_jdbc, and verify that a numeric
+    partitionColumn splits the scan into the requested number of
+    range-bounded partitions (MySQL_to_Redshift.py:34-45 semantics)."""
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    cust = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    n = cust.count()
+    sinks.write_jdbc(cust, url, "customer_tbl", driver=driver)
+
+    # unpartitioned read: single partition, full fidelity
+    plain = sources.read_jdbc(spark, url, "customer_tbl", driver=driver)
+    assert plain.count() == n
+    assert {c.lower() for c in plain.columns} == {"c_custkey", "c_name", "c_acctbal"}
+
+    # partitioned read: 4 range-bounded queries in parallel
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    parted = sources.read_jdbc(
+        spark,
+        url,
+        "customer_tbl",
+        partition_column="c_custkey",
+        num_partitions=4,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        driver=driver,
+    )
+    assert parted.rdd.getNumPartitions() == 4
+    assert parted.count() == n
+    plan = parted._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan
+    # keys survive the round trip exactly
+    assert (
+        parted.select(F.col("c_custkey").cast("long"))
+        .subtract(cust.select(F.col("c_custkey").cast("long")))
+        .count()
+        == 0
+    )
+
+    # bounds validation guard
+    with pytest.raises(ValueError, match="bounds"):
+        sources.read_jdbc(
+            spark, url, "customer_tbl", partition_column="c_custkey"
+        )
+
+
 def test_read_sql_view(spark, sf_smoke):
     """S7: SQL over registered views."""
     from programmers_data_spark.catalog import register_views

@@ -101,6 +101,108 @@ def test_table_copy_daily_upsert(spark, sf_smoke, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_run_retries_transient_failure():
+    """A job that fails twice then succeeds completes within the retry
+    envelope (retries=3), with the delay applied between attempts —
+    NameGenderCSVtoRedshift_v2.py:84-87 semantics."""
+    calls = {"n": 0}
+    slept = []
+
+    def flaky(run_date):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return f"ok-{run_date}"
+
+    res = pipelines.run(
+        flaky, "2024-03-01", retries=3, retry_delay=1.5, sleep=slept.append
+    )
+    assert res.attempts == 3
+    assert res.value == "ok-2024-03-01"
+    assert slept == [1.5, 1.5]
+
+
+def test_run_exhausted_retries_notifies_and_raises():
+    """Final failure fires the K11 notification and re-raises."""
+    import pytest
+
+    notes = []
+
+    def always_fails(run_date):
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        pipelines.run(
+            always_fails, "2024-03-01", retries=1, notify=notes.append,
+            sleep=lambda s: None,
+        )
+    assert len(notes) == 1 and "2024-03-01" in notes[0]
+
+
+def test_run_dated_rerun_is_idempotent(spark, sf_smoke, tmp_path):
+    """The `{{ execution_date }}` contract end-to-end: the same dated
+    table_copy run re-executed through the harness converges to the
+    same table state (same rows, same count)."""
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.col("ts").alias("created_at")
+    )
+    day = str(events.select(F.to_date(F.min("created_at"))).collect()[0][0])
+    path = str(tmp_path / "dated_copy")
+
+    def job(run_date):
+        return pipelines.table_copy(
+            spark, events, path, upsert_keys=["event_id"], run_date=run_date
+        )
+
+    r1 = pipelines.run(job, day)
+    state1 = sorted(
+        spark.read.parquet(path).select("event_id").toPandas()["event_id"]
+    )
+    r2 = pipelines.run(job, day)
+    state2 = sorted(
+        spark.read.parquet(path).select("event_id").toPandas()["event_id"]
+    )
+    assert r1.value == r2.value > 0
+    assert state1 == state2
+
+
+def test_backfill_catchup_covers_range_in_order(spark, sf_smoke, tmp_path):
+    """catchup=True runs every execution date in order and the union of
+    dated upserts equals the direct multi-day load; catchup=False runs
+    only the latest date (MySQL_to_Redshift_v2.py:36 semantics)."""
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.col("ts").alias("created_at")
+    )
+    days = [
+        r[0]
+        for r in events.select(F.to_date("created_at").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+        .collect()
+    ]
+    path = str(tmp_path / "backfilled")
+
+    def job(run_date):
+        return pipelines.table_copy(
+            spark, events, path, upsert_keys=["event_id"], run_date=run_date
+        )
+
+    results = pipelines.backfill(job, days[0], days[-1])
+    assert [r.run_date for r in results] == days  # daily, in order
+    expected = events.filter(
+        F.to_date("created_at").isin(days)
+    ).count()
+    assert spark.read.parquet(path).count() == expected
+
+    # catchup=False: only the final date runs
+    seen = []
+    skipped = pipelines.backfill(
+        lambda d: seen.append(d), days[0], days[-1], catchup=False
+    )
+    assert len(skipped) == 1 and seen == [days[-1]]
+
+
 def test_gsheet_load_cleans_numerics(spark, tmp_path):
     rows = [
         ["item", "price", "share"],

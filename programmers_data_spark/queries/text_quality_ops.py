@@ -1,0 +1,283 @@
+"""Corpus-quality / sampling operators over `documents` (north-star
+tier, round 2): Gopher-style repetition and quality signals, crude
+prefix dedup, deterministic stratified sampling, cross-document
+shingle novelty. All pure built-in expressions with DuckDB oracles
+(integer counts + single-division ratios — doubles agree bitwise).
+
+Registered AFTER the streaming tier: the driver's CORRECTNESS window
+covers the first 50 registered queries, and the never-driver-checked
+round-1 tier must stay inside it (see registry._QUERY_MODULES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..registry import query
+from .text_ops import _DUCK_TOKS
+
+
+@query(
+    "repetition_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bigrams
+      FROM t
+    ),
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    dominance AS (
+      SELECT doc_id,
+             CAST(max(cnt) AS BIGINT) AS top_tok_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM tok_counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           n_tokens,
+           CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
+           CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+             / len(bigrams) AS dup_bigram_frac
+    FROM dominance d JOIN bg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-
+    token dominance and duplicate-bigram fraction — the two cheapest
+    detectors of degenerate/boilerplate text (Rae et al. 2021 §A1.1).
+
+    Scale shape: dominance is a two-level aggregate — shuffle on
+    (doc_id, token) then on doc_id, both partial-aggregable; the
+    bigram metrics are computed per-row from array expressions
+    (map-only) and joined back on doc_id, the same partitioning the
+    second aggregate just produced. No Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfn.tokenize("text").alias("toks")
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dominance = tok_counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_tok_cnt"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+    )
+    bg = docs.select("doc_id", bigrams.alias("bigrams"))
+    return (
+        dominance.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_tok_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_tok_frac"
+            ),
+            (
+                (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).cast(
+                    "double"
+                )
+                / F.size("bigrams")
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(length(array_to_string(toks, '')) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_frac
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_word_len, alpha_frac,
+           (n_tokens BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND (alpha_frac >= 0.8) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules quality filter (Rae et al. 2021 §A1.1 subset):
+    token-count band, mean-word-length band, alphabetic-word
+    fraction — each doc gets its metrics plus the composite keep
+    flag. Map-only built-in expressions; every ratio is one IEEE
+    division of exact integers so both engines agree bitwise.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfn.tokenize("text").alias("toks")
+    )
+    n_tokens = F.size("toks")
+    denom = F.greatest(n_tokens, F.lit(1))
+    mean_word_len = F.length(F.array_join("toks", "")).cast("double") / denom
+    alpha_cnt = F.size(F.filter(F.col("toks"), lambda w: w.rlike("^[a-z]+$")))
+    alpha_frac = alpha_cnt.cast("double") / denom
+    m = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_tokens").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_prefix",
+    oracle="""
+    SELECT md5(substr(text, 1, 64)) AS prefix_key,
+           min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crude exact-prefix dedup: md5 of the first 64 chars as the
+    content key, min doc_id survives per key — the cheap first pass
+    web pipelines run before shingle-level dedup (catches mirrored
+    pages with differing tails).
+
+    Scale shape: a single partial-aggregable groupBy on the hash key
+    — deliberately min-agg, not a ROW_NUMBER window (same survivors,
+    no per-key sort, map-side combine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, 64).cast("binary")).alias("prefix_key"),
+            "doc_id",
+        )
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("prefix_key", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10 docs per source stratum,
+    selected by md5(doc_id) order — reproducible across engines and
+    runs (no RNG), the standard way to pull balanced eval/inspection
+    samples from a skewed corpus.
+
+    Scale shape: one shuffle on the stratum key + per-stratum top-k;
+    with many strata the rank window parallelizes per stratum. (For
+    a FRACTION per stratum instead of a count, the same hash ordered
+    as a threshold — hash < p·2^128 — is map-only.)"""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "shingle_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      FROM t
+    ),
+    first_seen AS (
+      SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS seen_frac
+    FROM sh s JOIN first_seen f USING (sh)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: for each doc, the fraction of its
+    distinct word-3-gram shingles already present in an EARLIER doc
+    (by doc_id) — the contamination/near-copy signal used to rank
+    documents for dedup priority and to measure benchmark leakage.
+
+    Scale shape: explode distinct shingles (map-only), one
+    min-aggregate shuffle on the shingle ("first occurrence" — the
+    canonical pattern), join back on the shingle (same partitioning,
+    exchange reused), final per-doc aggregate. Cost is linear in
+    corpus token count; no N² anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(textfn.word_ngrams("text", 3)).alias("shingles"),
+    )
+    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            seen.alias("n_seen_before"),
+            (seen.cast("double") / F.count(F.lit(1))).alias("seen_frac"),
+        )
+        .orderBy("doc_id")
+    )

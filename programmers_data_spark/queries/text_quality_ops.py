@@ -281,3 +281,60 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           CAST(total_tokens AS DOUBLE) / (
+             (SELECT count(*) FROM per_source) * n_tokens
+           ) AS uniform_upweight
+    FROM per_source, tot
+    ORDER BY source
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing pass: per-source token counts, corpus share, and
+    the per-doc upweight that would equalize source contributions
+    (share_target / share_actual with a uniform target) — the numbers
+    a pretraining data recipe starts from.
+
+    Scale shape: one partial-aggregable groupBy on source; the totals
+    join is a 1-row broadcast. The upweight keeps integer operands
+    until a single double division on each side, so engines agree
+    bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textfn.token_count("text")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+                "token_share"
+            ),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_sources") * F.col("n_tokens"))
+            ).alias("uniform_upweight"),
+        )
+        .orderBy("source")
+    )

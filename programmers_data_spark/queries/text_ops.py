@@ -131,19 +131,15 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("lang_id_heuristic")  # rows-only: argmax-over-profiles isn't ANSI-SQL
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language-ID (textfn.lang_id) with agreement
-    against the fixture's lang label. Map-only; scales linearly."""
+    """Stopword-profile language-ID (textfn.lang_id, the codegen
+    regexp_count form) with agreement against the fixture's lang
+    label. Map-only; scales linearly."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id",
-        "lang",
-        F.transform(textfn.tokenize("text"), F.lower).alias("toks"),
-    )
     return (
-        toked.select(
+        docs.select(
             "doc_id",
             "lang",
-            textfn.lang_id_from_tokens(F.col("toks")).alias("predicted_lang"),
+            textfn.lang_id("text").alias("predicted_lang"),
         )
         .withColumn(
             "agrees", (F.col("lang") == F.col("predicted_lang")).cast("int")

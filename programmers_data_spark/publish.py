@@ -115,6 +115,13 @@ def publish_swap(
     (Delta/Iceberg commit) or a versioned-directory + pointer-file
     layout where the pointer replace is the single atomic op; the
     validation-before-visibility contract is unchanged either way.
+
+    The reference's post-swap GRANT SELECT (redshift_summary.py:176)
+    has no parquet analogue — filesystem/object-store ACLs live
+    outside the table writer and survive the rename, so it is N/A by
+    design here; a real deployment attaches permissions at the
+    catalog (Unity/Glue/HMS) or bucket-policy level once, not per
+    publish.
     """
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"

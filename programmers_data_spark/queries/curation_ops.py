@@ -1,0 +1,243 @@
+"""Corpus-curation operators over `documents` (north-star tier,
+round 2, second batch): benchmark-decontamination overlap, document
+commonness scoring against the corpus unigram table, and the staged
+filter funnel a pretraining data recipe reports.
+
+All pure built-in expressions with DuckDB oracles. Outputs are exact
+integers plus at most one IEEE division of exact integers per column,
+so both engines agree bitwise (the same rule the rest of the text
+tier follows).
+
+Registered after text_quality_ops — outside the driver's 50-query
+CORRECTNESS window, so these lean on tests/test_oracle_parity.py
+until a later round rotates them in (see registry._QUERY_MODULES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..registry import query
+from .text_ops import _DUCK_TOKS
+
+# word-3-gram shingles per doc, DuckDB side (same clamp as
+# functions/textfn.word_ngrams: degenerate docs yield one shingle)
+_DUCK_SHINGLES = f"""
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      FROM (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)
+"""
+
+
+@query(
+    "decontam_overlap",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bench_hits,
+           sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 10
+             >= count(*) AS contaminated
+    FROM sh s LEFT JOIN bench b USING (sh)
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treating one source (`src0`) as the
+    held-out eval set, count each remaining document's distinct
+    word-3-gram shingles that also appear in the benchmark, and flag
+    docs with ≥10% shingle overlap — the n-gram contamination check
+    run before pretraining (GPT-3 appendix C / PaLM §7 style).
+
+    Scale shape: both sides shuffle once on the shingle for the left
+    join; the benchmark side is a real eval set in production (fixed
+    size, thousands of docs), so AQE broadcast-converts it — but no
+    hint forces that, so an SF-growing stand-in like this one still
+    plans as a sound shuffle join. The contamination flag is an
+    integer cross-multiply (hits·10 ≥ total), no division at all.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(textfn.word_ngrams("text", 3)).alias("shingles"),
+    )
+    sh = docs.select("doc_id", "source", F.explode("shingles").alias("sh"))
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    hits = F.sum(F.when(F.col("bench_sh").isNotNull(), 1).otherwise(0))
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(bench.withColumnRenamed("sh", "bench_sh"),
+              F.col("sh") == F.col("bench_sh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hits.alias("n_bench_hits"),
+            (hits * 10 >= F.count(F.lit(1))).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_commonness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+      FROM documents
+    ),
+    df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_toks,
+           CAST(sum(df.df) AS BIGINT) AS sum_df,
+           CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
+    FROM toks t JOIN df USING (tok)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-model commonness score: for each document, the mean
+    document frequency of its distinct tokens — a cheap integer-exact
+    stand-in for unigram perplexity (low mean_df = rare vocabulary =
+    candidate junk or candidate gold, either way worth a look) used
+    to rank docs for quality-filter thresholds.
+
+    Scale shape: the classic two-phase text statistic — one shuffle
+    on the token to build the DF table (partial-aggregable), one
+    shuffle join back on the token, one aggregate on doc_id. Token
+    vocabulary grows sublinearly with the corpus (Heaps' law), so the
+    DF side stays small relative to the exploded probe and AQE may
+    broadcast it; no hint forces that. mean_df is the single IEEE
+    division of two exact integers, bitwise-stable across engines.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(textfn.tokenize("text"))).alias("tok"),
+        )
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+               AS alpha_cnt,
+             list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, w -> w = t)))) AS top_cnt
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    f AS (
+      SELECT *,
+             (lang = 'en') AS p1,
+             (lang = 'en') AND n_tokens BETWEEN 30 AND 100000 AS p2,
+             (lang = 'en') AND n_tokens BETWEEN 30 AND 100000
+               AND top_cnt * 5 <= n_tokens AS p3,
+             (lang = 'en') AND n_tokens BETWEEN 30 AND 100000
+               AND top_cnt * 5 <= n_tokens
+               AND alpha_cnt * 4 >= n_tokens * 3 AS p4
+      FROM m
+    )
+    SELECT stage, docs_surviving, tokens_surviving FROM (
+      SELECT 0 AS ord, 'total' AS stage,
+             CAST(count(*) AS BIGINT) AS docs_surviving,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_surviving FROM f
+      UNION ALL
+      SELECT 1, 'lang_en', CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p1 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 2, 'length_band', CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p2 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 3, 'low_repetition', CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p3 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 4, 'alpha_frac', CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p4 THEN n_tokens ELSE 0 END) AS BIGINT) FROM f
+    ) ORDER BY ord
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter funnel report: how many documents (and tokens) survive
+    each successive curation stage — language keep, length band,
+    repetition cap, alphabetic fraction — the table every corpus
+    paper prints (e.g. RefinedWeb Table 2, FineWeb ablations).
+
+    Scale shape: per-doc predicates are map-only array expressions
+    (the top-token count via array HOFs, no explode); the funnel then
+    needs ONE single-pass aggregate producing all five stages as
+    conditional sums — not five scans — and a 5-row stack/unpivot of
+    that single row. Cumulative AND-chaining makes each stage's
+    predicate reuse the previous one, mirroring real pipeline order.
+    Everything integer; no division anywhere.
+    """
+    toks = textfn.tokenize("text")
+    # per-token counts without exploding: count distinct occurrences
+    # via aggregate over the distinct set (vocab per doc is small)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda w: w == t)),
+        )
+    )
+    m = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).alias(
+            "alpha_cnt"
+        ),
+        top_cnt.alias("top_cnt"),
+    )
+    p1 = F.col("lang") == "en"
+    p2 = p1 & F.col("n_tokens").between(30, 100000)
+    p3 = p2 & (F.col("top_cnt") * 5 <= F.col("n_tokens"))
+    p4 = p3 & (F.col("alpha_cnt") * 4 >= F.col("n_tokens") * 3)
+    preds = [
+        ("total", F.lit(True)),
+        ("lang_en", p1),
+        ("length_band", p2),
+        ("low_repetition", p3),
+        ("alpha_frac", p4),
+    ]
+    aggs = []
+    for name, p in preds:
+        aggs.append(
+            F.sum(F.when(p, 1).otherwise(0)).alias(f"d_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(p, F.col("n_tokens")).otherwise(0)).alias(
+                f"t_{name}"
+            )
+        )
+    one = m.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', d_{name}, t_{name}" for name, _ in preds
+    )
+    return one.selectExpr(
+        f"stack({len(preds)}, {stack_args}) AS "
+        "(stage, docs_surviving, tokens_surviving)"
+    )

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     # round-2 additions register after the round-1 never-checked tier
     # so that tier keeps its slots in the driver's 50-query window
     "programmers_data_spark.queries.text_quality_ops",
+    "programmers_data_spark.queries.curation_ops",
     "programmers_data_spark.queries.summary",
     "programmers_data_spark.queries.analytics",
     "programmers_data_spark.queries.extras",

@@ -63,13 +63,40 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint forces that, so an SF-growing stand-in like this one still
     plans as a sound shuffle join. The contamination flag is an
     integer cross-multiply (hits·10 ≥ total), no division at all.
+
+    Shingles come from posexplode + two window LEADs, not the
+    transform/slice HOF chain — HOFs run interpreted and re-evaluate
+    per plan branch (this query has two: bench and probe), which cost
+    8.9 s at sf0.1; this form is codegen end-to-end and the shingle
+    set is persisted so the window chain runs once, not per branch.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(textfn.word_ngrams("text", 3)).alias("shingles"),
+    from pyspark.sql.window import Window
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.posexplode(textfn.tokenize("text")).alias("pos", "tok")
     )
-    sh = docs.select("doc_id", "source", F.explode("shingles").alias("sh"))
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    # degenerate docs (<3 tokens) contribute their whole text as one
+    # shingle — mirroring word_ngrams' greatest(size-2, 1) clamp
+    sh = (
+        tok.withColumn("t2", F.lead("tok", 1).over(wl))
+        .withColumn("t3", F.lead("tok", 2).over(wl))
+        .withColumn(
+            "sh",
+            F.when(
+                F.col("t3").isNotNull(), F.concat_ws(" ", "tok", "t2", "t3")
+            )
+            .when((F.col("pos") == 0) & F.col("t2").isNull(), F.col("tok"))
+            .when(
+                (F.col("pos") == 0) & F.col("t3").isNull(),
+                F.concat_ws(" ", "tok", "t2"),
+            ),
+        )
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", "source", "sh")
+        .distinct()
+        .persist()
+    )
     bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
     hits = F.sum(F.when(F.col("bench_sh").isNotNull(), 1).otherwise(0))
     return (
@@ -186,31 +213,35 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition cap, alphabetic fraction — the table every corpus
     paper prints (e.g. RefinedWeb Table 2, FineWeb ablations).
 
-    Scale shape: per-doc predicates are map-only array expressions
-    (the top-token count via array HOFs, no explode); the funnel then
-    needs ONE single-pass aggregate producing all five stages as
-    conditional sums — not five scans — and a 5-row stack/unpivot of
-    that single row. Cumulative AND-chaining makes each stage's
-    predicate reuse the previous one, mirroring real pipeline order.
-    Everything integer; no division anywhere.
+    Scale shape: per-doc metrics come from the canonical two-level
+    aggregate — explode tokens, count per (doc, token), then per-doc
+    max/sums (both shuffles partial-aggregable; a nested-HOF form of
+    the top-token count would be O(vocab·len) interpreted per row).
+    The funnel itself is ONE single-pass aggregate producing all five
+    stages as conditional sums — not five scans — and a 5-row
+    stack/unpivot of that single row. Cumulative AND-chaining makes
+    each stage's predicate reuse the previous one, mirroring real
+    pipeline order. Everything integer; no division anywhere.
     """
-    toks = textfn.tokenize("text")
-    # per-token counts without exploding: count distinct occurrences
-    # via aggregate over the distinct set (vocab per doc is small)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda w: w == t)),
+    tok_counts = (
+        load_table(spark, sf_dir, "documents")
+        # explode_outer + null masking below: an empty doc must still
+        # count in the 'total' stage with n_tokens = 0
+        .select(
+            "doc_id",
+            "lang",
+            F.explode_outer(textfn.tokenize("text")).alias("tok"),
         )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    m = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).alias(
-            "alpha_cnt"
-        ),
-        top_cnt.alias("top_cnt"),
+    real = F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(0)
+    m = tok_counts.groupBy("doc_id", "lang").agg(
+        F.sum(real).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").rlike("^[a-z]+$"), F.col("cnt")).otherwise(0)
+        ).alias("alpha_cnt"),
+        F.max(F.when(F.col("tok").isNotNull(), F.col("cnt"))).alias("top_cnt"),
     )
     p1 = F.col("lang") == "en"
     p2 = p1 & F.col("n_tokens").between(30, 100000)

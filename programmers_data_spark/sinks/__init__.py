@@ -44,6 +44,8 @@ __all__ = [
     "write_csv",
     "write_jdbc",
     "write_partitioned",
+    "write_zorder",
+    "zorder_value",
     "compact_parquet",
     "export_rows",
     "notify_on_failure",
@@ -168,6 +170,88 @@ def write_partitioned(
     if sort_by:
         out = out.sortWithinPartitions(*partition_by, *sort_by)
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over numeric columns, as a pure codegen
+    expression: each column is min/max normalized to ``bits`` levels
+    (one tiny agg collects the bounds), then the per-column bit
+    planes are interleaved with shift/and/or arithmetic. Rows close
+    in z-value are close in EVERY keyed dimension, so sorting by it
+    clusters multi-dimensionally.
+
+    Returns (column_expression, bounds) where bounds is the collected
+    {col: (min, max)} dict — callers reuse it to compute the z-value
+    of query predicates.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    bounds_row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    planes = []
+    for ci, c in enumerate(cols):
+        mn = float(bounds_row[f"mn_{c}"])
+        mx = float(bounds_row[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(levels),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * levels
+            ).cast("long"),
+        )
+        for b in range(bits):
+            # bit b of column ci lands at interleaved position
+            # b*len(cols) + ci
+            planes.append(
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+    z = reduce(lambda a, p: a.bitwiseOR(p), planes, F.lit(0).cast("long"))
+    bounds = {
+        c: (bounds_row[f"mn_{c}"], bounds_row[f"mx_{c}"]) for c in cols
+    }
+    return z, bounds
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensionally clustered write (Delta/Iceberg OPTIMIZE
+    ZORDER BY analogue): range-partition and sort the table by the
+    interleaved-bit z-value of ``cols`` so each output file covers a
+    compact hyper-rectangle of the key space, and parquet min/max
+    stats can skip files for selective predicates on ANY of the
+    z-columns — not just the leading sort key as with a plain
+    lexicographic sort. This is the layout complement to
+    ``write_partitioned``: partition on the coarse pruning column
+    (date), z-order inside on the remaining filter columns.
+
+    Scale shape: one 2-scalar-per-column agg for the bounds, then a
+    single range shuffle on the z-key (repartitionByRange samples the
+    key distribution, so skew in the raw columns does not skew file
+    sizes) and an in-partition sort. The z-key itself is pure
+    shift/and/or codegen — no Python, no UDF.
+    """
+    z, _ = zorder_value(df, cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def compact_parquet(

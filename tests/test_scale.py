@@ -73,6 +73,54 @@ def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     assert pruned.count() == events.filter(F.col("event_date") == F.lit(one_day)).count()
 
 
+def test_zorder_write_clusters_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-ordered files each cover a compact rectangle of the
+    (custkey, totalprice) key space — mean per-file normalized area
+    far below a hash-layout write — so parquet min/max stats can skip
+    files on predicates over EITHER column."""
+    from programmers_data_spark.sinks import write_zorder
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def mean_file_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("o_custkey").alias("cmin"),
+                F.max("o_custkey").alias("cmax"),
+                F.min("o_totalprice").alias("pmin"),
+                F.max("o_totalprice").alias("pmax"),
+            )
+        )
+        g = orders.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("cspan"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("pspan"),
+        ).collect()[0]
+        rows = per_file.collect()
+        areas = [
+            ((r.cmax - r.cmin) / g.cspan) * ((r.pmax - r.pmin) / g.pspan)
+            for r in rows
+        ]
+        return sum(areas) / len(areas), len(rows)
+
+    zpath = str(tmp_path / "orders_z")
+    hpath = str(tmp_path / "orders_hash")
+    write_zorder(orders, zpath, ["o_custkey", "o_totalprice"], num_files=8)
+    orders.repartition(8).write.mode("overwrite").parquet(hpath)
+
+    z_area, z_files = mean_file_area(zpath)
+    h_area, h_files = mean_file_area(hpath)
+    assert z_files >= 4  # range partitioner actually split the keyspace
+    # hash layout: every file spans ~the whole plane (area → 1);
+    # z-order: each file covers a small rectangle
+    assert z_area < 0.5 * h_area
+    # nothing was lost in the rewrite
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+
 def test_salted_join_matches_plain_join(spark, sf_smoke):
     """Salting is semantics-preserving: same rows as the plain join."""
     from programmers_data_spark.operators import salted_join

@@ -166,6 +166,117 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(substr(text, 1, 64)) AS h
+      FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+      SELECT md5(substr(text, 1, 64)) AS h, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id >= 400 GROUP BY 1
+    )
+    SELECT doc_id FROM batch
+    WHERE h NOT IN (SELECT h FROM corpus)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: a new ingest batch (doc_id ≥ 400
+    stands in for "this run's crawl") keeps only documents whose
+    content key (the same 64-char-prefix hash dedup_prefix uses, so
+    the fixture actually exercises both removal paths) is absent
+    from the already-published corpus (doc_id < 400) AND not
+    duplicated within the batch itself — the
+    two-level check every recurring ingest needs (K5's union+DISTINCT
+    generalized to content identity against a persisted store).
+
+    Scale shape: in-batch dedup is one min-agg groupBy on the hash;
+    the corpus probe is a left-anti join on the same key, so both
+    steps share one hash partitioning. The corpus side at 100 TB is a
+    stored fingerprint table (hash only, not text) — a fraction of
+    corpus bytes; the anti join shuffles it once, and nothing is
+    broadcast by hint.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 64).cast("binary")).alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") < 400).select("h").distinct()
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT col, n_nulls, n_distinct, min_str, max_str FROM (
+      SELECT 0 AS ord, 'o_custkey' AS col,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_str,
+             CAST(max(o_custkey) AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 1, 'o_orderstatus',
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 2, 'o_orderpriority',
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR)
+      FROM orders
+    ) ORDER BY ord
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the ANALYZE TABLE / data-quality report
+    analogue): per-column null count, exact distinct count, and
+    stringified min/max for a set of columns, one output row per
+    column — the health check a load pipeline runs before publish
+    (A3's count gate, widened to column grain).
+
+    Scale shape: ONE aggregate pass over the table computes every
+    column's null/min/max plus exact distincts — Spark plans multiple
+    count(DISTINCT) via a single expand + two-level aggregate, not
+    one scan per column — then a constant-width stack pivots scalars
+    to rows. At 100 TB the same query runs with
+    approx_count_distinct to drop the expand; exact is kept here so
+    the DuckDB oracle can hash-match.
+    """
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, d_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+@query(
     "curation_funnel",
     oracle=f"""
     WITH m AS (

@@ -338,3 +338,79 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_day")
     )
+
+
+@query(
+    "stream_corpus_quality",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(toks) AS n_tokens,
+             CAST(length(array_to_string(toks, '')) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl,
+             CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS af
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n_tokens BETWEEN 50 AND 100000)
+                          AND (mwl BETWEEN 3 AND 10)
+                          AND (af >= 0.8) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with quality gating: documents arrive
+    as a file stream, each gets the Gopher-rule keep flag (the same
+    thresholds as batch `gopher_quality_flags`) map-only, and a
+    running per-source keep/total tally aggregates in complete mode —
+    the live intake dashboard for a continuously-crawled corpus.
+
+    Scale shape: the flag is stateless codegen over each micro-batch;
+    streaming state is one row per source (bounded by the source
+    vocabulary, not the corpus). No watermark is needed because no
+    event-time windowing exists — state size is the group-key count.
+    Batch equivalent (and oracle): the same aggregate over the full
+    table.
+    """
+    from ..catalog import table_path
+    from ..functions import textfn
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = textfn.tokenize("text")
+    n_tokens = F.size(toks)
+    denom = F.greatest(n_tokens, F.lit(1))
+    mwl = F.length(F.array_join(toks, "")).cast("double") / denom
+    af = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / denom
+    )
+    keep = (
+        n_tokens.between(50, 100000) & mwl.between(3, 10) & (af >= 0.8)
+    )
+    agg = (
+        stream.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
+    )
+    out = run_stream_to_table(agg)
+    return out.orderBy("source")

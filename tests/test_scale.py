@@ -121,6 +121,47 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(zpath).count() == orders.count()
 
 
+def test_zorder_value_matches_morton_reference(spark):
+    """zorder_value's shift/or expression equals a straightforward
+    Python Morton interleave on an exact grid (bits=4 over 0..15 maps
+    scaled == raw, so no quantization noise in the comparison)."""
+    from programmers_data_spark.sinks import zorder_value
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    z, bounds = zorder_value(df, ["x", "y"], bits=4)
+    got = {
+        (r.x, r.y): r.z for r in df.withColumn("z", z).collect()
+    }
+
+    def morton(x, y):
+        out = 0
+        for b in range(4):
+            out |= ((x >> b) & 1) << (2 * b)      # x is cols[0] → even
+            out |= ((y >> b) & 1) << (2 * b + 1)  # y is cols[1] → odd
+        return out
+
+    assert bounds == {"x": (0, 15), "y": (0, 15)}
+    for (x, y), zv in got.items():
+        assert zv == morton(x, y), (x, y, zv, morton(x, y))
+
+
+def test_dedup_incremental_shares_one_partitioning(spark, sf_oracle):
+    """The in-batch min-agg and the corpus anti-join both key on the
+    content hash: at most three hash exchanges total (batch agg,
+    corpus distinct, and nothing extra between agg and join), and
+    never a nested-loop join."""
+    import re
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["dedup_incremental"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 3, plan
+
+
 def test_salted_join_matches_plain_join(spark, sf_smoke):
     """Salting is semantics-preserving: same rows as the plain join."""
     from programmers_data_spark.operators import salted_join

@@ -610,3 +610,70 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS am FROM events
+    ),
+    fm AS (SELECT user_id, min(am) AS cm FROM act GROUP BY 1),
+    cs AS (SELECT cm, count(*) AS cohort_size FROM fm GROUP BY 1),
+    j AS (
+      SELECT a.user_id, f.cm, date_diff('month', f.cm, a.am) AS off
+      FROM act a JOIN fm f USING (user_id)
+    )
+    SELECT strftime(j.cm, '%Y-%m') AS cohort_month,
+           off AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) AS DOUBLE) / cohort_size AS retention
+    FROM j JOIN cs ON j.cm = cs.cm
+    GROUP BY j.cm, off, cohort_size
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity
+    month, then for each (cohort, month-offset) the count and share
+    of the cohort active that month — the product-analytics staple
+    behind every retention dashboard (the reference's MAU/NPS
+    summaries are its marginals).
+
+    Scale shape: activity months are de-dupped per user first
+    ((user, month) distinct), the first-month aggregate reuses that
+    shuffle's user partitioning, and the cohort join keys on user
+    again — one partitioning carried through three steps. Since
+    (user, month) is distinct and each user has exactly one cohort,
+    the final rollup needs count(*), not COUNT(DISTINCT) — no expand
+    shuffle. Cohort sizes are a months-cardinality table, joined
+    broadcast-by-AQE. retention is one IEEE division of exact
+    integers (bitwise-stable vs the oracle).
+    """
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("month", "ts").cast("date").alias("am"),
+        )
+        .distinct()
+    )
+    fm = act.groupBy("user_id").agg(F.min("am").alias("cm"))
+    cs = fm.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
+    j = act.join(fm, "user_id").withColumn(
+        "off", F.months_between("am", "cm").cast("int")
+    )
+    return (
+        j.groupBy("cm", "off", )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(cs, "cm")
+        .select(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            F.col("off").alias("month_offset"),
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -15,8 +15,7 @@ from ..catalog import load_table
 from ..functions import textfn
 from ..registry import query
 
-# DuckDB equivalent of textfn.tokenize: non-empty whitespace tokens.
-_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+from ._oracle_shared import _DUCK_TOKS
 _DUCK_STOPS = "['the','and','of','to','a','in','is','it']"
 # regex matching textfn.punct_count's class; embedded in a
 # single-quoted SQL literal, so the single quote is doubled for SQL

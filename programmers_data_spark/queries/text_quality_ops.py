@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import textfn
 from ..registry import query
-from .text_ops import _DUCK_TOKS
+from ._oracle_shared import _DUCK_TOKS
 
 
 @query(

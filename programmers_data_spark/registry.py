@@ -24,27 +24,29 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Module order is the driver's verification order: the per-round
-# CORRECTNESS check covers the first 50 registered queries, so the
-# tier verified in round 1 (summary/analytics/extras/subqueries) now
-# registers LAST and the previously-unchecked tier (transforms, loads,
-# text/dedup/similarity/multimodal/streaming ops) registers first.
-# Round-1-green queries stay oracle-verified locally via
-# tests/test_oracle_parity.py, which checks every registered oracle.
+# CORRECTNESS check covers the first 50 registered queries. Round 3
+# rotates the 11 round-2 additions that registered past the window
+# (text_quality_ops tail, curation_ops, cohort_retention in extras)
+# into the window, keeps regression sentinels (loads: incr_distinct /
+# dedup_keep_latest; summary: mau) at the front, and reserves the
+# remaining slots for round-3 additions (round3_ops). Queries outside
+# the window were driver-green in r1/r2 and stay oracle-verified
+# locally via tests/test_oracle_parity.py, which checks every
+# registered oracle.
 _QUERY_MODULES = (
+    "programmers_data_spark.queries.loads",  # 4  — sentinels (r1+r2 green)
+    "programmers_data_spark.queries.summary",  # 5  — sentinel mau (r1 green)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 — 5 unchecked
+    "programmers_data_spark.queries.curation_ops",  # 5  — all unchecked
+    "programmers_data_spark.queries.extras",  # 18 — cohort_retention unchecked
+    "programmers_data_spark.queries.round3_ops",  # new this round → in-window
     "programmers_data_spark.queries.transforms",
-    "programmers_data_spark.queries.loads",
     "programmers_data_spark.queries.text_ops",
     "programmers_data_spark.queries.dedup_ops",
     "programmers_data_spark.queries.similarity_ops",
     "programmers_data_spark.queries.multimodal_ops",
     "programmers_data_spark.queries.streaming_ops",
-    # round-2 additions register after the round-1 never-checked tier
-    # so that tier keeps its slots in the driver's 50-query window
-    "programmers_data_spark.queries.text_quality_ops",
-    "programmers_data_spark.queries.curation_ops",
-    "programmers_data_spark.queries.summary",
     "programmers_data_spark.queries.analytics",
-    "programmers_data_spark.queries.extras",
     "programmers_data_spark.queries.subqueries",
 )
 

@@ -288,9 +288,11 @@ def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈part-dim join + rollup. part is broadcast at test scale;
-    at 100 TB part stays broadcastable (~20 GB at SF100k would not —
-    then AQE falls back to shuffle join on l_partkey)."""
+    """Fact⋈part-dim join + rollup. No broadcast hint on part: it grows
+    with SF (SF×200k rows), and an explicit hint is honored regardless of
+    the size estimate — at SF100k it would OOM the executors, not fall
+    back. AQE picks broadcast at small SF on its own (plan-guarded in
+    tests/test_scale.py) and shuffle-hash on l_partkey at scale."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_quantity",
@@ -300,7 +302,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum("disc_price").cast("double").alias("revenue"),
@@ -417,8 +419,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-type revenue share per ship month —
-    conditional aggregate over a broadcast dim join, with both sums
-    decimal-exact so the final double division matches bitwise."""
+    conditional aggregate over a part-dim join (no hint: part grows with
+    SF, AQE broadcast-selects at small SF), with both sums decimal-exact
+    so the final double division matches bitwise."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
@@ -427,7 +430,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     # both sums stay exact in decimal; the ONLY inexact step is one
     # terminal double division, identical in both engines (decimal
     # division would truncate at engine-specific scales)
@@ -625,11 +628,13 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the max quarterly
     revenue — a scalar-subquery max compared against the aggregate.
-    Spark form: aggregate once, then take the global max OVER THE
-    AGGREGATE's output (supplier-cardinality, not fact-cardinality)
-    with an unpartitioned window — one lineitem scan total, where the
-    naive `join(rev.agg(max))` plans a second full scan+aggregate of
-    lineitem because Catalyst does not dedupe the shared subtree.
+    Spark form: aggregate per supplier, then compare against a 1-row
+    broadcast `agg(max)` over the SAME aggregate. Both branches share
+    an identical shuffle subtree (scan → partial sum → Exchange on
+    l_suppkey), so exchange reuse (spark.sql.exchange.reuse, on by
+    default) plans ONE lineitem scan — unlike the earlier
+    `Window.partitionBy()` form, which funneled the SF-growing
+    per-supplier aggregate (SF×10k rows) through a single task.
     Revenue equality is exact because both sides accumulate in
     decimal; comparing doubles for equality here would be fragile."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -642,11 +647,10 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     rev = li.groupBy("l_suppkey").agg(F.sum("disc_price").alias("rev_dec"))
-    # single-partition window over ~#suppliers rows: cheap at any SF
-    max_rev = F.max("rev_dec").over(Window.partitionBy())
+    max_rev = rev.agg(F.max("rev_dec").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.withColumn("max_rev", max_rev)
+        rev.join(F.broadcast(max_rev))
         .filter(F.col("rev_dec") == F.col("max_rev"))
         .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
@@ -744,7 +748,7 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum("disc_price").cast("double").alias("revenue"),
@@ -842,7 +846,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -877,8 +881,9 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity — the fixture has no partsupp, so p_retailprice stands in
     for ps_supplycost; cited semantics otherwise per SURVEY §2.5) by
     supplier nation and order year for parts matching a name pattern.
-    The LIKE filter reduces part BEFORE it broadcasts; lineitem⋈orders
-    stays the only shuffle."""
+    The LIKE filter reduces the filtered part slice ahead of the join;
+    it is still a fixed fraction of an SF-growing table, so no broadcast
+    hint — AQE broadcast-selects at small SF and shuffles at scale."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%bolt%"))
@@ -902,7 +907,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit_term = F.col("gross") - _dec("p_retailprice", 12, 2) * F.col("qty_dec")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)

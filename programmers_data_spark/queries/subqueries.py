@@ -76,8 +76,9 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decorrelation: min(struct(price, suppkey)) per partkey — an
     ordinary partial-aggregable min (ties broken by suppkey, so the
-    result is deterministic), then joins back to the broadcast-able
-    part slice and supplier dim. No window sort anywhere.
+    result is deterministic), then joins back to the filtered part
+    slice and supplier dim. No window sort anywhere. No broadcast
+    hint: part grows with SF; AQE broadcast-selects at small SF.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
@@ -93,7 +94,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     )
     return (
-        best.join(F.broadcast(part), "p_partkey")
+        best.join(part, "p_partkey")
         .join(supp, best["b.l_suppkey"] == supp["s_suppkey"])
         .select(
             "p_partkey",
@@ -215,7 +216,7 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad_supp, "l_suppkey", "left_anti")
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -257,7 +258,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(per_part, "l_partkey")
         .filter(_dec("l_quantity", 12, 2) * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
@@ -424,11 +425,13 @@ def bulk_suppliers_for_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20-shaped nested-IN chain: suppliers (in two nations) who
     shipped more than 500 units of 'small…' parts.
 
-    Decorrelation: the inner IN is a broadcast left_semi on partkey;
-    the HAVING subquery is an aggregate-then-semi-join — the outer IN
-    becomes a left_semi of the tiny supplier dim against the
-    aggregated suppkey set. Quantity accumulates in DECIMAL so the
-    HAVING boundary is exact in both engines.
+    Decorrelation: the inner IN is a left_semi on partkey (no hint —
+    the filtered part slice is an SF-growing fraction; AQE broadcasts
+    it while it fits); the HAVING subquery is an
+    aggregate-then-semi-join — the outer IN becomes a left_semi of the
+    tiny supplier dim against the aggregated suppkey set. Quantity
+    accumulates in DECIMAL so the HAVING boundary is exact in both
+    engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part_keys = (
@@ -437,7 +440,7 @@ def bulk_suppliers_for_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     heavy = (
-        li.join(F.broadcast(part_keys), "l_partkey", "left_semi")
+        li.join(part_keys, "l_partkey", "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity", 12, 2)).alias("qty"))
         .filter(F.col("qty") > 500)

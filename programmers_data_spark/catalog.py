@@ -38,8 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     # Runtime-settable SQL confs the driver's own session may lack:
     # UTC so date_format/to_date on fixture timestamps match the
-    # UTC-naive oracle; nanosAsLong so NANOS parquet (events.ts) reads.
+    # UTC-naive oracle; nanosAsLong so NANOS parquet (events.ts) reads;
+    # inferTimestampNTZ off so plain parquet TIMESTAMP(isAdjustedToUTC
+    # =false) columns scan as TimestampType (UTC instant — identical to
+    # DuckDB's naive-as-UTC reading) instead of TIMESTAMP_NTZ, which
+    # unix_micros & friends reject. Setting it at the session level
+    # (rather than casting post-scan) keeps parquet predicate pushdown
+    # on timestamp columns.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))

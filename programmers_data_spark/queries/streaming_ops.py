@@ -387,6 +387,7 @@ def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import textfn
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
     stream = (
         spark.readStream.schema(schema)

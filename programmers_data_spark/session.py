@@ -49,6 +49,9 @@ def get_spark(
         # fixtures' events.ts is parquet TIMESTAMP(NANOS); read as long
         # and convert in catalog.load_table (no sub-µs content exists)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # plain parquet TIMESTAMP (isAdjustedToUTC=false) scans as
+        # TimestampType (UTC instant), matching DuckDB's naive-as-UTC
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

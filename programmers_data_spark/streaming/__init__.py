@@ -29,6 +29,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimestampType exactly as catalog.load_table does for batch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # file stream sources require a directory; pathGlobFilter scopes
     # the fixture dir down to the events table

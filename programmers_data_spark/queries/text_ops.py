@@ -128,7 +128,48 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("lang_id_heuristic")  # rows-only: argmax-over-profiles isn't ANSI-SQL
+def lang_pred_ctes() -> str:
+    """DuckDB twin of textfn.lang_id as a reusable CTE chain ending in
+    `p(doc_id, lang, source, predicted_lang)`: same whitespace-
+    normalized space-delimited token hits per profile (str_split +
+    list_filter ≡ the Spark lookaround regexp_count), same argmax
+    tie-break — list_sort of {'score','lang'} structs picks max score
+    then lexicographically greatest lang, exactly like Spark's
+    array_max over struct(score, lang). Shared by lang_id_heuristic
+    and round3_ops.doc_lang_mix."""
+    structs = ",\n        ".join(
+        "{'score': len(list_filter(toks, x -> list_contains([%s], x))), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in textfn.LANG_PROFILES.items()
+    )
+    n = len(textfn.LANG_PROFILES)
+    return f"""
+    t AS (
+      SELECT doc_id, lang, source,
+             str_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, source, list_sort([
+        {structs}
+      ])[{n}] AS best
+      FROM t
+    ), p AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+      FROM s
+    )"""
+
+
+def _lang_id_oracle() -> str:
+    return f"""
+    WITH {lang_pred_ctes()}
+    SELECT doc_id, lang, predicted_lang,
+           CAST(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END AS INTEGER) AS agrees
+    FROM p ORDER BY doc_id
+    """
+
+
+@query("lang_id_heuristic", oracle=_lang_id_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID (textfn.lang_id, the codegen
     regexp_count form) with agreement against the fixture's lang

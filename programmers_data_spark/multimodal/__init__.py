@@ -6,17 +6,22 @@ frame-sampling run as Arrow-batched pandas functions over
 `mapInPandas`, so each executor processes whole record batches and
 the JVM↔Python boundary is columnar.
 
-The container has no image/audio codecs, so `decode_media` is a STUB:
-with `fake=True` (default in tests) it produces a deterministic fake
-decode (dimensions derived from the payload hash) through the REAL
-mapInPandas path — schema, batching, partitioning all exercised;
-with `fake=False` it raises NotImplementedError where a codec
-(Pillow/ffmpeg) would be invoked.
+Codec strategy: with `fake=True` (the default, and the oracle path)
+decode/resize/frame-sample produce deterministic, SQL-expressible
+outputs through the REAL mapInPandas path — schema, batching,
+partitioning all exercised. With `fake=False` the real codec runs
+when its optional dependency is importable (Pillow for image
+decode/resize, ffprobe for video packet sampling) and raises
+NotImplementedError otherwise — an honest gate, never a silent
+fallback to fake output. Tests for the real paths are skipif-gated
+on the same availability probes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,6 +63,17 @@ def attach_binary_payload(
     )
 
 
+def pillow_available() -> bool:
+    """True when the optional Pillow dependency is importable (probe
+    used by both the codec dispatch and the skipif test gates)."""
+    return importlib.util.find_spec("PIL") is not None
+
+
+def ffprobe_available() -> bool:
+    """True when the ffprobe binary (ffmpeg suite) is on PATH."""
+    return shutil.which("ffprobe") is not None
+
+
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in for a codec: dimensions from the md5 of
     the payload bytes. Same arithmetic is SQL-expressible, which lets
@@ -75,28 +91,122 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _pillow_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode: Pillow opens each payload from an in-memory
+    buffer; width/height come from the actual image header. Runs
+    inside the executor's Python worker — payload bytes never leave
+    the Arrow batch."""
+    import io
+
+    from PIL import Image
+
+    widths: list[int | None] = []
+    heights: list[int | None] = []
+    md5s: list[str | None] = []
+    for p in pdf["payload"]:
+        if p is None:
+            widths.append(None), heights.append(None), md5s.append(None)
+            continue
+        raw = bytes(p)
+        with Image.open(io.BytesIO(raw)) as im:
+            widths.append(im.width), heights.append(im.height)
+        md5s.append(hashlib.md5(raw).hexdigest())
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "mime": pdf["mime"],
+            "n_bytes": pdf["n_bytes"],
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "payload_md5": md5s,
+        }
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode binary payloads → metadata + dimensions via mapInPandas
-    (Arrow record batches; partition-parallel)."""
+    (Arrow record batches; partition-parallel). fake=False dispatches
+    to Pillow when importable, else raises — never silently fakes."""
+    if not fake and not pillow_available():
+        raise NotImplementedError(
+            "real media decode requires Pillow (optional dependency "
+            "not present in this environment); use fake=True for the "
+            "deterministic stand-in codec"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires a codec library "
-                    "(Pillow/ffmpeg) not present in this environment"
-                )
-            yield _fake_decode_batch(pdf)
+            yield _fake_decode_batch(pdf) if fake else _pillow_decode_batch(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), True),
+    ]
+)
+
+
+def _ffprobe_frames_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real frame sampling: ffprobe reports video keyframe packet
+    positions (pts-ordered `pos` fields) for each payload, read from
+    stdin so payloads never touch executor disk. One subprocess per
+    media row — the per-row cost is the decode itself, so this stays
+    in the partition-parallel Arrow path."""
+    import json as _json
+    import subprocess
+
+    ids: list[int] = []
+    idxs: list[int] = []
+    offs: list[int | None] = []
+    for media_id, p in zip(pdf["media_id"], pdf["payload"]):
+        if p is None:
+            continue
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v",
+                "-show_packets", "-print_format", "json", "-",
+            ],
+            input=bytes(p), capture_output=True, check=True,
+        )
+        packets = _json.loads(out.stdout or b"{}").get("packets", [])
+        key = [pk for pk in packets if "K" in pk.get("flags", "")]
+        for i, pk in enumerate(key):
+            ids.append(media_id)
+            idxs.append(i)
+            offs.append(int(pk["pos"]) if "pos" in pk else None)
+    return pd.DataFrame(
+        {
+            "media_id": pd.array(ids, dtype="int64"),
+            "frame_idx": pd.array(idxs, dtype="int32"),
+            "byte_offset": pd.array(offs, dtype="Int64"),
+        }
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1000, fake: bool = True) -> DataFrame:
-    """Frame-sampling stub: emits one row per sampled "frame" offset —
-    the explode-shaped output a video pipeline produces. Deterministic
-    offsets (every_n_bytes strides over the payload)."""
+    """Frame sampling: one row per sampled frame offset — the
+    explode-shaped output a video pipeline produces.
+
+    fake=True (oracle path): deterministic offsets, every_n_bytes
+    strides over the payload, pure built-in explode/sequence (no
+    Python at all). fake=False: ffprobe keyframe packet positions via
+    mapInPandas when the binary is on PATH, else raises."""
     if not fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        if not ffprobe_available():
+            raise NotImplementedError(
+                "real frame sampling requires ffprobe (ffmpeg suite) "
+                "on PATH; use fake=True for the deterministic strides"
+            )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _ffprobe_frames_batch(pdf)
+
+        return media.mapInPandas(run, schema=FRAMES_SCHEMA)
     n_frames = F.greatest(
         (F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1)
     )
@@ -106,7 +216,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1000, fake: bool = True
     ).select(
         "media_id",
         "frame_idx",
-        (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
+        (F.col("frame_idx") * every_n_bytes).cast("long").alias("byte_offset"),
     )
 
 
@@ -160,11 +270,44 @@ def resize_media(
     to width*height bytes (a stand-in for a pixel buffer); with
     fake=False this is where Pillow's resize would run."""
 
+    if not fake and not pillow_available():
+        raise NotImplementedError(
+            "real resize requires Pillow (optional dependency not "
+            "present in this environment); use fake=True for the "
+            "deterministic truncation stand-in"
+        )
+
+    def _pillow_resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+
+        from PIL import Image
+
+        payloads: list[bytes | None] = []
+        for p in pdf["payload"]:
+            if p is None:
+                payloads.append(None)
+                continue
+            with Image.open(io.BytesIO(bytes(p))) as im:
+                buf = io.BytesIO()
+                im.resize((width, height)).save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "mime": "image/png",
+                "n_bytes": [0 if p is None else len(p) for p in payloads],
+                "width": width,
+                "height": height,
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real resize requires Pillow")
+                yield _pillow_resize_batch(pdf)
+                continue
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

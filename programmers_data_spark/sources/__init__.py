@@ -28,7 +28,7 @@ readers.
 from __future__ import annotations
 
 import json
-from typing import Any, Iterable
+from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -185,25 +185,35 @@ def read_sheet(
     *,
     sheet_url: str | None = None,
     header_line: int = 0,
+    fetch: "Callable[[str], list[list[str]]] | None" = None,
 ) -> DataFrame:
     """S6: spreadsheet scan (plugins/gsheet.py:78-99 get_google_sheet_to_csv).
 
     The sheet API client isn't available in this environment; the
     list-of-lists → typed-DataFrame plumbing (header-line selection,
     empty-row drop) is real. Pass ``rows`` as the client would return
-    them, or a ``sheet_url`` to attempt the gated network client.
+    them, or a ``sheet_url`` plus an optional ``fetch`` callable —
+    the seam the production gspread client plugs into (and tests
+    drive with a fake), so the full url→rows→clean→load path runs
+    through one public entry point.
     """
     if rows is None:
         if sheet_url is None:
             raise ValueError("need rows or sheet_url")
-        try:  # pragma: no cover - network client not installed here
-            import gspread  # noqa: F401
-        except ImportError as e:
+        if fetch is not None:
+            rows = fetch(sheet_url)
+        else:
+            try:  # pragma: no cover - network client not installed here
+                import gspread  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "sheet API client not available in this environment; "
+                    "pass rows= (the get_all_values() payload) or a "
+                    "fetch= callable instead"
+                ) from e
             raise NotImplementedError(
-                "sheet API client not available in this environment; "
-                "pass rows= (the get_all_values() payload) instead"
-            ) from e
-        raise NotImplementedError("network fetch not wired in this environment")
+                "network fetch not wired in this environment"
+            )
     header, *data = rows[header_line:]
     data = [r for r in data if any(str(c).strip() for c in r)]
     cols = [str(h).strip() or f"col{i}" for i, h in enumerate(header)]

@@ -101,6 +101,43 @@ def test_read_sheet_network_is_gated(spark):
         sources.read_sheet(spark, sheet_url="https://example.invalid/sheet")
 
 
+def test_read_sheet_fetch_seam_end_to_end(spark, tmp_path):
+    """S6 through the public entry with an injected fetch callable —
+    the seam the gspread client plugs into (gsheet.py:78-99): url →
+    raw payload (preamble junk + header at line 2) → header-line
+    selection → p2f/currency cleaning → parquet load, no network."""
+    from programmers_data_spark.functions import cleaning
+
+    seen_urls: list[str] = []
+
+    def fake_fetch(url: str) -> list[list[str]]:
+        seen_urls.append(url)
+        return [
+            ["Quarterly report", "", ""],  # preamble the reference skips
+            ["generated 2024-01-01", "", ""],
+            ["item", "price", "share"],  # header line 2
+            ["widget", "$1,200", "45%"],
+            ["", "", ""],  # blank row dropped
+            ["gadget", "$800", "55%"],
+        ]
+
+    df = sources.read_sheet(
+        spark, sheet_url="https://sheets.example/abc", header_line=2, fetch=fake_fetch
+    )
+    assert seen_urls == ["https://sheets.example/abc"]
+    assert df.columns == ["item", "price", "share"]
+
+    cleaned = df.select(
+        "item",
+        cleaning.clean_numeric("price").alias("price"),
+        cleaning.percent_to_fraction("share").alias("share"),
+    )
+    path = str(tmp_path / "sheet_out")
+    cleaned.write.parquet(path)
+    out = {r.item: (r.price, r.share) for r in spark.read.parquet(path).collect()}
+    assert out == {"widget": (1200.0, 0.45), "gadget": (800.0, 0.55)}
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, sf_smoke, tmp_path):
     """S5 executed end-to-end: write a fixture table into an embedded
     Derby database (the Derby jars ship with Spark) through the JDBC
@@ -222,22 +259,103 @@ def test_resize_media_binary_roundtrip(spark, sf_smoke):
 
 
 def test_real_decode_paths_are_gated(spark, sf_smoke):
+    """Without the optional codec deps, fake=False raises eagerly
+    (driver-side) instead of silently falling back to fake output."""
+    from programmers_data_spark import multimodal
     from programmers_data_spark.multimodal import (
         attach_binary_payload,
         decode_media,
         extract_features,
         resize_media,
+        sample_frames,
     )
     import pytest as _pytest
 
+    if multimodal.pillow_available() and multimodal.ffprobe_available():
+        _pytest.skip("real codecs present; gates do not fire")
     docs = load_table(spark, sf_smoke, "documents").limit(2)
     media = attach_binary_payload(docs, "doc_id", "text")
-    for fn in (decode_media, extract_features, resize_media):
+    gated = [extract_features]
+    if not multimodal.pillow_available():
+        gated += [decode_media, resize_media]
+    if not multimodal.ffprobe_available():
+        gated += [sample_frames]
+    for fn in gated:
         with _pytest.raises(Exception) as ei:
             fn(media, fake=False).collect()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+def _png_media_df(spark, sizes):
+    """Tiny real PNGs (Pillow) as a MEDIA_SCHEMA DataFrame."""
+    import io
+
+    from PIL import Image
+
+    from programmers_data_spark.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for i, (w, h) in enumerate(sizes):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color=(i * 40 % 256, 0, 0)).save(buf, format="PNG")
+        payload = buf.getvalue()
+        rows.append((i, payload, "image/png", len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="Pillow not installed",
+)
+def test_real_pillow_decode_and_resize(spark):
+    """fake=False with Pillow importable: header dimensions come from
+    the actual image, and resize re-encodes a decodable PNG."""
+    import io
+
+    from PIL import Image
+
+    from programmers_data_spark.multimodal import decode_media, resize_media
+
+    media = _png_media_df(spark, [(5, 7), (12, 3)])
+    decoded = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert (decoded[0].width, decoded[0].height) == (5, 7)
+    assert (decoded[1].width, decoded[1].height) == (12, 3)
+
+    resized = resize_media(media, width=4, height=4, fake=False).collect()
+    for r in resized:
+        with Image.open(io.BytesIO(bytes(r.payload))) as im:
+            assert (im.width, im.height) == (4, 4)
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("ffprobe") or not __import__("shutil").which("ffmpeg"),
+    reason="ffmpeg/ffprobe not installed",
+)
+def test_real_ffprobe_frame_sampling(spark, tmp_path):
+    """fake=False with ffprobe on PATH: keyframe packet positions of a
+    synthesized clip come back one row per keyframe."""
+    import subprocess
+
+    from programmers_data_spark.multimodal import MEDIA_SCHEMA, sample_frames
+
+    clip = tmp_path / "clip.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+            "testsrc=duration=1:size=64x64:rate=10", "-pix_fmt", "yuv420p",
+            "-movflags", "+faststart", str(clip),
+        ],
+        check=True,
+    )
+    payload = clip.read_bytes()
+    media = spark.createDataFrame(
+        [(1, payload, "video/mp4", len(payload))], MEDIA_SCHEMA
+    )
+    frames = sample_frames(media, fake=False).collect()
+    assert len(frames) >= 1
+    assert [r.frame_idx for r in frames] == list(range(len(frames)))
 
 
 def test_write_partitioned_layout_and_pruning(spark, sf_smoke, tmp_path):

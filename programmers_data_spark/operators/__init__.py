@@ -28,6 +28,7 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "salted_join",
+    "salted_band_pairs",
     "as_of_join",
     "range_join",
     "connected_components",
@@ -126,6 +127,62 @@ def salted_join(
     salted_r = right.withColumn("__salt", salts)
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_band_pairs(
+    banded: DataFrame,
+    band_cols: Sequence[str] = ("band_idx", "band"),
+    id_col: str = "doc_id",
+    hot_threshold: int = 256,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Candidate-pair generation from an LSH banding table, skew-safe.
+
+    The plain self-equi-join on the band hash is quadratic in bucket
+    size AND lands each bucket on one reducer — a corpus with a hot
+    bucket (boilerplate/empty docs all sharing a signature) turns one
+    task into the straggler. This splits buckets by measured
+    frequency:
+
+    - cold buckets (≤ hot_threshold members) take the plain
+      bucket-join path — identical to before;
+    - hot buckets get a deterministic salt on the a-side
+      (pmod(xxhash64(id), n_salts)) and an n_salts-fold replication
+      of the b-side, so each (a, b) pair is produced exactly once
+      while the bucket's quadratic work spreads over n_salts tasks.
+
+    The hot-bucket list is an aggregate of the banding table itself
+    (tiny by construction — it only holds pathological keys) and is
+    broadcast to both the semi and anti splits, so the split adds no
+    shuffle of the banding table. Result: distinct (doc_a, doc_b)
+    pairs with doc_a < doc_b — plan-level change only, identical
+    output to the naive join by construction.
+    """
+    keys = list(band_cols)
+    a = banded.select(F.col(id_col).alias("doc_a"), *keys)
+    b = banded.select(F.col(id_col).alias("doc_b"), *keys)
+    hot = F.broadcast(
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > hot_threshold)
+        .select(*keys)
+    )
+    cold = a.join(hot, keys, "left_anti").join(
+        b.join(hot, keys, "left_anti"), keys
+    )
+    a_hot = a.join(hot, keys, "left_semi").withColumn(
+        "__salt", F.pmod(F.xxhash64("doc_a"), F.lit(n_salts)).cast("int")
+    )
+    b_hot = b.join(hot, keys, "left_semi").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    hot_pairs = a_hot.join(b_hot, [*keys, "__salt"])
+    return (
+        cold.select("doc_a", "doc_b")
+        .unionByName(hot_pairs.select("doc_a", "doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def range_join(

@@ -640,6 +640,14 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        # no-op semantically (suppkey is never null) but load-bearing
+        # for the plan: the join branch gets an isnotnull(l_suppkey)
+        # inferred onto its scan while the max branch doesn't, and the
+        # differing filters break exchange-subtree canonicalization —
+        # AQE then runs TWO lineitem scans. Pinning the filter on the
+        # shared input makes both branches identical, so the runtime
+        # stage cache reuses one shuffle (asserted in test_scale).
+        & F.col("l_suppkey").isNotNull()
     ).select(
         "l_suppkey",
         (_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..operators import salted_band_pairs
 from ..registry import query
 
 N_HASHES = 8
@@ -167,6 +168,59 @@ def _band_cols_duck() -> str:
 _N_BANDS = N_HASHES // BAND_SIZE
 
 
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles + MinHash signature table over the augmented corpus,
+    as ONE Arrow-batched pass: tokenizing, 3-gram shingling, and
+    8×md5 MinHash in interpreted Catalyst HOFs costs ~5s/pass at
+    sf0.1 and downstream self-joins replan it 3-4×. hashlib md5 emits
+    the identical hex the oracle's md5() does, so parity is
+    untouched. Persisted because several downstream branches (pair-gen
+    a/b sides, Jaccard verify, sketch-accuracy estimates) read it; at
+    100 TB this is the "write the signature table once, reuse per
+    batch" pattern. Shared by dedup_minhash and
+    minhash_jaccard_estimate (round3_ops)."""
+    aug = _augmented_docs(spark, sf_dir)
+
+    def _sig_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_sh, out_mh = [], [[] for _ in range(N_HASHES)]
+            for text in pdf["text"]:
+                toks = [t for t in _WS.split(text.strip()) if t]
+                n = max(len(toks) - 2, 1)
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(n)
+                    )
+                )
+                out_sh.append(sh)
+                digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+                for i in range(N_HASHES):
+                    lo = 4 * i
+                    out_mh[i].append(min(d[lo : lo + 4] for d in digests))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shingles": out_sh,
+                    **{f"mh{i}": out_mh[i] for i in range(N_HASHES)},
+                }
+            )
+
+    sig_schema = "doc_id long, shingles array<string>, " + ", ".join(
+        f"mh{i} string" for i in range(N_HASHES)
+    )
+    # spread the Python stage across all cores — the parquet source is
+    # one file, so without this the Arrow pass runs ~single-partition
+    return (
+        aug.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_sig_batches, schema=sig_schema)
+        .persist()
+    )
+
+
 @query(
     "dedup_minhash",
     oracle=f"""
@@ -214,67 +268,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join) — linear in docs + bucket collisions, never an
     all-pairs product.
     """
-    aug = _augmented_docs(spark, sf_dir)
-    # Signature stage as ONE Arrow-batched pass: tokenizing, 3-gram
-    # shingling, and 8×md5 MinHash in interpreted Catalyst HOFs costs
-    # ~5s/pass at sf0.1 and the self-join + verify replans it 3-4×.
-    # hashlib md5 emits the identical hex the oracle's md5() does, so
-    # parity is untouched. Persisted because three downstream branches
-    # (pair-gen a/b sides, Jaccard verify) read it; at 100 TB this is
-    # the "write the signature table once, reuse per batch" pattern.
-    def _sig_batches(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            out_sh, out_mh = [], [[] for _ in range(N_HASHES)]
-            for text in pdf["text"]:
-                toks = [t for t in _WS.split(text.strip()) if t]
-                n = max(len(toks) - 2, 1)
-                sh = list(
-                    dict.fromkeys(
-                        " ".join(toks[i : i + 3]) for i in range(n)
-                    )
-                )
-                out_sh.append(sh)
-                digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
-                for i in range(N_HASHES):
-                    lo = 4 * i
-                    out_mh[i].append(min(d[lo : lo + 4] for d in digests))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "shingles": out_sh,
-                    **{f"mh{i}": out_mh[i] for i in range(N_HASHES)},
-                }
-            )
-
-    sig_schema = "doc_id long, shingles array<string>, " + ", ".join(
-        f"mh{i} string" for i in range(N_HASHES)
-    )
-    # spread the Python stage across all cores — the parquet source is
-    # one file, so without this the Arrow pass runs ~single-partition
-    sigs = (
-        aug.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(_sig_batches, schema=sig_schema)
-        .persist()
-    )
+    sigs = minhash_signatures(spark, sf_dir)
     banded = sigs.select(
         "doc_id",
         F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band"
-    )
-    pairs = (
-        a.join(b, ["band_idx", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    # Skew-safe bucket join: hot band buckets (boilerplate corpora
+    # collapse many docs onto one signature) are measured, salted on
+    # the a-side, and replicated ×8 on the b-side so the quadratic
+    # bucket work spreads over 8 tasks instead of one straggler; cold
+    # buckets take the plain path. Identical pair set by construction
+    # (operators.salted_band_pairs; skew test in test_scale).
+    pairs = salted_band_pairs(
+        banded, band_cols=("band_idx", "band"), id_col="doc_id"
     )
 
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

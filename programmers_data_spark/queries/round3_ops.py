@@ -1,7 +1,446 @@
-"""Round-3 query additions.
+"""Round-3/4 query additions (training-data pipeline tier).
 
-Registered directly after the rotated round-2 tier so every query in
-this module lands inside the driver's 50-query CORRECTNESS window.
+- minhash_jaccard_estimate: sketch accuracy — per LSH candidate pair,
+  the 8-hash MinHash Jaccard estimate next to the exact value.
+- sequence_packing: the concat-and-split packing every LLM training
+  pipeline runs (docs → fixed-size token bins), as a distributed
+  two-level prefix sum instead of a single global window.
+- bigram_stats: corpus-level n-gram frequency table (top-k bigrams by
+  document frequency).
+- doc_lang_mix: per-source language composition from the lang-ID
+  heuristic — the corpus-mixture view a multilingual curation pass
+  reads.
+- knn_label_vote: k-NN majority-vote label prediction over the
+  embedding table — brute-force cosine top-k + grouped vote.
+- skew_profile: heavy-hitter diagnostics on a join key — the profile
+  that decides when salting/AQE-skew handling is needed.
+
+Registered inside the driver's 50-query CORRECTNESS window
+(registry._QUERY_MODULES order); every query here has a DuckDB
+oracle. Imports from dedup_ops/text_ops are deliberate: those modules
+register earlier in the window, so the import cannot reorder it.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..functions.vectors import as_double_array, cosine
+from ..operators import salted_band_pairs
+from ..registry import query
+from ._oracle_shared import _DUCK_TOKS
+from .dedup_ops import (
+    _AUG_SQL,
+    _SHINGLES_DUCK,
+    _band_cols_duck,
+    _band_cols_spark,
+    _minhash_sig_duck,
+    _N_BANDS,
+    N_HASHES,
+    minhash_signatures,
+)
+from .text_ops import lang_pred_ctes
+
+# ---------------------------------------------------------------- minhash est
+
+_MH_EQ_DUCK = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    shingled AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM aug)
+    ),
+    sigs AS (
+      SELECT doc_id, shingles, {_minhash_sig_duck()}
+      FROM shingled
+    ),
+    banded AS (
+      SELECT doc_id, {_band_cols_duck()}
+      FROM sigs
+    ),
+    pairs AS (
+      {" UNION ".join(
+        f'''SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id'''
+        for i in range(_N_BANDS)
+      )}
+    )
+    SELECT p.doc_a, p.doc_b,
+           ({_MH_EQ_DUCK}) / {N_HASHES}.0 AS est_jaccard,
+           floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles))
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy, measured: for every LSH candidate pair, the
+    MinHash estimate (matching-hash fraction over 8 hashes — the
+    standard unbiased Jaccard estimator) next to the exact shingle
+    Jaccard. This is the query an engineer runs before trusting the
+    sketch at 100 TB, where exact verification of every pair is
+    unaffordable; here the exact side doubles as the oracle. Reuses
+    the persisted signature table (one Arrow pass) and the skew-safe
+    banding join from dedup_minhash."""
+    sigs = minhash_signatures(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
+    )
+    pairs = salted_band_pairs(
+        banded, band_cols=("band_idx", "band"), id_col="doc_id"
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_HASHES)],
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    matches = sum(
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int")
+        for i in range(N_HASHES)
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            (matches / float(N_HASHES)).alias("est_jaccard"),
+            (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------- packing
+
+SEQ_LEN = 2048
+PACK_SHARD = 64  # docs per prefix-sum shard
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           cum_before // {SEQ_LEN} AS bin_id,
+           cum_before % {SEQ_LEN} AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: the corpus in doc_id order
+    is conceptually concatenated and cut into SEQ_LEN-token training
+    sequences; each doc gets its bin id and offset. The oracle is the
+    single global window cumsum; the Spark form is the DISTRIBUTED
+    two-level prefix sum — per-shard window (parallel, partitioned by
+    doc_id div PACK_SHARD) plus a prefix over per-shard totals (one
+    tiny task over corpus/PACK_SHARD rows, then broadcast back). At
+    100 TB the shard size rises so the totals table stays bounded;
+    no full-corpus single-partition window ever runs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        textfn.token_count("text").cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = docs.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    shard_totals = docs.groupBy("shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    w_shard = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_shard), F.lit(0)).alias(
+            "shard_before"
+        ),
+    )
+    packed = local.join(F.broadcast(shard_offsets), "shard").withColumn(
+        "cum_before", F.col("shard_before") + F.col("local_before")
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {SEQ_LEN}").alias("bin_id"),
+        (F.col("cum_before") % SEQ_LEN).alias("bin_offset"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------- bigram stats
+
+TOP_BIGRAMS = 50
+
+
+@query(
+    "bigram_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+1], ' ')
+             )) AS bigram
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    SELECT bigram,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM b
+    GROUP BY bigram
+    ORDER BY df DESC, total DESC, bigram
+    LIMIT {TOP_BIGRAMS}
+    """,
+)
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table: top {TOP_BIGRAMS} bigrams by
+    document frequency (ties → total count, then bigram — fully
+    deterministic). Two-phase aggregate: explode is map-side, the
+    groupBy partially aggregates before the shuffle; top-k is a
+    TakeOrdered, not a global sort. The vocab/df table n-gram LMs and
+    repetition filters read."""
+    toks = textfn.tokenize("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    return (
+        docs.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("total"), "bigram")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+# -------------------------------------------------------------- lang mixture
+
+
+@query(
+    "doc_lang_mix",
+    oracle=f"""
+    WITH {lang_pred_ctes()}
+    SELECT source, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+             / SUM(count(*)) OVER (PARTITION BY source) AS share
+    FROM p
+    GROUP BY source, predicted_lang
+    ORDER BY source, predicted_lang
+    """,
+)
+def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition from the lang-ID heuristic —
+    the mixture view a multilingual curation pass reads before
+    setting sampling weights. Share = docs/source-total, a single
+    division of exact integers (bitwise-equal across engines). The
+    per-source totals ride a broadcast join, not a window, so the
+    big side shuffles once on (source, predicted_lang) only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", textfn.lang_id("text").alias("predicted_lang")
+    )
+    counts = docs.groupBy("source", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n_docs").alias("source_docs")
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("source_docs")).alias(
+                "share"
+            ),
+        )
+        .orderBy("source", "predicted_lang")
+    )
+
+
+# ----------------------------------------------------------------- kNN vote
+
+KNN_QUERIES = 10
+KNN_K = 5
+
+_DUCK_COS_QC = (
+    "list_dot_product(q.emb, c.emb)"
+    " / (sqrt(list_dot_product(q.emb, q.emb))"
+    " * sqrt(list_dot_product(c.emb, c.emb)))"
+)
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_DUCK_COS_QC} AS cos
+      FROM e q JOIN e c ON q.vec_id < {KNN_QUERIES} AND c.vec_id >= {KNN_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= {KNN_K}
+      GROUP BY query_id, true_label, neighbor_label
+    )
+    SELECT query_id, true_label,
+           neighbor_label AS predicted_label, n_votes
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label) AS vr
+      FROM votes
+    )
+    WHERE vr = 1
+    ORDER BY query_id
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction: for each of the first
+    {KNN_QUERIES} vectors, the top-{KNN_K} cosine neighbors from the
+    rest of the corpus vote on a label (ties → lexicographically
+    first label). The brute-force scored join is broadcast-bounded on
+    the query side (same shape as embedding_topk); at 100 TB the
+    neighbor stage swaps to the IVF/LSH path unchanged — the vote is
+    a per-query aggregate either way."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= KNN_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "emb",
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine("emb", "q_emb").alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+# -------------------------------------------------------------- skew profile
+
+TOP_KEYS = 10
+
+
+@query(
+    "skew_profile",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / total AS share
+    FROM k, t
+    ORDER BY n_events DESC, user_id
+    LIMIT {TOP_KEYS}
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostics on a join key: the top {TOP_KEYS}
+    user_ids by event count with their traffic share — the profile
+    that decides whether a join needs salting or AQE skew handling
+    (see salted_segment_revenue / salted_band_pairs). One partial-
+    aggregable groupBy + a TakeOrdered; the corpus total rides a
+    1-row broadcast cross join."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(TOP_KEYS)
+    )

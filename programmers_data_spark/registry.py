@@ -24,25 +24,26 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # Module order is the driver's verification order: the per-round
-# CORRECTNESS check covers the first 50 registered queries. Round 3
-# rotates the 11 round-2 additions that registered past the window
-# (text_quality_ops tail, curation_ops, cohort_retention in extras)
-# into the window, keeps regression sentinels (loads: incr_distinct /
-# dedup_keep_latest; summary: mau) at the front, and reserves the
-# remaining slots for round-3 additions (round3_ops). Queries outside
-# the window were driver-green in r1/r2 and stay oracle-verified
-# locally via tests/test_oracle_parity.py, which checks every
-# registered oracle.
+# CORRECTNESS check covers the first 50 registered queries. Round 4
+# fronts everything needing a fresh driver row: loads + transforms
+# (the four queries the regenerated NTZ fixtures broke in r3),
+# text_ops (lang_id_heuristic's new oracle), dedup_ops (plan changed
+# to the skew-salted band join), and round3_ops (the six round-4
+# additions). summary (sentinel mau) plus the r3-green text_quality /
+# curation tiers fill the remaining slots as regression canaries.
+# Queries outside the window were driver-green in earlier rounds and
+# stay oracle-verified locally via tests/test_oracle_parity.py, which
+# checks every registered oracle.
 _QUERY_MODULES = (
-    "programmers_data_spark.queries.loads",  # 4  — sentinels (r1+r2 green)
-    "programmers_data_spark.queries.summary",  # 5  — sentinel mau (r1 green)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 — 5 unchecked
-    "programmers_data_spark.queries.curation_ops",  # 5  — all unchecked
-    "programmers_data_spark.queries.extras",  # 18 — cohort_retention unchecked
-    "programmers_data_spark.queries.round3_ops",  # new this round → in-window
-    "programmers_data_spark.queries.transforms",
-    "programmers_data_spark.queries.text_ops",
-    "programmers_data_spark.queries.dedup_ops",
+    "programmers_data_spark.queries.loads",  # 4  — 3 NTZ-fixed + sentinel
+    "programmers_data_spark.queries.transforms",  # 7 — epoch_to_date NTZ-fixed
+    "programmers_data_spark.queries.text_ops",  # 13 — lang_id newly oracled
+    "programmers_data_spark.queries.dedup_ops",  # 6 — salted band join
+    "programmers_data_spark.queries.round3_ops",  # 6 — new this round
+    "programmers_data_spark.queries.summary",  # 5  — sentinels (36→41)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→47)
+    "programmers_data_spark.queries.curation_ops",  # 5 (first 3 in window)
+    "programmers_data_spark.queries.extras",
     "programmers_data_spark.queries.similarity_ops",
     "programmers_data_spark.queries.multimodal_ops",
     "programmers_data_spark.queries.streaming_ops",

@@ -1,0 +1,112 @@
+"""Semantic tests for the round-4 operators (queries/round3_ops.py).
+
+Value-level cross-engine parity is covered for every one of these by
+tests/test_oracle_parity.py (they all register oracles); these tests
+pin the semantics the hashes alone don't explain — packing
+invariants, sketch accuracy, vote shape — and the scale-posture plan
+properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from programmers_data_spark import registry
+from programmers_data_spark.queries.round3_ops import (
+    KNN_K,
+    KNN_QUERIES,
+    SEQ_LEN,
+    TOP_KEYS,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def test_sequence_packing_invariants(spark, sf_smoke):
+    """Concat-and-split semantics: offsets stay inside the bin, the
+    cumulative stream is gapless (next cum = prev cum + prev tokens),
+    and bins are filled in doc_id order."""
+    rows = registry.QUERIES["sequence_packing"](spark, sf_smoke).collect()
+    assert rows, "packing output must be non-empty"
+    cum = 0
+    for r in rows:  # already ordered by doc_id
+        assert 0 <= r.bin_offset < SEQ_LEN
+        assert r.bin_id == cum // SEQ_LEN
+        assert r.bin_offset == cum % SEQ_LEN
+        cum += r.n_tokens
+    total_bins = rows[-1].bin_id + 1
+    assert total_bins == (cum + SEQ_LEN - 1) // SEQ_LEN or total_bins == cum // SEQ_LEN + 1
+
+
+def test_sequence_packing_distributed_prefix_plan(spark, sf_smoke):
+    """The corpus-wide window runs per-shard (partitioned), never over
+    the whole corpus in one task: every Window node in the plan that
+    sorts the full doc stream must carry the shard partition key."""
+    df = registry.QUERIES["sequence_packing"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only acceptable unpartitioned window input is the per-shard
+    # totals table (corpus/PACK_SHARD rows) — it aggregates before the
+    # window, so no full-corpus "Window [...] []" may appear after a
+    # plain scan
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        ctx = plan[m.start() : m.start() + 400]
+        assert "shard_tokens" in ctx or "sum(n_tokens)" in ctx, (
+            "unpartitioned window over non-aggregated input:\n" + ctx
+        )
+
+
+def test_minhash_estimate_sketch_accuracy(spark, sf_smoke):
+    """The 8-hash estimator tracks exact Jaccard on real candidate
+    pairs: mean absolute error bounded (8 hashes → stderr ≈ 0.17),
+    and both columns stay in [0, 1]."""
+    rows = registry.QUERIES["minhash_jaccard_estimate"](
+        spark, sf_smoke
+    ).collect()
+    assert rows, "banding must produce candidate pairs on the augmented corpus"
+    errs = []
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.jaccard <= 1.0
+        errs.append(abs(r.est_jaccard - r.jaccard))
+    assert sum(errs) / len(errs) < 0.25
+
+
+def test_knn_label_vote_shape(spark, sf_smoke):
+    rows = registry.QUERIES["knn_label_vote"](spark, sf_smoke).collect()
+    assert len(rows) == KNN_QUERIES
+    for r in rows:
+        assert 1 <= r.n_votes <= KNN_K
+        assert r.predicted_label is not None
+
+
+def test_skew_profile_orders_heavy_hitters(spark, sf_smoke):
+    rows = registry.QUERIES["skew_profile"](spark, sf_smoke).collect()
+    assert len(rows) == TOP_KEYS
+    counts = [r.n_events for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r.share for r in rows) <= 1.0 + 1e-9
+
+
+def test_doc_lang_mix_shares_sum_to_one(spark, sf_smoke):
+    rows = registry.QUERIES["doc_lang_mix"](spark, sf_smoke).collect()
+    by_source: dict[str, float] = {}
+    for r in rows:
+        by_source[r.source] = by_source.get(r.source, 0.0) + r.share
+    assert by_source, "at least one source"
+    for total in by_source.values():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_bigram_stats_deterministic_topk(spark, sf_smoke):
+    df = registry.QUERIES["bigram_stats"](spark, sf_smoke)
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in df.collect()]
+    assert a == b
+    dfs = [r[2] for r in a]
+    assert dfs == sorted(dfs, reverse=True)

@@ -159,14 +159,32 @@ def salted_band_pairs(
     output to the naive join by construction.
     """
     keys = list(band_cols)
+    # the split reads the banding table several times (frequency agg +
+    # the semi/anti sides); materialize it once rather than
+    # recomputing the band hashes per pass (MEMORY_AND_DISK, spills
+    # at scale — the table is docs × n_bands short rows)
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("doc_a"), *keys)
     b = banded.select(F.col(id_col).alias("doc_b"), *keys)
-    hot = F.broadcast(
+    hot_df = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") > hot_threshold)
         .select(*keys)
     )
+    # runtime skew probe (one cheap partial-agg job over the persisted
+    # banding): a healthy corpus has NO hot buckets, and the plain
+    # bucket join beats four no-op semi/anti stages — same adaptivity
+    # AQE applies to shuffle joins, decided here because the quadratic
+    # blowup is inside one key, which AQE cannot split
+    if not hot_df.take(1):
+        return (
+            a.join(b, keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    hot = F.broadcast(hot_df)
     cold = a.join(hot, keys, "left_anti").join(
         b.join(hot, keys, "left_anti"), keys
     )

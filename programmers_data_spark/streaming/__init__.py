@@ -140,6 +140,85 @@ def stateful_counts(stream: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf Python package
+    (its state-server protocol); absent here, present on any cluster
+    with pip-installed pyspark[sql]. Probe used by the gate, the
+    conditional query registration, and the skipif tests."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # raises ModuleNotFoundError when even "google" is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def stateful_value_stats(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via transformWithStateInPandas — the
+    Spark 4 arbitrary-state v2 API (typed state variables on a
+    StatefulProcessor, the successor to applyInPandasWithState's
+    single tuple): per-key running event count + cent-exact value sum.
+    Cents are floor(value*100+0.5) 64-bit ints, so the accumulated sum
+    is order-independent and matches a batch GROUP BY bit-for-bit.
+
+    Requires the RocksDB state store (bundled with Spark; conf pinned
+    here — runtime-settable) and the protobuf package (honest gate,
+    same policy as the multimodal codecs: never a silent fallback).
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package (not present in this environment); "
+            "streaming.stateful_counts is the applyInPandasWithState "
+            "twin with the same per-key-state semantics"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, cents long")
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        stream.select(key, "value")
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=_ValueStats(),
+            outputStructType=f"{key} long, n_events long, total_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_stream_to_table(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

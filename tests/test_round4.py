@@ -133,3 +133,42 @@ def test_bigram_stats_deterministic_topk(spark, sf_smoke):
     assert a == b
     dfs = [r[2] for r in a]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_tws_stateful_op_gated_or_works(spark, sf_smoke):
+    """transformWithStateInPandas (Spark 4 arbitrary-state v2): where
+    protobuf exists the per-user stats equal the batch GROUP BY; here
+    it raises the honest gate and the query stays unregistered."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark import streaming
+    from programmers_data_spark.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+        stateful_value_stats,
+    )
+
+    stream = read_events_stream(spark, sf_smoke)
+    if not streaming.tws_available():
+        assert "stream_tws_value_stats" not in registry.QUERIES
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_value_stats(stream)
+        return
+    out = run_stream_to_table(
+        stateful_value_stats(stream), output_mode="update"
+    )
+    from programmers_data_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in batch.collect()
+    }

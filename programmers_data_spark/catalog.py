@@ -50,10 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
-    # a raw INT64 (spark.sql.legacy.parquet.nanosAsLong). The fixtures
-    # carry no sub-microsecond content (verified across all SFs), so
-    # nanos→micros is lossless and every query sees a TimestampType.
+    # Fixture generations have varied their physical timestamp type:
+    # earlier rounds wrote events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark only reads as a raw INT64 (nanosAsLong); current
+    # fixtures write plain TIMESTAMP(MICROS) (handled by the NTZ conf
+    # above). Both normalizations stay so any generation reads as
+    # TimestampType. The nanos carried no sub-microsecond content
+    # (verified across all SFs), so nanos→micros is lossless.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — a double `/` would lose precision on
         # epoch-nanos magnitudes (> 2^53) and shift timestamps by ±1µs

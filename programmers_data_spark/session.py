@@ -46,8 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # fixtures' events.ts is parquet TIMESTAMP(NANOS); read as long
-        # and convert in catalog.load_table (no sub-µs content exists)
+        # fixture generations vary: TIMESTAMP(NANOS) events.ts (read
+        # as long, converted in catalog.load_table — no sub-µs content
+        # exists) or plain TIMESTAMP(MICROS) (NTZ conf below)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # plain parquet TIMESTAMP (isAdjustedToUTC=false) scans as
         # TimestampType (UTC instant), matching DuckDB's naive-as-UTC

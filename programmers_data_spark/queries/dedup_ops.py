@@ -9,8 +9,10 @@
 - ngram_jaccard:  brute-force pairwise Jaccard on a bounded doc
                   subset — the oracle-checkable ground truth for the
                   LSH path.
-- dedup_simhash:  64-bit SimHash near-dup keys (rows-only — bit
-                  tricks aren't portably SQL-expressible).
+- dedup_simhash:  64-bit SimHash near-dup keys from md5-derived token
+                  bits — fully hash-parity-checked against a DuckDB
+                  bit-vote oracle (hex-slice → UBIGINT → per-bit
+                  votes).
 
 The fixtures contain no duplicate texts at the correctness SF, so the
 near-dup queries first augment the corpus with deterministic mutated
@@ -342,10 +344,47 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: 64-bit popcount tricks aren't portable SQL
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    tok AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM aug
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h, generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, b
+    ),
+    usig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0
+                      THEN CAST((CAST(1 AS UBIGINT) << b) AS HUGEINT)
+                      ELSE 0 END) AS HUGEINT) AS us
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(CASE WHEN COALESCE(u.us, 0) >= 9223372036854775808
+                     THEN COALESCE(u.us, 0) - 18446744073709551616
+                     ELSE COALESCE(u.us, 0) END AS BIGINT) AS simhash,
+           CAST(COALESCE(u.us, 0) // 281474976710656 AS BIGINT) AS bucket
+    FROM aug a LEFT JOIN usig u ON a.doc_id = u.doc_id
+    ORDER BY a.doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup keys: per-token 64-bit hash (blake2b-8), bit
-    vote, sign → 64-bit signature, bucketed by the top 16 bits.
+    """SimHash near-dup keys: per-token 64-bit hash (first 8 bytes of
+    md5 — the same "one portable hash, split bits" construction the
+    MinHash stage uses), bit vote, sign → 64-bit signature, bucketed
+    by the top 16 bits. md5-derived bits make the whole signature
+    DuckDB-reproducible (hex-slice → UBIGINT → per-bit votes), so the
+    previous rows-only status upgrades to full hash parity.
 
     SimHash is inherently map-only — each doc's signature depends only
     on its own tokens — so it runs as one Arrow pass with numpy doing
@@ -367,9 +406,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _h(tok: str) -> int:
             h = vocab.get(tok)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                 vocab[tok] = h
             return h
 

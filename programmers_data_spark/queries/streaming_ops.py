@@ -202,10 +202,38 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session_window")  # rows-only: native session_window op
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sess
+    ORDER BY user_id, session_start_us
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-min gap) per user — the
-    stateful-operator form of `sessionization` (complete mode)."""
+    stateful-operator form of `sessionization` (complete mode).
+    Oracle: the lag+cumsum batch form — session_window merges events
+    while the inter-event gap stays under 30 min and the lag oracle
+    breaks on >= 30 min, the same boundary; session start = first
+    event's timestamp in both."""
     stream = read_events_stream(spark, sf_dir)
     agg = session_agg(
         stream, "30 minutes", "user_id", aggs=[F.count(F.lit(1)).alias("n_events")]

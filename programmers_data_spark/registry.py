@@ -40,13 +40,14 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_ops",  # 13 — lang_id newly oracled
     "programmers_data_spark.queries.dedup_ops",  # 6 — salted band join
     "programmers_data_spark.queries.round3_ops",  # 8 — new this round (→38)
-    "programmers_data_spark.queries.summary",  # 5  — sentinels (→43)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→49)
-    "programmers_data_spark.queries.curation_ops",  # 5 (first 1 in window)
+    "programmers_data_spark.queries.streaming_ops",  # 9 — session_window's
+    #   new oracle needs a driver row; rest are r2-green canaries (→47)
+    "programmers_data_spark.queries.summary",  # first 3 in window (→50)
+    "programmers_data_spark.queries.text_quality_ops",  # r3-green
+    "programmers_data_spark.queries.curation_ops",  # r3-green
     "programmers_data_spark.queries.extras",
     "programmers_data_spark.queries.similarity_ops",
     "programmers_data_spark.queries.multimodal_ops",
-    "programmers_data_spark.queries.streaming_ops",
     "programmers_data_spark.queries.analytics",
     "programmers_data_spark.queries.subqueries",
 )

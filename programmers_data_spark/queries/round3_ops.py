@@ -541,6 +541,56 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# ------------------------------------------------------------- corpus shuffle
+
+SHUFFLE_SALT = "42"
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('{SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) - 1 AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: every pretraining run permutes
+    its corpus, and reproducibility demands the permutation be a pure
+    function of (doc_id, salt) — here rank by md5(salt|doc_id). The
+    oracle is the global row_number; the Spark form is a DISTRIBUTED
+    rank: row_number within 256 hash-prefix buckets (partitioned,
+    parallel) plus broadcast bucket offsets from a 256-row count
+    prefix — hex-prefix bucket order is a prefix of the full key
+    order, so the composition equals the global rank at any scale
+    with no single-partition sort of the corpus."""
+    k = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", k.alias("k")
+    ).withColumn("bucket", F.substring("k", 1, 2))
+    w_local = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    local = docs.withColumn(
+        "local_pos", F.row_number().over(w_local) - 1
+    )
+    counts = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", (F.col("off") + F.col("local_pos")).alias("shuffle_pos")
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------------------- skew profile
 
 TOP_KEYS = 10

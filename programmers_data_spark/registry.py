@@ -39,10 +39,10 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.transforms",  # 7 — epoch_to_date NTZ-fixed
     "programmers_data_spark.queries.text_ops",  # 13 — lang_id newly oracled
     "programmers_data_spark.queries.dedup_ops",  # 6 — salted band join
-    "programmers_data_spark.queries.round3_ops",  # 8 — new this round (→38)
+    "programmers_data_spark.queries.round3_ops",  # 9 — new this round (→39)
     "programmers_data_spark.queries.streaming_ops",  # 9 — session_window's
-    #   new oracle needs a driver row; rest are r2-green canaries (→47)
-    "programmers_data_spark.queries.summary",  # first 3 in window (→50)
+    #   new oracle needs a driver row; rest are r2-green canaries (→48)
+    "programmers_data_spark.queries.summary",  # first 2 in window (→50)
     "programmers_data_spark.queries.text_quality_ops",  # r3-green
     "programmers_data_spark.queries.curation_ops",  # r3-green
     "programmers_data_spark.queries.extras",

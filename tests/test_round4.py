@@ -194,3 +194,23 @@ def test_round4_plan_postures(spark, sf_smoke):
 
     for name in ("skew_profile", "bigram_stats"):
         assert "TakeOrderedAndProject" in plan(name), name
+
+
+def test_corpus_shuffle_is_permutation_and_distributed(spark, sf_smoke):
+    """Deterministic shuffle: output is a bijection onto 0..N-1,
+    stable across runs, and the corpus-wide rank never runs through a
+    single-partition window — only the 256-row bucket-count prefix
+    does."""
+    df = registry.QUERIES["corpus_shuffle"](spark, sf_smoke)
+    rows = df.collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(len(rows)))
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in rows]
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        ctx = plan[m.start() : m.start() + 400]
+        assert "cnt" in ctx or "count(1)" in ctx, (
+            "unpartitioned window over non-aggregated input:\n" + ctx
+        )

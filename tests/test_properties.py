@@ -183,3 +183,92 @@ def test_salted_band_pairs_equals_naive_join(spark, rows, hot_threshold):
         ).collect()
     }
     assert got == naive
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    seq_len=st.sampled_from([16, 128]),
+    shard=st.sampled_from([4, 64]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_level_prefix_packing_matches_serial(spark, lengths, seq_len, shard):
+    """The distributed two-level prefix sum behind sequence_packing
+    must equal the serial concat-and-split for ANY token lengths and
+    shard size (zero-length docs, shard boundaries, bins larger than
+    any shard included)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n_tokens long"
+    ).withColumn("shard", F.expr(f"doc_id div {shard}"))
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = docs.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = docs.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+    w_s = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "shard", F.coalesce(F.sum("t").over(w_s), F.lit(0)).alias("off")
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in local.join(F.broadcast(offs), "shard")
+        .select(
+            "doc_id",
+            F.expr(f"(off + local_before) div {seq_len}").alias("bin_id"),
+            ((F.col("off") + F.col("local_before")) % seq_len).alias("bin_offset"),
+        )
+        .collect()
+    }
+    cum = 0
+    for i, n in enumerate(lengths):
+        assert got[i] == (cum // seq_len, cum % seq_len), (i, n, got[i])
+        cum += n
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_hash_rank_matches_serial(spark, ids):
+    """corpus_shuffle's bucketed rank (per-bucket row_number + count
+    prefix) equals the serial sort by (md5 key, id) for ANY id set —
+    the hex-prefix bucket order must compose with in-bucket order."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    k = F.md5(F.concat(F.lit("42|"), F.col("doc_id").cast("string")))
+    d = df.select("doc_id", k.alias("k")).withColumn(
+        "bucket", F.substring("k", 1, 2)
+    )
+    w_local = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    local = d.withColumn("local_pos", F.row_number().over(w_local) - 1)
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
+    )
+    got = {
+        r.doc_id: r.pos
+        for r in local.join(F.broadcast(offs), "bucket")
+        .select("doc_id", (F.col("off") + F.col("local_pos")).alias("pos"))
+        .collect()
+    }
+    serial = sorted(
+        ids, key=lambda i: (hashlib.md5(f"42|{i}".encode()).hexdigest(), i)
+    )
+    assert got == {i: p for p, i in enumerate(serial)}

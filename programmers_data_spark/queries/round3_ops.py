@@ -139,10 +139,9 @@ SEQ_LEN = 2048
 PACK_SHARD = 64  # docs per prefix-sum shard
 
 
-@query(
-    "sequence_packing",
-    oracle=f"""
-    WITH t AS (
+# shared DuckDB CTE: per-doc token count + exclusive prefix sum
+_PACK_CUM_DUCK = f"""
+    t AS (
       SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -152,23 +151,17 @@ PACK_SHARD = 64  # docs per prefix-sum shard
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS cum_before
       FROM t
-    )
-    SELECT doc_id, n_tokens,
-           cum_before // {SEQ_LEN} AS bin_id,
-           cum_before % {SEQ_LEN} AS bin_offset
-    FROM c ORDER BY doc_id
-    """,
-)
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-split sequence packing: the corpus in doc_id order
-    is conceptually concatenated and cut into SEQ_LEN-token training
-    sequences; each doc gets its bin id and offset. The oracle is the
-    single global window cumsum; the Spark form is the DISTRIBUTED
-    two-level prefix sum — per-shard window (parallel, partitioned by
-    doc_id div PACK_SHARD) plus a prefix over per-shard totals (one
-    tiny task over corpus/PACK_SHARD rows, then broadcast back). At
-    100 TB the shard size rises so the totals table stays bounded;
-    no full-corpus single-partition window ever runs."""
+    )"""
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, cum_before) via the DISTRIBUTED two-level
+    prefix sum — per-shard window (parallel, partitioned by doc_id div
+    PACK_SHARD) plus a prefix over per-shard totals (one tiny task
+    over corpus/PACK_SHARD rows, then broadcast back). At 100 TB the
+    shard size rises so the totals table stays bounded; no full-corpus
+    single-partition window ever runs. Shared by sequence_packing and
+    packing_spans."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         textfn.token_count("text").cast("long").alias("n_tokens"),
@@ -195,15 +188,82 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_before"
         ),
     )
-    packed = local.join(F.broadcast(shard_offsets), "shard").withColumn(
+    return local.join(F.broadcast(shard_offsets), "shard").withColumn(
         "cum_before", F.col("shard_before") + F.col("local_before")
     )
-    return packed.select(
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH {_PACK_CUM_DUCK}
+    SELECT doc_id, n_tokens,
+           cum_before // {SEQ_LEN} AS bin_id,
+           cum_before % {SEQ_LEN} AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: the corpus in doc_id order
+    is conceptually concatenated and cut into SEQ_LEN-token training
+    sequences; each doc gets its bin id and offset. The oracle is the
+    single global window cumsum; the Spark form is the distributed
+    two-level prefix sum in _packed_docs."""
+    return _packed_docs(spark, sf_dir).select(
         "doc_id",
         "n_tokens",
         F.expr(f"cum_before div {SEQ_LEN}").alias("bin_id"),
         (F.col("cum_before") % SEQ_LEN).alias("bin_offset"),
     ).orderBy("doc_id")
+
+
+@query(
+    "packing_spans",
+    oracle=f"""
+    WITH {_PACK_CUM_DUCK}
+    SELECT doc_id, bin_id,
+           CAST(CASE WHEN bin_id * {SEQ_LEN} > cum_before
+                     THEN bin_id * {SEQ_LEN} - cum_before ELSE 0 END
+                AS BIGINT) AS start_in_doc,
+           CAST(least(n_tokens, (bin_id + 1) * {SEQ_LEN} - cum_before)
+                - CASE WHEN bin_id * {SEQ_LEN} > cum_before
+                       THEN bin_id * {SEQ_LEN} - cum_before ELSE 0 END
+                AS BIGINT) AS n_in_bin
+    FROM c, LATERAL unnest(generate_series(
+      cum_before // {SEQ_LEN},
+      (cum_before + n_tokens - 1) // {SEQ_LEN}
+    )) AS g(bin_id)
+    WHERE n_tokens > 0
+    ORDER BY doc_id, bin_id
+    """,
+)
+def packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fragment table a training data-loader reads: one row per
+    (doc, bin) span — a doc straddling a bin boundary emits one row
+    per bin it touches, with its token slice [start_in_doc,
+    start_in_doc + n_in_bin). Derived map-side from the same
+    distributed prefix sum as sequence_packing (explode over the
+    doc's touched-bin range — at most n_tokens/SEQ_LEN + 1 rows per
+    doc, so output stays linear in corpus tokens)."""
+    packed = _packed_docs(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    first_bin = F.expr(f"cum_before div {SEQ_LEN}")
+    last_bin = F.expr(f"(cum_before + n_tokens - 1) div {SEQ_LEN}")
+    spans = packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+    )
+    start = F.greatest(F.col("bin_id") * SEQ_LEN - F.col("cum_before"), F.lit(0))
+    end = F.least(
+        F.col("n_tokens"), (F.col("bin_id") + 1) * SEQ_LEN - F.col("cum_before")
+    )
+    return spans.select(
+        "doc_id",
+        "bin_id",
+        start.cast("long").alias("start_in_doc"),
+        (end - start).cast("long").alias("n_in_bin"),
+    ).orderBy("doc_id", "bin_id")
 
 
 # -------------------------------------------------------------- bigram stats

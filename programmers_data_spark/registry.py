@@ -39,10 +39,11 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.transforms",  # 7 — epoch_to_date NTZ-fixed
     "programmers_data_spark.queries.text_ops",  # 13 — lang_id newly oracled
     "programmers_data_spark.queries.dedup_ops",  # 6 — salted band join
-    "programmers_data_spark.queries.round3_ops",  # 9 — new this round (→39)
+    "programmers_data_spark.queries.round3_ops",  # 11 — new this round (→41)
     "programmers_data_spark.queries.streaming_ops",  # 9 — session_window's
-    #   new oracle needs a driver row; rest are r2-green canaries (→48)
-    "programmers_data_spark.queries.summary",  # first 2 in window (→50)
+    #   new oracle needs a driver row; rest are r2-green canaries (→50)
+    "programmers_data_spark.queries.summary",  # r1/r3-green; mau also
+    #   runs every round as the entry() smoke check
     "programmers_data_spark.queries.text_quality_ops",  # r3-green
     "programmers_data_spark.queries.curation_ops",  # r3-green
     "programmers_data_spark.queries.extras",

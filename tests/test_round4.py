@@ -61,6 +61,31 @@ def test_sequence_packing_distributed_prefix_plan(spark, sf_smoke):
         )
 
 
+def test_packing_spans_reconstruct_docs_and_fill_bins(spark, sf_smoke):
+    """Fragment-table invariants: per-doc span lengths sum to the
+    doc's token count, fragments are contiguous from 0, and every bin
+    except the last carries exactly SEQ_LEN tokens."""
+    spans = registry.QUERIES["packing_spans"](spark, sf_smoke).collect()
+    packed = registry.QUERIES["sequence_packing"](spark, sf_smoke).collect()
+    n_tok = {r.doc_id: r.n_tokens for r in packed}
+    per_doc: dict[int, list] = {}
+    per_bin: dict[int, int] = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, []).append((r.start_in_doc, r.n_in_bin))
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.n_in_bin
+    for doc_id, frags in per_doc.items():
+        frags.sort()
+        assert frags[0][0] == 0
+        pos = 0
+        for start, n in frags:
+            assert start == pos and n > 0
+            pos += n
+        assert pos == n_tok[doc_id]
+    last_bin = max(per_bin)
+    for b, filled in per_bin.items():
+        assert filled == SEQ_LEN or b == last_bin, (b, filled)
+
+
 def test_minhash_estimate_sketch_accuracy(spark, sf_smoke):
     """The 8-hash estimator tracks exact Jaccard on real candidate
     pairs: mean absolute error bounded (8 hashes → stderr ≈ 0.17),

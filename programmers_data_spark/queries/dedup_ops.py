@@ -170,6 +170,15 @@ def _band_cols_duck() -> str:
 _N_BANDS = N_HASHES // BAND_SIZE
 
 
+# One persisted signature table per (Spark app, dataset): dedup_minhash,
+# minhash_jaccard_estimate, and near_dup_rate_by_source all call
+# minhash_signatures, and without memoization a full driver run pinned
+# 3+ identical cached copies (r4 advice). Keyed by applicationId so a
+# restarted session (tests) gets a fresh table; entries for stopped
+# sessions are dead tiny handles, not leaked executors.
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingles + MinHash signature table over the augmented corpus,
     as ONE Arrow-batched pass: tokenizing, 3-gram shingling, and
@@ -180,7 +189,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     a/b sides, Jaccard verify, sketch-accuracy estimates) read it; at
     100 TB this is the "write the signature table once, reuse per
     batch" pattern. Shared by dedup_minhash and
-    minhash_jaccard_estimate (round3_ops)."""
+    minhash_jaccard_estimate (round3_ops); memoized so they share one
+    cached copy."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     aug = _augmented_docs(spark, sf_dir)
 
     def _sig_batches(batches):
@@ -216,11 +230,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread the Python stage across all cores — the parquet source is
     # one file, so without this the Arrow pass runs ~single-partition
-    return (
+    sigs = (
         aug.repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(_sig_batches, schema=sig_schema)
         .persist()
     )
+    _SIG_CACHE[key] = sigs
+    return sigs
 
 
 @query(

@@ -281,6 +281,11 @@ TOP_BIGRAMS = 50
                i -> array_to_string(toks[i:i+1], ' ')
              )) AS bigram
       FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      -- zero-token guard (r4 advice): Spark's posexplode emits nothing
+      -- for an empty doc, but generate_series(1, greatest(-1+1... ,1))
+      -- would emit one '' bigram; agree on "nothing" whatever the
+      -- fixture generation contains
+      WHERE len(toks) > 0
     )
     SELECT bigram,
            CAST(count(*) AS BIGINT) AS total,
@@ -302,8 +307,9 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates before its shuffle; top-k is a TakeOrdered, not a
     global sort. Docs with a single token contribute it alone (the
     lead is null and concat_ws drops nulls), matching the oracle's
-    clamped slice; the fixtures contain no zero-token docs, where the
-    two forms would differ (explode emits nothing, slice emits '')."""
+    clamped slice; zero-token docs emit nothing on BOTH sides (explode
+    emits no rows; the oracle filters len(toks) > 0 — guarded rather
+    than assumed, since fixtures regenerate between rounds)."""
     toks = textfn.tokenize("text")
     # no extra size(toks) column next to the generator — materializing
     # the array twice per row quadrupled the explode+window stage; a

@@ -23,34 +23,97 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-# Module order is the driver's verification order: the per-round
-# CORRECTNESS check covers the first 50 registered queries. Round 4
-# fronts everything needing a fresh driver row: loads + transforms
-# (the four queries the regenerated NTZ fixtures broke in r3),
-# text_ops (lang_id_heuristic's new oracle), dedup_ops (plan changed
-# to the skew-salted band join), and round3_ops (the six round-4
-# additions). summary (sentinel mau) plus the r3-green text_quality /
-# curation tiers fill the remaining slots as regression canaries.
-# Queries outside the window were driver-green in earlier rounds and
-# stay oracle-verified locally via tests/test_oracle_parity.py, which
-# checks every registered oracle.
+# Import order only populates the registry; the driver's 50-query
+# CORRECTNESS window is pinned EXPLICITLY in _WINDOW below (round-4
+# advice: never derive the window from import-time availability).
 _QUERY_MODULES = (
-    "programmers_data_spark.queries.loads",  # 4  — 3 NTZ-fixed + sentinel
-    "programmers_data_spark.queries.transforms",  # 7 — epoch_to_date NTZ-fixed
-    "programmers_data_spark.queries.text_ops",  # 13 — lang_id newly oracled
-    "programmers_data_spark.queries.dedup_ops",  # 6 — salted band join
-    "programmers_data_spark.queries.round3_ops",  # 11 — new this round (→41)
-    "programmers_data_spark.queries.streaming_ops",  # 9 — session_window's
-    #   new oracle needs a driver row; rest are r2-green canaries (→50)
-    "programmers_data_spark.queries.summary",  # r1/r3-green; mau also
-    #   runs every round as the entry() smoke check
-    "programmers_data_spark.queries.text_quality_ops",  # r3-green
-    "programmers_data_spark.queries.curation_ops",  # r3-green
-    "programmers_data_spark.queries.extras",
-    "programmers_data_spark.queries.similarity_ops",
-    "programmers_data_spark.queries.multimodal_ops",
-    "programmers_data_spark.queries.analytics",
-    "programmers_data_spark.queries.subqueries",
+    "programmers_data_spark.queries.loads",  # 4
+    "programmers_data_spark.queries.transforms",  # 7 (→11)
+    "programmers_data_spark.queries.text_ops",  # 13 (→24)
+    "programmers_data_spark.queries.dedup_ops",  # 6 (→30)
+    "programmers_data_spark.queries.round3_ops",  # 10 (→40)
+    "programmers_data_spark.queries.streaming_ops",  # 10 incl. the
+    #   unconditionally-registered, call-time-gated tws query (→50)
+    "programmers_data_spark.queries.summary",  # 5 (→55)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→61)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→66)
+    "programmers_data_spark.queries.extras",  # 18 (→84)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→90)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→94)
+    "programmers_data_spark.queries.analytics",  # 19 (→113)
+    "programmers_data_spark.queries.subqueries",  # 8 (→121)
+    "programmers_data_spark.queries.accuracy_ops",  # 2 (→123)
+)
+
+# The first 50 names get_queries() yields — i.e. the names the driver
+# verifies this round. Round-5 rotation (VERDICT r4 ask #1): the 45
+# r1-vintage analytics/extras/subqueries queries (last driver-checked
+# against a fixture generation that no longer exists) re-enter, plus
+# the mau + incr_distinct r4-green sentinels, the two new accuracy
+# queries that make the approximate tier hash-checkable (ask #4), and
+# stream_tws_value_stats for its first-ever driver row (ask #2 —
+# explicitly gated where protobuf is absent, green where present).
+# Everything outside the window was driver-green in r3/r4 and stays
+# locally verified every run by tests/test_oracle_parity.py, which
+# hash-checks ALL registered oracles.
+_WINDOW = (
+    # analytics (19) — r1-vintage
+    "pricing_summary",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "top3_per_segment",
+    "nation_customer_stats",
+    "brand_revenue",
+    "daily_revenue",
+    "shipping_priority",
+    "promo_revenue_share",
+    "nation_trade_volume",
+    "returned_item_customers",
+    "order_count_distribution",
+    "top_supplier",
+    "large_orders",
+    "discounted_revenue",
+    "forecast_revenue_change",
+    "market_share",
+    "product_type_profit",
+    # extras (18) — r1-vintage
+    "customers_with_orders",
+    "customers_without_orders",
+    "rollup_revenue",
+    "returning_customers",
+    "churned_customers",
+    "mau_approx",
+    "cube_order_stats",
+    "running_revenue",
+    "asof_last_order",
+    "value_histogram",
+    "event_type_pivot",
+    "value_percentiles",
+    "post_purchase_clicks",
+    "acctbal_quartiles",
+    "grouping_sets_revenue",
+    "event_type_unpivot",
+    "salted_segment_revenue",
+    "cohort_retention",
+    # subqueries (8) — r1-vintage
+    "cheapest_supplier_per_part",
+    "supplier_value_share",
+    "priority_line_counts",
+    "supplier_cnt_by_part",
+    "small_qty_revenue",
+    "waiting_suppliers",
+    "idle_rich_customers",
+    "bulk_suppliers_for_parts",
+    # accuracy deltas (2) — new in r5
+    "mau_approx_error",
+    "ann_recall_at5",
+    # sentinels (2) — r4-green canaries
+    "mau",
+    "incr_distinct",
+    # first-ever driver row (1) — green with protobuf, explicit
+    # NotImplementedError gate without it
+    "stream_tws_value_stats",
 )
 
 
@@ -74,11 +137,23 @@ def load_all() -> None:
         importlib.import_module(mod)
 
 
+def _window_order(names: dict[str, object]) -> list[str]:
+    """Pinned-window ordering: _WINDOW first, rest in registration
+    order. Asserts the window is exactly 50 known, distinct names so
+    a refactor can't silently shift the driver contract."""
+    assert len(_WINDOW) == 50, f"window has {len(_WINDOW)} names, want 50"
+    assert len(set(_WINDOW)) == 50, "duplicate names in _WINDOW"
+    missing = [n for n in _WINDOW if n not in QUERIES]
+    assert not missing, f"_WINDOW names not registered: {missing}"
+    rest = [n for n in names if n not in set(_WINDOW)]
+    return [n for n in _WINDOW if n in names] + rest
+
+
 def get_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _window_order(QUERIES)}
 
 
 def get_oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _window_order(ORACLE)}

@@ -169,10 +169,12 @@ def stateful_value_stats(stream: DataFrame, key: str = "user_id") -> DataFrame:
     """
     if not tws_available():
         raise NotImplementedError(
+            "GATED(dependency=google.protobuf): "
             "transformWithStateInPandas needs the google.protobuf "
             "package (not present in this environment); "
             "streaming.stateful_counts is the applyInPandasWithState "
-            "twin with the same per-key-state semantics"
+            "twin with the same per-key-state semantics, verified "
+            "green as stream_stateful_counts"
         )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

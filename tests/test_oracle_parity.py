@@ -15,6 +15,11 @@ _ORACLE_QUERIES = sorted(registry.ORACLE)
 
 @pytest.mark.parametrize("name", _ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_oracle, name):
+    if name == "stream_tws_value_stats":
+        from programmers_data_spark.streaming import tws_available
+
+        if not tws_available():
+            pytest.skip("gated: google.protobuf absent (tws state protocol)")
     df = registry.QUERIES[name](spark, sf_oracle)
     result = compare_to_oracle(name, df, registry.ORACLE[name], sf_oracle)
     assert result.ok, str(result)

@@ -174,10 +174,15 @@ def test_tws_stateful_op_gated_or_works(spark, sf_smoke):
     )
 
     stream = read_events_stream(spark, sf_smoke)
+    # r5: registration is unconditional (pinned driver window); the
+    # gate moved to call time so an env without protobuf yields an
+    # explicit GATED error row instead of silent absence.
+    assert "stream_tws_value_stats" in registry.QUERIES
     if not streaming.tws_available():
-        assert "stream_tws_value_stats" not in registry.QUERIES
-        with pytest.raises(NotImplementedError, match="protobuf"):
+        with pytest.raises(NotImplementedError, match="GATED.*protobuf"):
             stateful_value_stats(stream)
+        with pytest.raises(NotImplementedError, match="GATED.*protobuf"):
+            registry.QUERIES["stream_tws_value_stats"](spark, sf_smoke)
         return
     out = run_stream_to_table(
         stateful_value_stats(stream), output_mode="update"

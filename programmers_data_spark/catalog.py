@@ -33,6 +33,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# EliminateWindowPartitions rewrites a constant-key window spec into an
+# unpartitioned one, which makes WindowExec log its "No Partition
+# Defined" scale warning even for windows we PROVED bounded and keyed
+# by a constant on purpose (operators.bounded_global_window: per-shard
+# totals, 256-row bucket offsets, per-day rollups). Excluding the rule
+# keeps those intentional keys, so the warning fires only for genuinely
+# unpartitioned windows — i.e. only for real mistakes. Execution is
+# identical either way: one hash partition holds every row.
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+)
+
+
+def _pin_excluded_rules(spark: SparkSession) -> None:
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+    elif _EXCLUDED_RULES not in current:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{current},{_EXCLUDED_RULES}",
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
@@ -49,6 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_excluded_rules(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # Fixture generations have varied their physical timestamp type:
     # earlier rounds wrote events.ts as parquet TIMESTAMP(NANOS),

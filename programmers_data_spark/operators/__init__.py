@@ -87,6 +87,20 @@ def approx_distinct(
     )
 
 
+def bounded_global_window(*order_cols: Column | str):
+    """Ordered window over a PROVABLY-TINY input (per-shard totals,
+    256-row bucket counts, per-day rollups — never a fact table).
+
+    Semantically identical to an unpartitioned ``Window.orderBy(...)``
+    — one partition holds every row either way — but partitioned by a
+    constant so WindowExec doesn't log its ``No Partition Defined``
+    degradation warning: in a 100 TB job's logs that warning is
+    indistinguishable from a real scale-killer, so reserving it for
+    actual mistakes keeps the signal meaningful (VERDICT r4 #6). Call
+    sites must state WHY the input is bounded."""
+    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """Global top-k: orderBy+limit. Catalyst plans TakeOrderedAndProject
     — per-partition heaps + single merge, never a full sort at scale."""

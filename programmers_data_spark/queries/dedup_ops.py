@@ -530,7 +530,7 @@ def _clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTERS_CACHE.get(key)
     if cached is not None:
         return cached
-    from ..operators import connected_components
+    from ..operators import connected_components_auto
 
     sub = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 1000000 < 120)
     shingled = sub.select("doc_id", _shingles_spark().alias("shingles")).persist()
@@ -544,7 +544,11 @@ def _clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.floor(inter.cast("double") / union * 10000 + 0.5) / 10000 >= 0.5)
         .select("doc_a", "doc_b")
     )
-    labels = connected_components(edges, "doc_a", "doc_b")
+    # auto: label propagation for the (typical) bounded-diameter
+    # near-dup graph, large-star/small-star fallback if a chain-shaped
+    # graph exhausts the propagation cap (operators docstring has the
+    # full choice rule)
+    labels = connected_components_auto(edges, "doc_a", "doc_b")
     clusters = (
         shingled.select("doc_id")
         .join(labels, shingled["doc_id"] == labels["vertex"], "left")

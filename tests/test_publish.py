@@ -226,3 +226,67 @@ def test_stream_incremental_keep_latest_converges(spark, sf_smoke, tmp_path):
         stream2, path, keys=["user_id"], order_by="ts", tie_break="event_id"
     )
     assert sorted(spark.read.parquet(path).collect()) == before
+
+
+def test_publish_swap_crash_before_rename_serves_old(
+    spark, events, tmp_path, monkeypatch
+):
+    """K8 crash safety (VERDICT r4 #8): a crash AFTER the staging
+    write but BEFORE any rename must leave the published path serving
+    the previous generation, with the staging dir cleaned up."""
+    import programmers_data_spark.publish as pub
+
+    path = str(tmp_path / "t")
+    publish_swap(events.limit(100), path)
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        raise OSError("simulated crash before swap")
+
+    monkeypatch.setattr(pub.os, "rename", crash_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        publish_swap(events.limit(10), path)
+    monkeypatch.setattr(pub.os, "rename", real_rename)
+
+    # old generation fully readable, no staging junk
+    assert spark.read.parquet(path).count() == 100
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p]
+    assert leftovers == []
+
+
+def test_publish_swap_crash_between_renames_recoverable(
+    spark, events, tmp_path, monkeypatch
+):
+    """K8 crash safety, the narrower window: a crash between the two
+    renames (live moved to trash, staging not yet live) leaves the
+    previous generation intact in the trash dir — the documented
+    recovery is renaming it back, after which readers see the old
+    table unchanged (the reference's transaction semantics:
+    validation failure or crash never publishes a partial state)."""
+    import programmers_data_spark.publish as pub
+
+    path = str(tmp_path / "t")
+    publish_swap(events.limit(100), path)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crash_second_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(pub.os, "rename", crash_second_rename)
+    with pytest.raises(OSError, match="mid-swap"):
+        publish_swap(events.limit(10), path)
+    monkeypatch.setattr(pub.os, "rename", real_rename)
+
+    # live path is absent (the documented non-atomic window), but the
+    # old generation survives in the trash dir and renames back intact
+    assert not os.path.exists(path)
+    trash = [p for p in os.listdir(tmp_path) if "trash" in p]
+    assert len(trash) == 1
+    real_rename(str(tmp_path / trash[0]), path)
+    assert spark.read.parquet(path).count() == 100

@@ -94,3 +94,58 @@ def test_bounded_windows_keep_partition_spec(spark, sf_oracle):
         assert "windowspecdefinition(0," in optimized, (
             f"{name}: constant partition key folded away\n{optimized}"
         )
+
+
+# --------------------------------------- connected components: chains
+
+
+def _path_edges(spark, n):
+    return spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+
+
+def test_two_phase_cc_converges_on_10k_chain(spark):
+    """A 10k-vertex path has diameter 10k — far beyond per-hop label
+    propagation — but large-star/small-star must resolve it within
+    its O(log^2 n) round cap (VERDICT r4 #5)."""
+    from programmers_data_spark.operators import (
+        connected_components_two_phase,
+    )
+
+    labels = connected_components_two_phase(_path_edges(spark, 10_000))
+    rows = labels.collect()
+    assert len(rows) == 10_000
+    assert all(r.component == 0 for r in rows)
+
+
+def test_label_prop_raises_honestly_on_long_chain(spark):
+    """Label propagation on a chain deeper than its cap must raise its
+    explicit non-convergence error — never return partial labels."""
+    from programmers_data_spark.operators import connected_components
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_path_edges(spark, 200), max_iterations=5)
+
+
+def test_auto_cc_falls_back_to_two_phase(spark):
+    """connected_components_auto: propagation first (cheapest for
+    bounded-diameter dedup graphs), two-phase fallback when the chain
+    exhausts the cap — correct labels either way."""
+    from programmers_data_spark.operators import connected_components_auto
+
+    # chain: forces the fallback
+    labels = connected_components_auto(
+        _path_edges(spark, 300), label_prop_cap=4
+    )
+    rows = labels.collect()
+    assert len(rows) == 300
+    assert all(r.component == 0 for r in rows)
+
+    # dense blob: stays on the propagation path (diameter 2)
+    import itertools
+
+    pairs = list(itertools.combinations(range(8), 2))
+    star = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components_auto(star, label_prop_cap=4).collect()
+    assert all(r.component == 0 for r in rows)

@@ -415,6 +415,7 @@ def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
     PYTHON_TIER = {
         "dedup_minhash", "dedup_simhash", "embedding_neardup",
         "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
+        "ann_recall_at5",  # composes ann_lsh_topk's signature pass
         "multimodal_decode", "multimodal_features",
         "minhash_jaccard_estimate",  # reuses the Arrow signature pass
         "near_dup_rate_by_source",  # composes dedup_minhash

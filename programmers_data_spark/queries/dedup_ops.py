@@ -48,11 +48,16 @@ _WS = re.compile(r"\s+", re.ASCII)
 # ---------------------------------------------------------------------------
 # shared corpus augmentation (identical in Spark and DuckDB)
 
+# coalesce: DuckDB's array_to_string over an EMPTY slice yields NULL
+# where Spark's concat_ws yields '' — for a mutated doc with ≤8 tokens
+# the two engines would otherwise disagree (found by the adversarial-
+# corpus sweep in test_edge_fixtures; current driver fixtures happen to
+# have no such doc at a %20 position, i.e. this was latent)
 _AUG_SQL = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(toks[9:len(toks)], ' ') AS text
+         coalesce(array_to_string(toks[9:len(toks)], ' '), '') AS text
   FROM (
     SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
@@ -92,10 +97,16 @@ def _shingles_spark() -> F.Column:
     )
 
 
+# coalesce INSIDE the lambda: for a zero-token doc the slice is empty,
+# DuckDB's array_to_string returns NULL, and list_distinct silently
+# DROPS NULLs — yielding shingle set [] where Spark builds [''] (the
+# degenerate whole-text shingle). Coalescing first keeps both engines
+# on [''] so empty docs are mutual near-dups (consistent with
+# dedup_exact, where identical empty texts hash equal).
 _SHINGLES_DUCK = """
   list_distinct(list_transform(
     generate_series(1, greatest(len(toks) - 2, 1)),
-    i -> array_to_string(toks[i:i+2], ' ')
+    i -> coalesce(array_to_string(toks[i:i+2], ' '), '')
   ))
 """
 

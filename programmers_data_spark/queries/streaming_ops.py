@@ -417,7 +417,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT source,
              len(toks) AS n_tokens,
-             CAST(length(array_to_string(toks, '')) AS DOUBLE)
+             CAST(length(coalesce(array_to_string(toks, ''), '')) AS DOUBLE)
                / greatest(len(toks), 1) AS mwl,
              CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
                   AS DOUBLE) / greatest(len(toks), 1) AS af

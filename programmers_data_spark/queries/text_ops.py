@@ -558,7 +558,8 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(i - 1 AS INT) AS chunk_id,
-           array_to_string(toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk,
+           coalesce(array_to_string(toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' '),
+                    '') AS chunk,
            CAST(least(len(toks) - (i-1)*24, 32) AS INT) AS n_tokens
     FROM toks,
          LATERAL unnest(generate_series(

@@ -108,7 +108,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
-             CAST(length(array_to_string(toks, '')) AS DOUBLE)
+             CAST(length(coalesce(array_to_string(toks, ''), '')) AS DOUBLE)
                / greatest(len(toks), 1) AS mean_word_len,
              CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
                   AS DOUBLE) / greatest(len(toks), 1) AS alpha_frac

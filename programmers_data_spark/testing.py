@@ -17,6 +17,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal
 import math
+import os
 from dataclasses import dataclass, field
 
 import duckdb
@@ -31,8 +32,14 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     matching the driver's pre-registration."""
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        # partial fixture dirs (e.g. the adversarial documents-only
+        # corpus in test_edge_fixtures) register what exists; full
+        # driver dirs register everything, as before
+        if not os.path.exists(path):
+            continue
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

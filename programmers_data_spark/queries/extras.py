@@ -564,8 +564,11 @@ def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type_pivot folded back to long form — the inverse op a
     feature-store export needs. unpivot is a zero-shuffle generator
     (each wide row emits one row per value column); absent (day,type)
-    combos surface as nulls and are dropped to match the long-form
-    GROUP BY. The only shuffle is the pivot's own aggregate.
+    combos come back as the pivot's 0-fill and are dropped (n > 0)
+    to match the long-form GROUP BY, which has no row for them —
+    dense fixtures never exercise this, sparse days do (caught by
+    the adversarial events sweep). The only shuffle is the pivot's
+    own aggregate.
     """
     wide = event_type_pivot(spark, sf_dir)
     return (
@@ -575,7 +578,7 @@ def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             variableColumnName="event_type",
             valueColumnName="n",
         )
-        .filter(F.col("n").isNotNull())
+        .filter(F.col("n") > 0)
         .orderBy("day", "event_type")
     )
 

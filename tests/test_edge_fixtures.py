@@ -108,3 +108,82 @@ def test_oracle_parity_on_adversarial_corpus(spark, edge_sf_dir, name):
         name, df, registry.ORACLE[name], edge_sf_dir
     )
     assert result.ok, str(result)
+
+
+# ------------------------------------------------- events-tier sweep
+
+_TS = pd.Timestamp
+_EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # u1: identical-timestamp tie (event_id must break it), NPS edges
+    (0, _TS("2024-01-01 00:00:00.000000"), 1, "signup", 100.0, '{"k": 1}'),
+    (1, _TS("2024-01-01 00:00:00.000000"), 1, "purchase", 90.0, '{"k": 2}'),
+    (2, _TS("2024-01-01 00:00:00.000001"), 1, "click", 60.0, '{"k": 3}'),
+    # u2: day/month boundary timestamps, zero and negative values,
+    # JSON edge cases (missing key, explicit null)
+    (3, _TS("2024-01-31 23:59:59.999999"), 2, "view", 0.0, "{}"),
+    (4, _TS("2024-02-01 00:00:00.000000"), 2, "error", -5.25, '{"k": null}'),
+    # u3: lone event, extreme value
+    (5, _TS("2024-03-15 12:00:00"), 3, "purchase", 1.0e12, '{"k": 4}'),
+    # u4: percentile ties + cent-rounding edge
+    (6, _TS("2024-04-01 08:00:00"), 4, "click", 50.0, '{"k": 5}'),
+    (7, _TS("2024-04-01 09:00:00"), 4, "click", 50.0, '{"k": 6}'),
+    (8, _TS("2024-04-01 10:00:00"), 4, "click", 50.0, '{"k": 7}'),
+    (9, _TS("2024-04-01 11:00:00"), 4, "click", 50.0, '{"k": 8}'),
+    (10, _TS("2024-04-01 12:00:00"), 4, "click", 50.0, '{"k": 9}'),
+    (11, _TS("2024-04-01 13:00:00"), 4, "click", 0.005, '{"k": 10}'),
+    # u5: purchase BEFORE signup (funnel ordering must not match)
+    (12, _TS("2024-01-02 10:00:00"), 5, "purchase", 20.0, '{"k": 11}'),
+    (13, _TS("2024-01-03 00:00:00"), 5, "signup", 0.25, '{"k": 12}'),
+    # u6: signup→purchase exactly one month apart (cohort boundary)
+    (14, _TS("2024-01-15 09:30:00"), 6, "signup", 10.0, '{"k": 13}'),
+    (15, _TS("2024-02-15 09:30:00"), 6, "purchase", 75.5, '{"k": 14}'),
+    # u7: binary-float awkward values
+    (16, _TS("2024-05-05 05:05:05"), 7, "click", 0.1, '{"k": 15}'),
+    (17, _TS("2024-05-05 06:06:06"), 7, "click", 0.2, '{"k": 16}'),
+    (18, _TS("2024-05-05 07:07:07"), 7, "click", 0.30000000000000004, '{"k": 17}'),
+    # u8: duplicate full row content except event_id (distinct_rows)
+    (19, _TS("2024-06-01 00:00:00"), 8, "view", 42.0, '{"k": 18}'),
+    (20, _TS("2024-06-01 00:00:00"), 8, "view", 42.0, '{"k": 18}'),
+]
+
+_EVENTS_ONLY = sorted(
+    name
+    for name, sql in registry.ORACLE.items()
+    if _oracle_tables(sql) <= {"events"}
+    and registry.QUERIES[name].__module__.rsplit(".", 1)[-1] != "streaming_ops"
+)
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    ev = pd.DataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": et,
+                "value": v,
+                "props": props,
+            }
+            for eid, ts, uid, et, v, props in _EDGE_EVENTS
+        ]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_events_tier_queries_discovered():
+    assert len(_EVENTS_ONLY) >= 15, _EVENTS_ONLY
+
+
+@pytest.mark.parametrize("name", _EVENTS_ONLY)
+def test_oracle_parity_on_adversarial_events(spark, edge_events_dir, name):
+    df = registry.QUERIES[name](spark, edge_events_dir)
+    result = compare_to_oracle(
+        name, df, registry.ORACLE[name], edge_events_dir
+    )
+    assert result.ok, str(result)

@@ -187,3 +187,172 @@ def test_oracle_parity_on_adversarial_events(spark, edge_events_dir, name):
         name, df, registry.ORACLE[name], edge_events_dir
     )
     assert result.ok, str(result)
+
+
+# -------------------------------------------------- TPC-H-tier sweep
+
+_TPCH_TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+}
+
+_TPCH_ONLY = sorted(
+    name
+    for name, sql in registry.ORACLE.items()
+    if _oracle_tables(sql)
+    and _oracle_tables(sql) <= _TPCH_TABLES
+    and registry.QUERIES[name].__module__.rsplit(".", 1)[-1]
+    != "streaming_ops"
+)
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(spark, tmp_path_factory):
+    """Micro TPC-H with engineered degeneracies: exact revenue ties
+    between customers 0/1 and suppliers 1/2, identical acctbals,
+    duplicate order contents, boundary order/ship dates (1996-01-01,
+    1997-01-01), a customer with no orders, a supplier with no
+    lineitems, and a nation with no customers — the tie and
+    sparse-join shapes a regenerated fixture could legally contain."""
+    d = tmp_path_factory.mktemp("edge_tpch")
+
+    def write(name, rows, cols, int32_cols=()):
+        pdf = pd.DataFrame(rows, columns=cols)
+        for c in int32_cols:
+            pdf[c] = pdf[c].astype("int32")
+        for c in pdf.columns:
+            if c.endswith("date") or c == "ts":
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(d / f"{name}.parquet", index=False)
+
+    write(
+        "region",
+        [(i, n) for i, n in enumerate(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+        )],
+        ["r_regionkey", "r_name"],
+        int32_cols=["r_regionkey"],
+    )
+    write(
+        "nation",
+        [(0, "NATION_0", 0), (1, "NATION_1", 1), (2, "NATION_2", 0),
+         (3, "NATION_3", 1)],  # nation 3: no customers, no suppliers
+        ["n_nationkey", "n_name", "n_regionkey"],
+        int32_cols=["n_nationkey", "n_regionkey"],
+    )
+    write(
+        "customer",
+        [
+            (0, "Customer#000000000", 0, 5000.0, "FURNITURE"),
+            (1, "Customer#000000001", 0, 5000.0, "FURNITURE"),  # acctbal tie
+            (2, "Customer#000000002", 1, -10.5, "MACHINERY"),
+            (3, "Customer#000000003", 1, 0.0, "BUILDING"),
+            (4, "Customer#000000004", 2, 9999.99, "BUILDING"),
+            (5, "Customer#000000005", 2, 123.45, "BUILDING"),
+            (6, "Customer#000000006", 0, 123.45, "BUILDING"),  # tie
+            (7, "Customer#000000007", 1, 777.77, "AUTOMOBILE"),
+            (8, "Customer#000000008", 2, 50.0, "HOUSEHOLD"),
+            (9, "Customer#000000009", 0, 1.0, "FURNITURE"),  # no orders
+        ],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        int32_cols=["c_nationkey"],
+    )
+    write(
+        "supplier",
+        [
+            (1, "Supplier#000000001", 0, 100.0),
+            (2, "Supplier#000000002", 1, 200.0),
+            (3, "Supplier#000000003", 2, 100.0),  # acctbal tie with 1
+            (4, "Supplier#000000004", 1, 9.99),  # no lineitems
+        ],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        int32_cols=["s_nationkey"],
+    )
+    write(
+        "part",
+        [
+            (0, "cold widget", "Brand#13", "ECONOMY", 24, 900.0),
+            (1, "small widget", "Brand#13", "ECONOMY", 10, 900.1),
+            (2, "large bolt", "Brand#19", "PROMO", 9, 900.2),
+            (3, "warm gear", "Brand#19", "PROMO", 9, 900.2),  # twin specs
+            (4, "tiny cog", "Brand#42", "ECONOMY", 1, 1.0),
+            (5, "odd plate", "Brand#7", "PROMO", 50, 5000.5),
+        ],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+         "p_retailprice"],
+        int32_cols=["p_size"],
+    )
+    TS = pd.Timestamp
+    write(
+        "orders",
+        [
+            # customers 0 and 1: identical order sets → exact revenue tie
+            (100, 0, "O", 50000.0, TS("1997-02-10"), "1-URGENT"),
+            (101, 1, "O", 50000.0, TS("1997-02-10"), "2-HIGH"),
+            (111, 0, "F", 10000.0, TS("1997-03-10"), "4-NOT SPECIFIED"),
+            (112, 1, "F", 10000.0, TS("1997-03-10"), "4-NOT SPECIFIED"),
+            (102, 2, "F", 382273.95, TS("1996-12-31"), "5-LOW"),
+            (103, 3, "P", 100.0, TS("1997-01-01"), "3-MEDIUM"),
+            (104, 3, "O", 200.0, TS("1997-01-01"), "4-NOT SPECIFIED"),
+            (105, 4, "O", 0.01, TS("1998-06-15"), "1-URGENT"),
+            # full duplicate order content for different customers
+            (106, 5, "F", 75000.5, TS("1999-11-30"), "2-HIGH"),
+            (107, 6, "F", 75000.5, TS("1999-11-30"), "2-HIGH"),
+            (108, 7, "O", 1234.56, TS("1997-05-05"), "3-MEDIUM"),
+            (109, 7, "O", 1234.56, TS("1997-06-05"), "3-MEDIUM"),
+            (110, 8, "P", 30000.0, TS("2001-07-11"), "5-LOW"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    L = []
+
+    def li(ok, pk, sk, ln, qty, ext, disc, tax, rf, ls, ship):
+        L.append((ok, pk, sk, ln, qty, ext, disc, tax, rf, ls, TS(ship)))
+
+    # orders 100/111 (cust 0) mirrored exactly by 101/112 (cust 1):
+    # supplier 1 and supplier 2 also end up with identical revenue
+    li(100, 0, 1, 1, 10.0, 30000.0, 0.0, 0.02, "N", "O", "1997-02-15")
+    li(100, 1, 1, 2, 5.0, 20000.0, 0.1, 0.0, "N", "O", "1997-02-16")
+    li(101, 0, 2, 1, 10.0, 30000.0, 0.0, 0.02, "N", "O", "1997-02-15")
+    li(101, 1, 2, 2, 5.0, 20000.0, 0.1, 0.0, "N", "O", "1997-02-16")
+    li(111, 2, 1, 1, 11.0, 10000.0, 0.05, 0.01, "A", "F", "1997-03-20")
+    li(112, 2, 2, 1, 11.0, 10000.0, 0.05, 0.01, "A", "F", "1997-03-20")
+    # boundary shipdates (nation_trade_volume filters >= 1996-01-01)
+    li(102, 2, 3, 1, 45.0, 93450.38, 0.08, 0.02, "R", "F", "1996-01-01")
+    li(102, 3, 3, 2, 24.0, 88823.57, 0.02, 0.01, "A", "F", "1995-12-31")
+    li(102, 5, 3, 3, 50.0, 200000.0, 0.0, 0.0, "N", "F", "1996-06-15")
+    # small quantities on part 4 (small_qty_revenue threshold)
+    li(103, 4, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-02")
+    li(104, 4, 2, 1, 2.0, 2.0, 0.0, 0.0, "N", "O", "1997-01-03")
+    li(105, 4, 3, 1, 1.0, 0.01, 0.0, 0.0, "N", "O", "1998-06-20")
+    # duplicate-content orders ship identical items via one supplier
+    li(106, 2, 3, 1, 17.0, 62804.41, 0.02, 0.01, "R", "O", "1999-12-05")
+    li(106, 0, 3, 2, 3.0, 12196.09, 0.0, 0.0, "N", "O", "1999-12-06")
+    li(107, 2, 3, 1, 17.0, 62804.41, 0.02, 0.01, "R", "O", "1999-12-05")
+    li(107, 0, 3, 2, 3.0, 12196.09, 0.0, 0.0, "N", "O", "1999-12-06")
+    # returning customer months + quantity exactly at the 11 boundary
+    li(108, 1, 1, 1, 11.0, 1234.56, 0.05, 0.0, "N", "O", "1997-05-10")
+    li(109, 1, 2, 1, 24.0, 1234.56, 0.07, 0.0, "N", "O", "1997-06-10")
+    li(110, 5, 3, 1, 36.0, 30000.0, 0.1, 0.08, "N", "P", "2001-07-20")
+    write(
+        "lineitem",
+        L,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"],
+        int32_cols=["l_linenumber"],
+    )
+    return str(d)
+
+
+def test_tpch_tier_queries_discovered():
+    assert len(_TPCH_ONLY) >= 35, _TPCH_ONLY
+
+
+@pytest.mark.parametrize("name", _TPCH_ONLY)
+def test_oracle_parity_on_adversarial_tpch(spark, edge_tpch_dir, name):
+    df = registry.QUERIES[name](spark, edge_tpch_dir)
+    result = compare_to_oracle(
+        name, df, registry.ORACLE[name], edge_tpch_dir
+    )
+    assert result.ok, str(result)

@@ -1,0 +1,148 @@
+"""Dataset-assembly operators (round 5): deterministic train/val
+splitting and token-budget sampling — the two cuts every pretraining
+run makes after curation and before packing.
+
+Both are pure functions of (content/salt), so re-running the pipeline
+on a re-ingested corpus reproduces the same split and the same sample
+— the property that makes eval sets stable across data refreshes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..operators import bounded_global_window
+from ..registry import query
+from ._oracle_shared import _DUCK_TOKS
+from .round3_ops import SHUFFLE_SALT
+
+# train/val boundary on the first hex byte of the content hash:
+# lexicographic compare of the md5 prefix is identical in both engines
+# and needs no hex→int conversion. 'f3' = 243/256 ≈ 94.9% train.
+_SPLIT_HEX_BOUND = "f3"
+
+# token budget for the greedy prefix sample, sized well under the
+# ~27k-token sf0.01 corpus so the correctness SF always selects a
+# strict, non-empty subset — the interesting case on every fixture
+# generation
+TOKEN_BUDGET = 10_000
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substring(md5('{SHUFFLE_SALT}|' || text), 1, 2)
+                     < '{_SPLIT_HEX_BOUND}'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic train/val split: the assignment
+    hashes the salted CONTENT (not the doc_id), so byte-identical
+    documents land on the same side even across re-ingestions that
+    renumber ids — the standard guard against eval contamination by
+    exact duplicates. ~95% train via a lexicographic bound on the
+    md5 hex prefix (portable: no hex→int conversion to disagree on).
+
+    Scale shape: map-only — one projection, no shuffle, no state; at
+    100 TB this is a free column on the curation output."""
+    h = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("text")))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.substring(h, 1, 2) < F.lit(_SPLIT_HEX_BOUND), "train"
+            )
+            .otherwise("val")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_budget_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+             md5('{SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM ranked
+    )
+    SELECT doc_id, n_tokens, cum_before
+    FROM c
+    WHERE cum_before < {TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: walk the corpus in the deterministic
+    shuffle order (same salted-hash rank as `corpus_shuffle`) and keep
+    the greedy prefix of documents whose cumulative token count stays
+    under TOKEN_BUDGET — how a pilot run or an ablation takes "the
+    first N tokens" of a corpus reproducibly.
+
+    The oracle is a single global window cumsum; the Spark form is the
+    same two-level distributed prefix sum `sequence_packing` uses, at
+    hash-bucket grain: per-bucket cumsum (partitioned by the 2-hex-char
+    key prefix, parallel) plus broadcast bucket token totals prefixed
+    in a 256-row bounded window. Bucket order is a prefix of the full
+    (k, doc_id) order, so local + offset equals the global cumsum at
+    any scale — no single-partition pass over the corpus."""
+    k = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            textfn.token_count("text").cast("long").alias("n_tokens"),
+            k.alias("k"),
+        )
+        .withColumn("bucket", F.substring("k", 1, 2))
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = docs.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    # bounded: exactly 256 hex-prefix bucket rows
+    w_b = bounded_global_window("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("off") + F.col("local_before")).alias("cum_before"),
+        )
+        .filter(F.col("cum_before") < TOKEN_BUDGET)
+        .orderBy("doc_id")
+    )

@@ -149,3 +149,13 @@ def test_auto_cc_falls_back_to_two_phase(spark):
     star = spark.createDataFrame(pairs, "src long, dst long")
     rows = connected_components_auto(star, label_prop_cap=4).collect()
     assert all(r.component == 0 for r in rows)
+
+
+def test_token_budget_sample_plan_is_distributed(spark, sf_oracle):
+    """The two-level prefix sum must never plan a single-partition
+    pass over the corpus: the only windows are per-bucket (hash
+    partitioned) and the 256-row bounded offsets window."""
+    df = registry.QUERIES["token_budget_sample"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan  # offsets ride a broadcast join

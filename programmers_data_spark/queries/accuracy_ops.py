@@ -2,11 +2,13 @@
 tier (VERDICT r4 ask #4).
 
 The approximate operators (`mau_approx` HLL sketch, `ann_lsh_topk`
-hyperplane LSH) are rows-only by nature — a sketch estimate is
-engine-specific, so no ANSI-SQL oracle can reproduce the value. What
-IS oracle-checkable is the *accuracy contract*: every month's HLL
-estimate within its error bound, every query point's LSH recall above
-a floor. These queries emit the full keyed row set with a boolean
+hyperplane LSH, `ivf_topk` k-means IVF, `embedding_neardup_lsh`
+bucketed near-dup) are rows-only by nature — a sketch estimate or a
+seeded-RNG candidate set is engine-specific, so no ANSI-SQL oracle
+can reproduce the value. What IS oracle-checkable is the *accuracy
+contract*: every month's HLL estimate within its error bound, each
+ANN path's recall against the brute-force baseline above a floor,
+the LSH near-dup pair set covering the exact pair set. These queries emit the full keyed row set with a boolean
 verdict column; the oracle computes the same keys exactly (DuckDB
 side) with the verdict constantly TRUE. Any bound violation flips a
 Spark-side boolean → value-hash mismatch → red driver row. That turns
@@ -23,8 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import query
-from .similarity_ops import N_QUERIES, ann_lsh_topk, embedding_topk
+from ..registry import ORACLE, query
+from .similarity_ops import (
+    N_QUERIES,
+    ann_lsh_topk,
+    embedding_neardup,
+    embedding_neardup_lsh,
+    embedding_topk,
+    ivf_topk,
+)
 
 # approx_count_distinct's rsd is the STANDARD DEVIATION of relative
 # error; 4 sigma bounds the per-month excursion with huge margin
@@ -40,6 +49,30 @@ HLL_ERROR_BOUND = 4 * HLL_RSD
 # failure — broken signature pass, dead banding join — lands at ~0.
 # 0.15 is ~2.5 sigma below the observed mean with full margin over 0.
 ANN_RECALL_FLOOR = 0.15
+
+# IVF probes 4 of 16 cells: mean recall@5 observed 0.47 at sf0.01
+# (per-query 0.0-1.0 — same near-orthogonal noise as the LSH path).
+# 0.2 sits well below the mean and well above the ~0 a broken
+# quantizer or dead probe-join lands at.
+IVF_RECALL_FLOOR = 0.2
+
+# approx_percentile (Greenwald-Khanna summary) guarantees the
+# returned element's RANK is within eps = 1/accuracy of the target
+# quantile. The contract checks exactly that — the element's true
+# rank interval [count(<v), count(<=v)]/n must intersect
+# [q - BOUND, q + BOUND] — so duplicates/degenerate distributions
+# (where the value-space error is unbounded) stay legal. 2*eps gives
+# margin over the theoretical eps without masking a broken sketch
+# (a wrong-quantile answer is rank-distance ~0.45 away).
+QUANTILE_ACCURACY = 100
+QUANTILE_RANK_BOUND = 2.0 / QUANTILE_ACCURACY
+
+# embedding_neardup_lsh re-checks candidates exactly, so precision is
+# 1.0 by construction and recall is the only free statistic: observed
+# 0.82 at sf0.01 (theory: 1-(1-p^4)^8 ≈ 0.97 at the threshold cosine,
+# lower for boundary pairs). 0.5 matches the long-standing local test
+# floor (tests/test_scale.py::test_neardup_lsh_recall).
+NEARDUP_LSH_RECALL_FLOOR = 0.5
 
 
 @query(
@@ -138,3 +171,171 @@ def ann_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_meets_floor"
         ),
     )
+
+
+@query(
+    "ivf_recall_at5",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS mean_meets_floor
+    FROM embeddings
+    WHERE vec_id < {N_QUERIES}
+    """,
+)
+def ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF accuracy contract: mean recall@5 of the data-adaptive ANN
+    path (`ivf_topk`, k-means cells + probe-list scan) against the
+    brute-force `embedding_topk` baseline — the same contract shape as
+    `ann_recall_at5`, closing the driver-visibility gap for the last
+    rows-only top-k operator. A broken quantizer (all vectors in one
+    cell → candidates explode but recall holds; all queries probing
+    empty cells → recall ~0) or dropped query ids flip the hash.
+
+    Scale shape: both sides are the registered operators' own plans
+    (broadcast coarse quantizer, map-only cell assignment, probe-
+    pruned join); the comparison joins two ~N_QUERIES*5-row results."""
+    base = embedding_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = base.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    per_query = hits.groupBy("query_id").agg(
+        (F.count("a_neighbor_id") / F.count(F.lit(1))).alias("recall")
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= F.lit(IVF_RECALL_FLOOR)).alias(
+            "mean_meets_floor"
+        ),
+    )
+
+
+@query(
+    "lsh_neardup_recall",
+    oracle=f"""
+    WITH exact_pairs AS ({ORACLE["embedding_neardup"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_meets_floor
+    FROM exact_pairs
+    """,
+)
+def lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup LSH accuracy contract: recall of the bucketed scale
+    path (`embedding_neardup_lsh`) against the exact all-pairs set
+    (`embedding_neardup`), the last approximate operator without a
+    driver-visible signal. Precision needs no contract — the LSH path
+    re-checks every candidate exactly, so any emitted pair is in the
+    exact set by construction; recall is the one free statistic.
+
+    The oracle COMPOSES the registered `embedding_neardup` SQL (a CTE
+    pull from registry.ORACLE, so the two cannot drift) to count the
+    exact pair set, and expects recall_meets_floor = TRUE. A recall
+    collapse — broken signature pass, dead bucket groupBy, a
+    threshold typo that drops boundary pairs from only one side —
+    flips the verdict or shifts n_exact_pairs, failing the row.
+
+    Degenerate-fixture guard: a regenerated fixture with NO exact
+    pairs makes recall undefined; both sides then report (0, TRUE).
+
+    Scale shape: the exact side is verification-scale-only (its own
+    docstring caps the broadcast); the LSH side is the 100 TB plan.
+    The comparison joins two bounded pair sets."""
+    exact = embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = embedding_neardup_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("l_a"), F.col("vec_b").alias("l_b")
+    )
+    hits = exact.join(
+        lsh,
+        (F.col("vec_a") == F.col("l_a")) & (F.col("vec_b") == F.col("l_b")),
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.coalesce(
+            # try_divide: the empty exact set makes recall 0/0 → NULL
+            # (ANSI mode would throw on /), coalesced to the vacuous
+            # TRUE the oracle's constant expects
+            F.try_divide(F.count("l_a"), F.count(F.lit(1)))
+            >= F.lit(NEARDUP_LSH_RECALL_FLOOR),
+            F.lit(True),
+        ).alias("recall_meets_floor"),
+    )
+
+
+@query(
+    "quantile_sketch_error",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS within_rank_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy contract: per event_type, the p50/p95
+    `approx_percentile` answers must land within QUANTILE_RANK_BOUND
+    of their target RANK — the Greenwald-Khanna guarantee itself, so
+    the check is distribution-free (ties and degenerate value columns
+    stay legal, where a value-space bound would not). Completes the
+    sketch-certification family: HLL (`mau_approx_error`), MinHash
+    (`minhash_jaccard_estimate`), ANN recall (`ann_recall_at5`,
+    `ivf_recall_at5`), and now the t-digest-style quantile summary the
+    100 TB drop-in for `value_percentiles` relies on.
+
+    The oracle computes the exact per-group row counts (the anchor
+    stat — a partial scan or dropped group shifts it) and expects
+    within_rank_bound = TRUE everywhere; a sketch whose answer drifts
+    outside its rank guarantee flips the Spark-side boolean and fails
+    the driver row.
+
+    Scale shape: the sketch pass is one map-side-mergeable aggregate;
+    the certification pass re-scans events once to rank the sketch
+    answers (broadcast of one row per event_type). At 100 TB you run
+    only the sketch — this query certifies it at verification scale."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sketch = events.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array(0.5D, 0.95D),"
+            f" {QUANTILE_ACCURACY})"
+        ).alias("ap")
+    )
+    ranked = events.join(F.broadcast(sketch), "event_type")
+    counted = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") < F.col("ap")[0], 1).otherwise(0)).alias(
+            "lt50"
+        ),
+        F.sum(F.when(F.col("value") <= F.col("ap")[0], 1).otherwise(0)).alias(
+            "le50"
+        ),
+        F.sum(F.when(F.col("value") < F.col("ap")[1], 1).otherwise(0)).alias(
+            "lt95"
+        ),
+        F.sum(F.when(F.col("value") <= F.col("ap")[1], 1).otherwise(0)).alias(
+            "le95"
+        ),
+    )
+
+    def in_bound(lt, le, q):
+        # the answer's true rank interval [lt, le]/n must intersect
+        # [q - bound, q + bound]
+        n = F.col("n_events").cast("double")
+        return (F.col(lt) / n <= F.lit(q + QUANTILE_RANK_BOUND)) & (
+            F.col(le) / n >= F.lit(q - QUANTILE_RANK_BOUND)
+        )
+
+    return counted.select(
+        "event_type",
+        "n_events",
+        (in_bound("lt50", "le50", 0.5) & in_bound("lt95", "le95", 0.95)).alias(
+            "within_rank_bound"
+        ),
+    ).orderBy("event_type")

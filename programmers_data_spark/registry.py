@@ -42,8 +42,8 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.multimodal_ops",  # 4 (→94)
     "programmers_data_spark.queries.analytics",  # 19 (→113)
     "programmers_data_spark.queries.subqueries",  # 8 (→121)
-    "programmers_data_spark.queries.accuracy_ops",  # 2 (→123)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→125)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→126)
+    "programmers_data_spark.queries.sampling_ops",  # 2 (→128)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

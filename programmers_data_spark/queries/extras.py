@@ -690,3 +690,81 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@query(
+    "ohlc_daily",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, ts, event_id, value
+      FROM events
+    ),
+    ext AS (
+      SELECT day, event_type,
+             min(ts) AS ts_min, max(ts) AS ts_max,
+             min(value) AS low, max(value) AS high,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM b GROUP BY 1, 2
+    ),
+    opens AS (
+      SELECT b.day, b.event_type, arg_min(b.value, b.event_id) AS open
+      FROM b JOIN ext ON b.day = ext.day AND b.event_type = ext.event_type
+                     AND b.ts = ext.ts_min
+      GROUP BY 1, 2
+    ),
+    closes AS (
+      SELECT b.day, b.event_type, arg_max(b.value, b.event_id) AS close
+      FROM b JOIN ext ON b.day = ext.day AND b.event_type = ext.event_type
+                     AND b.ts = ext.ts_max
+      GROUP BY 1, 2
+    )
+    SELECT ext.day, ext.event_type, opens.open, ext.high, ext.low,
+           closes.close, ext.n_events
+    FROM ext
+    JOIN opens  ON ext.day = opens.day  AND ext.event_type = opens.event_type
+    JOIN closes ON ext.day = closes.day AND ext.event_type = closes.event_type
+    ORDER BY ext.day, ext.event_type
+    """,
+)
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) downsampling per event_type —
+    the hypertable-rollup shape behind the reference's market-data
+    pipeline (S4: UpdateSymbol.py:25-35 pulls per-day OHLCV bars from
+    yfinance and :45-53 declares the stock_info(open, high, low,
+    close, volume) schema; here the engine COMPUTES the bars from raw
+    ticks instead of delegating the rollup to the data vendor).
+
+    open/close are the values of the first/last event in the bucket,
+    tie-broken by the unique event_id: one min/max over a
+    (ts, event_id, value) struct — lexicographic struct comparison
+    gives "value at the smallest (ts, event_id)" in the same aggregate
+    pass as high/low/count, so the whole rollup is ONE map-side-
+    partial groupBy with no window and no second scan. The oracle
+    reproduces the tie-break as min-key-among-ties joins (arg_min over
+    the unique event_id within the min-ts slice).
+
+    Scale: classic time-series downsampling — partial aggregation
+    makes the shuffle carry one row per (day, event_type) per task;
+    at 100 TB, date-partitioned input turns the day grouping into
+    partition-local work."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        b.groupBy("day", "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -37,13 +37,13 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.summary",  # 5 (→55)
     "programmers_data_spark.queries.text_quality_ops",  # 6 (→61)
     "programmers_data_spark.queries.curation_ops",  # 5 (→66)
-    "programmers_data_spark.queries.extras",  # 18 (→84)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→90)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→94)
-    "programmers_data_spark.queries.analytics",  # 19 (→113)
-    "programmers_data_spark.queries.subqueries",  # 8 (→121)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→126)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→128)
+    "programmers_data_spark.queries.extras",  # 19 (→85)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→91)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→95)
+    "programmers_data_spark.queries.analytics",  # 19 (→114)
+    "programmers_data_spark.queries.subqueries",  # 8 (→122)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→127)
+    "programmers_data_spark.queries.sampling_ops",  # 2 (→129)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

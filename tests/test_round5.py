@@ -259,6 +259,17 @@ def test_auto_cc_falls_back_to_two_phase(spark):
     assert all(r.component == 0 for r in rows)
 
 
+def test_ohlc_daily_is_one_aggregate_pass(spark, sf_oracle):
+    """The OHLC rollup must stay a single map-side-partial groupBy —
+    no window, one hash exchange (plus the output-order range
+    exchange): the struct-min/max tie-break exists precisely to avoid
+    a per-bucket sort at 100 TB."""
+    df = registry.QUERIES["ohlc_daily"](spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_token_budget_sample_plan_is_distributed(spark, sf_oracle):
     """The two-level prefix sum must never plan a single-partition
     pass over the corpus: the only windows are per-bucket (hash

@@ -768,3 +768,135 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# Integer power-iteration constants: ranks are scaled fixed-point
+# longs so every contribution is an integer division and every
+# aggregate a sum of longs — bitwise identical across engines (no
+# IEEE summation order to diverge). 3 iterations unroll exactly in
+# the SQL oracle.
+_PR_SCALE = 1_000_000
+_PR_ITERATIONS = 3
+
+_PR_EDGES_SQL = """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+"""
+
+_PR_STEP_SQL = """
+    {dst} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(i.incoming, 0)) // 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum((r.rank * e.w) // o.tw) AS BIGINT) AS incoming
+        FROM edges e
+        JOIN {src} r ON e.src = r.node
+        JOIN outw o  ON e.src = o.src
+        GROUP BY 1
+      ) i ON n.node = i.node
+    )
+"""
+
+
+@query(
+    "nation_pagerank",
+    oracle=(
+        "WITH edges AS (" + _PR_EDGES_SQL + "),\n"
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw"
+        " FROM edges GROUP BY 1),\n"
+        "nodes AS (SELECT n_nationkey AS node FROM nation),\n"
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),\n"
+        + ",\n".join(
+            _PR_STEP_SQL.format(
+                dst=f"r{i + 1}", src=f"r{i}", base=150_000
+            )
+            for i in range(_PR_ITERATIONS)
+        )
+        + f"""
+    SELECT n.n_name AS nation, r.rank
+    FROM r{_PR_ITERATIONS} r JOIN nation n ON r.node = n.n_nationkey
+    ORDER BY r.rank DESC, nation
+    """
+    ),
+)
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank over the supplier-nation → customer-nation
+    trade graph: the heavy part is the EDGE BUILD (lineitem ⋈ orders ⋈
+    customer ⋈ supplier aggregated to one weighted edge per nation
+    pair — the same multi-join shuffle profile as nation_trade_volume,
+    Q7's shape); the power iteration then runs on the aggregated graph
+    as join + sum per round. Ranks are scaled fixed-point LONGS with
+    damping 0.85 applied as integer `div` — sums of longs are
+    order-independent, so three unrolled iterations hash-match the
+    recursive SQL exactly (the float formulation would diverge by
+    summation order).
+
+    Scale posture: each iteration is one hash-partitioned join +
+    aggregate on the EDGE table (nation-level here, arbitrarily large
+    in general — e.g. a document-link graph); iterations shuffle on
+    the same key so the partitioning is reusable, and a deep loop
+    would localCheckpoint per round (operators.connected_components
+    does) — 3 rounds keeps lineage trivially bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    edges = edges.join(outw, "src").persist()
+    ranks = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.lit(_PR_SCALE).cast("long").alias("rank"),
+    )
+    for _ in range(_PR_ITERATIONS):
+        incoming = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div tw").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = nation.select(
+            F.col("n_nationkey").alias("node")
+        ).join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * COALESCE(incoming, 0)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return (
+        ranks.join(nation, ranks.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "rank")
+        .orderBy(F.desc("rank"), "nation")
+    )

@@ -144,3 +144,50 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, valid_from_us,
+           valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS valid_to_us
+      FROM events
+    )
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each event is a version of its
+    user's state; versions carry [valid_from, valid_to) validity
+    intervals with the latest version open-ended (is_current). The
+    keep-history dual of the reference's keep-latest dedup (K6,
+    UpdateSymbol_v3.py:77-83 keeps ONLY seq=1 per key; SCD2 keeps
+    every version and makes the as-of lookup an interval predicate) —
+    the standard warehouse shape for auditable dimensions.
+
+    One lead() window per key partition — hash-partitioned on
+    user_id, so the history build parallelizes like any keyed
+    shuffle at 100 TB; ties on ts are ordered by the unique event_id
+    on both sides, and validity bounds are integer epoch-micros
+    (order-insensitive, engine-exact)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    versions = _events_us(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    return versions.select(
+        "*", F.col("valid_to_us").isNull().alias("is_current")
+    ).orderBy("user_id", "valid_from_us", "event_id")

@@ -70,7 +70,8 @@ def dedup_within_watermark(
 
 
 def stream_publish_foreachbatch(
-    stream_df: DataFrame, path: str, checks=None
+    stream_df: DataFrame, path: str, checks=None,
+    checkpoint: str | None = None,
 ) -> None:
     """K8's streaming form: every micro-batch APPENDS to the target
     through the checked swap writer (read current ∪ batch → validate →
@@ -79,7 +80,13 @@ def stream_publish_foreachbatch(
     composition of redshift_summary.py:171-178 semantics under a
     stream. (A per-batch publish_swap would REPLACE the table with
     just that batch's rows, silently dropping earlier batches under
-    maxFilesPerTrigger/Kafka — covered by a multi-batch test.)"""
+    maxFilesPerTrigger/Kafka — covered by a multi-batch test.)
+
+    ``checkpoint``: source-offset checkpoint directory. With it, a
+    restarted query resumes AFTER the last committed batch instead of
+    re-reading the source from scratch — the exactly-once half the
+    offset log provides; the idempotent/atomic publish is the other
+    half (covered by the checkpoint-resume test)."""
     from ..publish import incremental_append
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,7 +94,10 @@ def stream_publish_foreachbatch(
             return
         incremental_append(batch_df.sparkSession, path, batch_df, checks=checks)
 
-    q = stream_df.writeStream.outputMode("append").foreachBatch(_publish).start()
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(_publish)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
@@ -246,6 +256,7 @@ def stream_incremental_keep_latest(
     keys: list[str],
     order_by: str,
     tie_break: str | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """K6's streaming form: each micro-batch MERGES into the target
     through the keep-latest load strategy instead of replacing it —
@@ -267,7 +278,10 @@ def stream_incremental_keep_latest(
             order_by=order_by, tie_break=tie_break,
         )
 
-    q = stream_df.writeStream.outputMode("append").foreachBatch(_merge).start()
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(_merge)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

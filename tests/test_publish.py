@@ -290,3 +290,52 @@ def test_publish_swap_crash_between_renames_recoverable(
     assert len(trash) == 1
     real_rename(str(tmp_path / trash[0]), path)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_stream_checkpoint_resume_is_exactly_once(spark, sf_smoke, tmp_path):
+    """Checkpointed restart semantics: a stream stopped after
+    committing its batches and restarted against the SAME checkpoint
+    must resume after the offset log — new source files are processed,
+    already-committed ones are NOT re-read. Since the sink here is a
+    plain append, any replay would surface as duplicate event_ids, so
+    distinct == total proves exactly-once end to end (offset log +
+    atomic publish)."""
+    from programmers_data_spark.streaming import stream_publish_foreachbatch
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    half_a.coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_publish_foreachbatch(stream, out, checkpoint=ckpt)
+
+    run_once()  # phase 1: only half A exists
+    n_a = half_a.count()
+    assert spark.read.parquet(out).count() == n_a
+
+    # phase 2: half B lands in the source dir; restart from checkpoint
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    final = spark.read.parquet(out)
+    total = events.count()
+    assert final.count() == total, "restart must process only new files"
+    assert final.select("event_id").distinct().count() == total, (
+        "a replayed batch would duplicate half A"
+    )
+
+    # phase 3: nothing new — a restart must be a no-op
+    run_once()
+    assert spark.read.parquet(out).count() == total

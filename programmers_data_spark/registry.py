@@ -27,23 +27,23 @@ ORACLE: dict[str, str] = {}
 # CORRECTNESS window is pinned EXPLICITLY in _WINDOW below (round-4
 # advice: never derive the window from import-time availability).
 _QUERY_MODULES = (
-    "programmers_data_spark.queries.loads",  # 5
-    "programmers_data_spark.queries.transforms",  # 7 (→12)
-    "programmers_data_spark.queries.text_ops",  # 13 (→25)
-    "programmers_data_spark.queries.dedup_ops",  # 6 (→31)
-    "programmers_data_spark.queries.round3_ops",  # 10 (→41)
+    "programmers_data_spark.queries.loads",  # 6
+    "programmers_data_spark.queries.transforms",  # 7 (→13)
+    "programmers_data_spark.queries.text_ops",  # 13 (→26)
+    "programmers_data_spark.queries.dedup_ops",  # 6 (→32)
+    "programmers_data_spark.queries.round3_ops",  # 10 (→42)
     "programmers_data_spark.queries.streaming_ops",  # 10 incl. the
-    #   unconditionally-registered, call-time-gated tws query (→51)
-    "programmers_data_spark.queries.summary",  # 5 (→56)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→62)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→67)
-    "programmers_data_spark.queries.extras",  # 20 (→87)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→93)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→97)
-    "programmers_data_spark.queries.analytics",  # 19 (→116)
-    "programmers_data_spark.queries.subqueries",  # 8 (→124)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→129)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→131)
+    #   unconditionally-registered, call-time-gated tws query (→52)
+    "programmers_data_spark.queries.summary",  # 5 (→57)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→63)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→68)
+    "programmers_data_spark.queries.extras",  # 20 (→88)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→94)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→98)
+    "programmers_data_spark.queries.analytics",  # 19 (→117)
+    "programmers_data_spark.queries.subqueries",  # 8 (→125)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→130)
+    "programmers_data_spark.queries.sampling_ops",  # 2 (→132)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

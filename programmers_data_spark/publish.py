@@ -201,3 +201,143 @@ def incremental_upsert(
     else:
         merged = source
     return publish_swap(merged, path)
+
+
+# ------------------------------------------------- versioned publish
+
+_CURRENT_POINTER = "_CURRENT"
+_GEN_PREFIX = "gen-"
+
+
+def _versioned_generations(table_dir: str) -> list[int]:
+    """Existing generation numbers, ascending (orphans included)."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith(_GEN_PREFIX):
+            try:
+                out.append(int(name[len(_GEN_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _versioned_current(table_dir: str) -> int | None:
+    """Generation the pointer file currently designates, or None."""
+    p = os.path.join(table_dir, _CURRENT_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        name = f.read().strip()
+    return int(name[len(_GEN_PREFIX):])
+
+
+def _gen_name(n: int) -> str:
+    return f"{_GEN_PREFIX}{n:06d}"
+
+
+def publish_versioned(
+    df: DataFrame,
+    table_dir: str,
+    checks: list[CountCheck] | None = None,
+    partition_by: list[str] | None = None,
+    keep_generations: int = 2,
+) -> int:
+    """K8 with SINGLE-ATOMIC-OP visibility: the upgrade path
+    publish_swap's docstring points at. Data lands in a fresh
+    ``gen-NNNNNN`` directory (invisible to readers), is validated
+    there, and becomes current only when the ``_CURRENT`` pointer
+    file is swapped via os.replace — one atomic filesystem op, so a
+    racing reader always resolves to a complete generation and never
+    sees the table absent (the two-rename gap publish_swap documents).
+
+    Retained generations double as history: ``read_versioned(...,
+    generation=n)`` time-travels, ``rollback_versioned`` repoints to
+    the previous generation without rewriting data — the
+    transactional-table-format pattern (Delta/Iceberg's version
+    pointer) in plain files. A crashed publish leaves an orphan
+    generation directory the pointer never referenced; the next
+    successful publish numbers past it and prunes it.
+
+    ``keep_generations`` bounds history (current is always kept).
+    Object-store note: os.replace maps to the atomic
+    put-if-generation-matches / rename primitive; data dirs are
+    immutable once published, so retention is pure garbage collection.
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    gens = _versioned_generations(table_dir)
+    nxt = (gens[-1] + 1) if gens else 1
+    gen = _gen_name(nxt)
+    data_dir = os.path.join(table_dir, gen)
+
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+
+        spark = df.sparkSession
+        staged = spark.read.parquet(data_dir)
+        n = assert_non_empty(staged, context=f"staged write for {table_dir}")
+        if checks:
+            run_df_checks(staged, checks)
+
+        tmp = os.path.join(table_dir, f".ptr-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(gen)
+        os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))
+    except Exception:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+
+    # retention: newest keep_generations by number, plus the current
+    # pointer target (they coincide except right after a rollback)
+    cur = _versioned_current(table_dir)
+    gens = _versioned_generations(table_dir)
+    keep = set(gens[-max(keep_generations, 1):])
+    if cur is not None:
+        keep.add(cur)
+    for g in gens:
+        if g not in keep:
+            shutil.rmtree(
+                os.path.join(table_dir, _gen_name(g)), ignore_errors=True
+            )
+    return n
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, generation: int | None = None
+) -> DataFrame:
+    """Read the current generation (pointer-resolved), or time-travel
+    to a retained one with ``generation=``."""
+    gen = generation if generation is not None else _versioned_current(table_dir)
+    if gen is None:
+        raise FileNotFoundError(f"no published generation in {table_dir}")
+    path = os.path.join(table_dir, _gen_name(gen))
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"generation {gen} not retained in {table_dir} "
+            f"(have {_versioned_generations(table_dir)})"
+        )
+    return spark.read.parquet(path)
+
+
+def rollback_versioned(table_dir: str) -> int:
+    """Repoint the table at the generation preceding the current one
+    — no data rewrite, same atomic pointer swap as publish. Raises if
+    no earlier generation is retained."""
+    cur = _versioned_current(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no published generation in {table_dir}")
+    earlier = [g for g in _versioned_generations(table_dir) if g < cur]
+    if not earlier:
+        raise ValueError(
+            f"no earlier generation retained in {table_dir} to roll back to"
+        )
+    prev = earlier[-1]
+    tmp = os.path.join(table_dir, f".ptr-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(_gen_name(prev))
+    os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))
+    return prev

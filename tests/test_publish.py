@@ -339,3 +339,103 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, sf_smoke, tmp_path):
     # phase 3: nothing new — a restart must be a no-op
     run_once()
     assert spark.read.parquet(out).count() == total
+
+
+# ------------------------------------------------- versioned publish
+
+
+def test_publish_versioned_pointer_swap_and_time_travel(
+    spark, events, tmp_path
+):
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_versioned(events.limit(100), table, keep_generations=3)
+    assert read_versioned(spark, table).count() == 100
+    publish_versioned(events.limit(40), table, keep_generations=3)
+    assert read_versioned(spark, table).count() == 40
+    # time travel to the first generation
+    assert read_versioned(spark, table, generation=1).count() == 100
+
+
+def test_publish_versioned_rollback_without_rewrite(spark, events, tmp_path):
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+        rollback_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_versioned(events.limit(100), table)
+    publish_versioned(events.limit(40), table)
+    assert rollback_versioned(table) == 1
+    assert read_versioned(spark, table).count() == 100
+    # a publish after rollback numbers past the rolled-back generation
+    publish_versioned(events.limit(7), table)
+    assert read_versioned(spark, table).count() == 7
+
+
+def test_publish_versioned_crash_before_pointer_serves_old(
+    spark, events, tmp_path, monkeypatch
+):
+    """A crash after the data write but before the pointer swap must
+    leave the previous generation current and the orphan invisible;
+    the next publish numbers past the orphan and prunes it."""
+    import programmers_data_spark.publish as pub
+
+    table = str(tmp_path / "vt")
+    pub.publish_versioned(events.limit(100), table)
+
+    real_replace = pub.os.replace
+
+    def crash_replace(src, dst):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(pub.os, "replace", crash_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        pub.publish_versioned(events.limit(40), table)
+    monkeypatch.setattr(pub.os, "replace", real_replace)
+
+    assert pub.read_versioned(spark, table).count() == 100
+    pub.publish_versioned(events.limit(7), table)
+    assert pub.read_versioned(spark, table).count() == 7
+
+
+def test_publish_versioned_check_failure_keeps_current(
+    spark, events, tmp_path
+):
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_versioned(events.limit(100), table)
+    with pytest.raises(QualityCheckError):
+        publish_versioned(
+            events.limit(3),
+            table,
+            checks=[CountCheck("min50", 50, "ge")],
+        )
+    assert read_versioned(spark, table).count() == 100
+
+
+def test_publish_versioned_retention_prunes_old_generations(
+    spark, events, tmp_path
+):
+    from programmers_data_spark.publish import (
+        _versioned_generations,
+        publish_versioned,
+        read_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    for n in (10, 20, 30, 40):
+        publish_versioned(events.limit(n), table, keep_generations=2)
+    assert _versioned_generations(table) == [3, 4]
+    assert read_versioned(spark, table).count() == 40
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, table, generation=1)

@@ -152,15 +152,26 @@ def incremental_append(
     path: str,
     new_rows: DataFrame,
     checks: list[CountCheck] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Append new rows to the target through the checked swap: read
     current ∪ batch → validate → swap. Unlike a raw append-mode write,
     readers never see a half-written batch and failed validation
     leaves the target untouched; unlike publish_swap alone, earlier
     rows survive. On a transactional table format this is a plain
-    ACID append."""
+    ACID append.
+
+    ``allow_schema_evolution``: a batch may add or drop columns; the
+    published schema becomes the union, with absent-side values null —
+    the incremental analogue of the reference's schema-drift handling
+    (K2 recreates the whole table on drift, UpdateSymbol.py:37-63;
+    here history is preserved and the schema widens in place). Default
+    is STRICT: a drifted batch raises, because silent widening hides
+    upstream contract breaks unless the caller opted in."""
     if os.path.exists(path):
-        merged = spark.read.parquet(path).unionByName(new_rows)
+        merged = spark.read.parquet(path).unionByName(
+            new_rows, allowMissingColumns=allow_schema_evolution
+        )
     else:
         merged = new_rows
     return publish_swap(merged, path, checks=checks)

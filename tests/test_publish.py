@@ -439,3 +439,30 @@ def test_publish_versioned_retention_prunes_old_generations(
     assert read_versioned(spark, table).count() == 40
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, table, generation=1)
+
+
+def test_incremental_append_schema_evolution(spark, events, tmp_path):
+    """A later batch may widen the schema (new column) when the
+    caller opts in: earlier rows read null for it, the published
+    schema becomes the union. The strict default must refuse drifted
+    batches — silent widening hides upstream contract breaks."""
+    from programmers_data_spark.publish import incremental_append
+
+    path = str(tmp_path / "t")
+    base = events.limit(50).select("event_id", "user_id")
+    incremental_append(spark, path, base)
+
+    evolved = (
+        events.limit(10)
+        .select("event_id", "user_id")
+        .withColumn("source", F.lit("backfill"))
+    )
+    with pytest.raises(Exception):  # strict default refuses drift
+        incremental_append(spark, path, evolved)
+
+    incremental_append(spark, path, evolved, allow_schema_evolution=True)
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"event_id", "user_id", "source"}
+    assert out.count() == 60
+    assert out.filter(F.col("source").isNull()).count() == 50
+    assert out.filter(F.col("source") == "backfill").count() == 10

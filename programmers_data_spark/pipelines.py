@@ -243,3 +243,76 @@ def sql_to_sheet(
     """SQL_to_Sheet.py:10-35: query result → sheet-shaped export (S7 +
     K9, with the reference's T12/T14 export cleaning)."""
     return sinks.export_rows(sources.read_sql(spark, sql), deliver, max_rows=max_rows)
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    keep_generations: int = 2,
+) -> dict[str, int]:
+    """End-to-end corpus curation: Gopher quality gate → exact content
+    dedup → MinHash near-dup removal → leakage-safe train/val split →
+    versioned publish. Each stage is the SAME code path the
+    individually-oracled queries run (gopher_quality_flags,
+    dedup_exact's hash-min rule, dedup_minhash's banded pairs,
+    train_val_split), composed into the production job shape: one
+    pipeline a training-data team would schedule, not a demo.
+
+    Near-dup removal is edge-greedy — the higher doc_id of every
+    verified pair is dropped, so no surviving pair is a near-dup; for
+    transitive clusters this can drop more than the minimum
+    (connected-components canonicalization, dedup_keep_canonical,
+    keeps exactly one per cluster at higher cost — pick per corpus).
+
+    Returns the funnel (docs surviving each stage) — the same
+    numbers the curation_funnel query reports — and publishes the
+    curated corpus with its split column through the pointer-file
+    writer, so downstream training reads a complete generation and
+    a bad curation run rolls back without rewrite.
+
+    Scale: every stage is the composed operators' own plan (banded
+    LSH join, map-only gates and splits); the funnel counts are the
+    only extra actions, one aggregate each."""
+    from .catalog import load_table
+    from .publish import publish_versioned
+    from .quality import CountCheck
+    from .queries.dedup_ops import dedup_minhash
+    from .queries.sampling_ops import train_val_split
+    from .queries.text_quality_ops import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    funnel = {"raw": docs.count()}
+
+    keep_ids = (
+        gopher_quality_flags(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = docs.join(keep_ids, "doc_id", "semi")
+    funnel["quality_gated"] = gated.count()
+
+    canon = (
+        gated.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = gated.join(canon, "doc_id", "semi")
+    funnel["exact_deduped"] = exact.count()
+
+    near_losers = (
+        dedup_minhash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(near_losers, "doc_id", "anti")
+    funnel["near_deduped"] = survivors.count()
+
+    curated = survivors.join(train_val_split(spark, sf_dir), "doc_id")
+    funnel["published"] = publish_versioned(
+        curated,
+        table_dir,
+        checks=[CountCheck("non_empty", 1, "ge")],
+        keep_generations=keep_generations,
+    )
+    return funnel

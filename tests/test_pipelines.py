@@ -226,3 +226,40 @@ def test_sql_to_sheet_export(spark, sf_smoke):
     )
     assert n == 5
     assert delivered["header"] == ["r_name", "r_regionkey"]
+
+
+def test_curate_corpus_end_to_end(spark, sf_smoke, tmp_path):
+    """The composed curation job: monotone funnel, published table
+    carries the split column, survivors contain no verified near-dup
+    pair, and re-running publishes an identical generation (the
+    deterministic-pipeline property the split/dedup stages promise)."""
+    from programmers_data_spark.pipelines import curate_corpus
+    from programmers_data_spark.publish import read_versioned
+    from programmers_data_spark.queries.dedup_ops import dedup_minhash
+
+    table = str(tmp_path / "curated")
+    funnel = curate_corpus(spark, sf_smoke, table)
+    assert (
+        funnel["raw"]
+        >= funnel["quality_gated"]
+        >= funnel["exact_deduped"]
+        >= funnel["near_deduped"]
+        > 0
+    )
+    out = read_versioned(spark, table)
+    assert funnel["published"] == funnel["near_deduped"] == out.count()
+    assert "split" in out.columns
+    assert set(
+        r.split for r in out.select("split").distinct().collect()
+    ) <= {"train", "val"}
+
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    for pair in dedup_minhash(spark, sf_smoke).collect():
+        assert not (pair.doc_a in ids and pair.doc_b in ids), (
+            f"near-dup pair survived: {pair}"
+        )
+
+    funnel2 = curate_corpus(spark, sf_smoke, table)
+    assert funnel2 == funnel
+    out2 = read_versioned(spark, table)
+    assert out2.subtract(out).count() == 0 and out.subtract(out2).count() == 0

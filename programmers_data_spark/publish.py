@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .quality import CountCheck, assert_non_empty, run_df_checks
+from .quality import CountCheck, DriftCheck, assert_non_empty, run_df_checks
 
 # ---------------------------------------------------------------- transforms
 
@@ -254,6 +254,7 @@ def publish_versioned(
     checks: list[CountCheck] | None = None,
     partition_by: list[str] | None = None,
     keep_generations: int = 2,
+    drift_checks: list[DriftCheck] | None = None,
 ) -> int:
     """K8 with SINGLE-ATOMIC-OP visibility: the upgrade path
     publish_swap's docstring points at. Data lands in a fresh
@@ -293,6 +294,14 @@ def publish_versioned(
         n = assert_non_empty(staged, context=f"staged write for {table_dir}")
         if checks:
             run_df_checks(staged, checks)
+        if drift_checks:
+            cur = _versioned_current(table_dir)
+            if cur is not None:  # first publish: no baseline, vacuous
+                baseline = spark.read.parquet(
+                    os.path.join(table_dir, _gen_name(cur))
+                )
+                for dc in drift_checks:
+                    dc.evaluate(staged, baseline)
 
         tmp = os.path.join(table_dir, f".ptr-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w", encoding="utf-8") as f:

@@ -77,3 +77,53 @@ def assert_non_empty(df: DataFrame, context: str = "result") -> int:
     if n == 0:
         raise QualityCheckError(f"{context} produced 0 rows; refusing to publish")
     return n
+
+
+@dataclass(frozen=True)
+class DriftCheck:
+    """Generation-over-generation drift gate: an aggregate of the
+    staged data must stay within ``rel_tol`` of the same aggregate on
+    the currently-published generation. The check the reference's
+    fixed count thresholds (mau_summary.py:11-21's hand-tuned
+    minimums) grow into: the baseline is the table's own history, so
+    it needs no retuning as the data grows — a sudden shift in row
+    count, average document length, or null rate blocks the publish
+    instead of silently training on it.
+
+    ``agg``: 'count', 'avg', 'sum', or 'null_frac' over ``column``
+    ('count' ignores the column). First publish has no baseline and
+    passes vacuously."""
+
+    name: str
+    agg: str = "count"
+    column: str | None = None
+    rel_tol: float = 0.2
+
+    def _measure(self, df: DataFrame) -> float:
+        from pyspark.sql import functions as F
+
+        if self.agg == "count":
+            return float(df.count())
+        if self.column is None:
+            raise ValueError(f"drift check {self.name!r}: agg {self.agg!r} needs a column")
+        if self.agg == "avg":
+            expr = F.avg(self.column)
+        elif self.agg == "sum":
+            expr = F.sum(self.column)
+        elif self.agg == "null_frac":
+            expr = F.avg(F.col(self.column).isNull().cast("double"))
+        else:
+            raise ValueError(f"unknown drift agg {self.agg!r}")
+        row = df.agg(expr.alias("v")).collect()[0]
+        return float(row.v) if row.v is not None else 0.0
+
+    def evaluate(self, staged: DataFrame, baseline: DataFrame) -> None:
+        base = self._measure(baseline)
+        new = self._measure(staged)
+        bound = abs(base) * self.rel_tol
+        if abs(new - base) > bound:
+            raise QualityCheckError(
+                f"drift check {self.name!r} failed: {self.agg}"
+                f"({self.column or '*'}) moved {base} -> {new}, "
+                f"outside ±{self.rel_tol:.0%}"
+            )

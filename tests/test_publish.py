@@ -466,3 +466,36 @@ def test_incremental_append_schema_evolution(spark, events, tmp_path):
     assert out.count() == 60
     assert out.filter(F.col("source").isNull()).count() == 50
     assert out.filter(F.col("source") == "backfill").count() == 10
+
+
+def test_publish_versioned_drift_gate(spark, events, tmp_path):
+    """Drift gate: the first publish has no baseline (vacuous); a
+    same-shaped second publish passes; a publish whose row count or
+    value average shifts beyond tolerance is blocked with the old
+    generation still current."""
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+    )
+    from programmers_data_spark.quality import DriftCheck
+
+    table = str(tmp_path / "vt")
+    gates = [
+        DriftCheck("rows", agg="count", rel_tol=0.3),
+        DriftCheck("avg_value", agg="avg", column="value", rel_tol=0.5),
+    ]
+    base = events.limit(1000)
+    publish_versioned(base, table, drift_checks=gates)
+    publish_versioned(events.limit(900), table, drift_checks=gates)
+    assert read_versioned(spark, table).count() == 900
+
+    with pytest.raises(QualityCheckError, match="drift check 'rows'"):
+        publish_versioned(events.limit(100), table, drift_checks=gates)
+    assert read_versioned(spark, table).count() == 900
+
+    shifted = events.limit(900).withColumn(
+        "value", F.col("value") * 100
+    )
+    with pytest.raises(QualityCheckError, match="avg_value"):
+        publish_versioned(shifted, table, drift_checks=gates)
+    assert read_versioned(spark, table).count() == 900

@@ -532,3 +532,28 @@ def test_q20_and_salted_plan_guards(spark, sf_smoke):
     ssr = _plan(registry.QUERIES["salted_segment_revenue"](spark, sf_smoke))
     assert "NestedLoop" not in ssr
     assert "EqualTo(event_type,purchase)" in ssr  # filter reaches the scan
+
+
+def test_topk_windows_keep_group_limit_pushdown(spark, sf_smoke):
+    """rank <= k windows must keep Spark's WindowGroupLimit map-side
+    pruning — the optimizer feature that makes window top-k scale
+    (only ~k rows per key survive to the shuffle instead of every
+    row). A filter/expression refactor that breaks the rank-predicate
+    pattern silently reverts to full-partition windows; guard the
+    physical plan."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    for name in (
+        "top3_per_segment",
+        "top_terms_per_doc",
+        "embedding_topk",
+        "dedup_keep_latest",
+    ):
+        plan = (
+            registry.QUERIES[name](spark, sf_smoke)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{name} lost rank pushdown"

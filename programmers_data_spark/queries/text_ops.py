@@ -598,3 +598,74 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# Heavy-hitter threshold: a token is a heavy hitter when it exceeds
+# 1/HH_K of the corpus token stream. The candidate pass keeps the
+# top HH_K values per Arrow batch — a GUARANTEED superset: if
+# global freq(x) > n/K then in some batch freq_b(x) > n_b/K
+# (pigeonhole), and fewer than K values can exceed n_b/K in a batch,
+# so x is inside that batch's top-K by count.
+HH_K = 30
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING count(*) * {HH_K} > tot.n
+    ORDER BY n_occurrences DESC, tok
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters (tokens above 1/K of the corpus
+    stream) via the two-pass candidate/verify pattern: a map-only
+    per-batch top-K count pass yields a candidate set that PROVABLY
+    contains every true heavy hitter (pigeonhole over batches — the
+    same guarantee a per-partition Misra-Gries sketch gives, here as
+    one vectorized value_counts per Arrow batch), then one exact
+    count pass restricted to candidates. The full-vocabulary groupBy
+    never happens: only candidate occurrences shuffle, so a 100 TB
+    stream with a billion-key vocabulary aggregates ~K keys per
+    batch instead of all of them. Output is EXACT (the verify pass
+    recounts candidates and applies the threshold as an integer
+    cross-multiplication), which is why a plain SQL oracle exists —
+    the sketch bounds the candidate set, not the answer.
+
+    Distinct from vocab_topk (rank-based top-k needs a full-vocab
+    aggregate); threshold-exceeders admit the candidate-pruned plan."""
+    import pandas as pd
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(textfn.tokenize("text")).alias("tok"))
+    )
+
+    def batch_topk(batches):
+        for pdf in batches:
+            vc = pdf["tok"].value_counts().head(HH_K)
+            yield pd.DataFrame({"tok": vc.index})
+
+    cands = (
+        toks.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(batch_topk, schema="tok string")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        toks.join(F.broadcast(cands), "tok", "semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_K > F.col("n"))
+        .select("tok", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "tok")
+    )

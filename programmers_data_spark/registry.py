@@ -29,21 +29,21 @@ ORACLE: dict[str, str] = {}
 _QUERY_MODULES = (
     "programmers_data_spark.queries.loads",  # 6
     "programmers_data_spark.queries.transforms",  # 7 (→13)
-    "programmers_data_spark.queries.text_ops",  # 13 (→26)
-    "programmers_data_spark.queries.dedup_ops",  # 6 (→32)
-    "programmers_data_spark.queries.round3_ops",  # 10 (→42)
+    "programmers_data_spark.queries.text_ops",  # 14 (→27)
+    "programmers_data_spark.queries.dedup_ops",  # 6 (→33)
+    "programmers_data_spark.queries.round3_ops",  # 10 (→43)
     "programmers_data_spark.queries.streaming_ops",  # 10 incl. the
-    #   unconditionally-registered, call-time-gated tws query (→52)
-    "programmers_data_spark.queries.summary",  # 5 (→57)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→63)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→68)
-    "programmers_data_spark.queries.extras",  # 20 (→88)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→94)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→98)
-    "programmers_data_spark.queries.analytics",  # 19 (→117)
-    "programmers_data_spark.queries.subqueries",  # 8 (→125)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→130)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→132)
+    #   unconditionally-registered, call-time-gated tws query (→53)
+    "programmers_data_spark.queries.summary",  # 5 (→58)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→64)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→69)
+    "programmers_data_spark.queries.extras",  # 20 (→89)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→95)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→99)
+    "programmers_data_spark.queries.analytics",  # 19 (→118)
+    "programmers_data_spark.queries.subqueries",  # 8 (→126)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→131)
+    "programmers_data_spark.queries.sampling_ops",  # 2 (→133)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

@@ -418,6 +418,7 @@ def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
         "ann_recall_at5",  # composes ann_lsh_topk's signature pass
         "ivf_recall_at5",  # composes ivf_topk's cell-assignment pass
         "lsh_neardup_recall",  # composes both near-dup GEMM kernels
+        "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
         "multimodal_decode", "multimodal_features",
         "minhash_jaccard_estimate",  # reuses the Arrow signature pass
         "near_dup_rate_by_source",  # composes dedup_minhash

@@ -276,7 +276,6 @@ def curate_corpus(
     only extra actions, one aggregate each."""
     from .catalog import load_table
     from .publish import publish_versioned
-    from .quality import CountCheck
     from .queries.dedup_ops import dedup_minhash
     from .queries.sampling_ops import train_val_split
     from .queries.text_quality_ops import gopher_quality_flags
@@ -300,19 +299,28 @@ def curate_corpus(
     exact = gated.join(canon, "doc_id", "semi")
     funnel["exact_deduped"] = exact.count()
 
-    near_losers = (
-        dedup_minhash(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # Scope the verified near-dup pairs to the docs still alive at
+    # this stage: a pair whose other end was already removed (quality
+    # gate, exact dedup, or a fixture-synthetic id that was never in
+    # this corpus) must not drop a surviving unique doc — only pairs
+    # with BOTH ends surviving represent redundancy in the output.
+    alive = exact.select("doc_id")
+    pairs = dedup_minhash(spark, sf_dir)
+    pairs_alive = pairs.join(
+        alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
+    ).join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+    near_losers = pairs_alive.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
     survivors = exact.join(near_losers, "doc_id", "anti")
     funnel["near_deduped"] = survivors.count()
 
     curated = survivors.join(train_val_split(spark, sf_dir), "doc_id")
+    # publish_versioned itself refuses an empty staged write, so no
+    # extra emptiness check is needed here
     funnel["published"] = publish_versioned(
         curated,
         table_dir,
-        checks=[CountCheck("non_empty", 1, "ge")],
         keep_generations=keep_generations,
     )
     return funnel

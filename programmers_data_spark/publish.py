@@ -218,6 +218,7 @@ def incremental_upsert(
 
 _CURRENT_POINTER = "_CURRENT"
 _GEN_PREFIX = "gen-"
+_VALIDATED_MARKER = "_VALIDATED"
 
 
 def _versioned_generations(table_dir: str) -> list[int]:
@@ -232,6 +233,21 @@ def _versioned_generations(table_dir: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _validated_generations(table_dir: str) -> list[int]:
+    """Generation numbers whose data passed validation (marker file
+    present), ascending. A crash mid-write or pre-validation leaves a
+    generation directory WITHOUT the marker — an orphan that must
+    never count toward retention, never serve a rollback, and never
+    be read as history."""
+    return [
+        g
+        for g in _versioned_generations(table_dir)
+        if os.path.exists(
+            os.path.join(table_dir, _gen_name(g), _VALIDATED_MARKER)
+        )
+    ]
 
 
 def _versioned_current(table_dir: str) -> int | None:
@@ -269,10 +285,12 @@ def publish_versioned(
     the previous generation without rewriting data — the
     transactional-table-format pattern (Delta/Iceberg's version
     pointer) in plain files. A crashed publish leaves an orphan
-    generation directory the pointer never referenced; the next
-    successful publish numbers past it and prunes it.
+    generation directory WITHOUT the validation marker; orphans never
+    count toward retention, never serve rollback or time travel, and
+    the next successful publish numbers past them and deletes them.
 
-    ``keep_generations`` bounds history (current is always kept).
+    ``keep_generations`` bounds history over VALIDATED generations
+    (the current one is always kept).
     Object-store note: os.replace maps to the atomic
     put-if-generation-matches / rename primitive; data dirs are
     immutable once published, so retention is pure garbage collection.
@@ -303,6 +321,12 @@ def publish_versioned(
                 for dc in drift_checks:
                     dc.evaluate(staged, baseline)
 
+        # validation passed: mark the generation as servable BEFORE it
+        # can become current — rollback/time-travel trust this marker
+        with open(
+            os.path.join(data_dir, _VALIDATED_MARKER), "w", encoding="utf-8"
+        ) as f:
+            f.write("ok")
         tmp = os.path.join(table_dir, f".ptr-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(gen)
@@ -311,18 +335,27 @@ def publish_versioned(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
 
-    # retention: newest keep_generations by number, plus the current
-    # pointer target (they coincide except right after a rollback)
+    # retention: newest keep_generations VALIDATED generations plus
+    # the current pointer target (they coincide except right after a
+    # rollback). Everything else — older history AND unvalidated
+    # crash orphans — is deleted; stale pointer temp files from
+    # crashed swaps are swept too.
     cur = _versioned_current(table_dir)
-    gens = _versioned_generations(table_dir)
-    keep = set(gens[-max(keep_generations, 1):])
+    validated = _validated_generations(table_dir)
+    keep = set(validated[-max(keep_generations, 1):])
     if cur is not None:
         keep.add(cur)
-    for g in gens:
+    for g in _versioned_generations(table_dir):
         if g not in keep:
             shutil.rmtree(
                 os.path.join(table_dir, _gen_name(g)), ignore_errors=True
             )
+    for name in os.listdir(table_dir):
+        if name.startswith(".ptr-"):
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
     return n
 
 
@@ -335,22 +368,26 @@ def read_versioned(
     if gen is None:
         raise FileNotFoundError(f"no published generation in {table_dir}")
     path = os.path.join(table_dir, _gen_name(gen))
-    if not os.path.isdir(path):
+    if not os.path.isdir(path) or not os.path.exists(
+        os.path.join(path, _VALIDATED_MARKER)
+    ):
         raise FileNotFoundError(
             f"generation {gen} not retained in {table_dir} "
-            f"(have {_versioned_generations(table_dir)})"
+            f"(have {_validated_generations(table_dir)})"
         )
     return spark.read.parquet(path)
 
 
 def rollback_versioned(table_dir: str) -> int:
     """Repoint the table at the generation preceding the current one
-    — no data rewrite, same atomic pointer swap as publish. Raises if
-    no earlier generation is retained."""
+    — no data rewrite, same atomic pointer swap as publish. Only
+    VALIDATED generations are rollback targets (a half-written crash
+    orphan must never become current). Raises if no earlier validated
+    generation is retained."""
     cur = _versioned_current(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no published generation in {table_dir}")
-    earlier = [g for g in _versioned_generations(table_dir) if g < cur]
+    earlier = [g for g in _validated_generations(table_dir) if g < cur]
     if not earlier:
         raise ValueError(
             f"no earlier generation retained in {table_dir} to roll back to"

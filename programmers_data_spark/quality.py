@@ -92,12 +92,19 @@ class DriftCheck:
 
     ``agg``: 'count', 'avg', 'sum', or 'null_frac' over ``column``
     ('count' ignores the column). First publish has no baseline and
-    passes vacuously."""
+    passes vacuously.
+
+    ``abs_tol`` keeps the gate meaningful around a zero baseline: a
+    pure relative bound collapses to exact-equality when the baseline
+    aggregate is 0 (e.g. a null_frac gate on a generation with no
+    nulls would block ONE null row among millions). The allowed
+    movement is max(|baseline| * rel_tol, abs_tol)."""
 
     name: str
     agg: str = "count"
     column: str | None = None
     rel_tol: float = 0.2
+    abs_tol: float = 0.0
 
     def _measure(self, df: DataFrame) -> float:
         from pyspark.sql import functions as F
@@ -120,10 +127,10 @@ class DriftCheck:
     def evaluate(self, staged: DataFrame, baseline: DataFrame) -> None:
         base = self._measure(baseline)
         new = self._measure(staged)
-        bound = abs(base) * self.rel_tol
+        bound = max(abs(base) * self.rel_tol, self.abs_tol)
         if abs(new - base) > bound:
             raise QualityCheckError(
                 f"drift check {self.name!r} failed: {self.agg}"
                 f"({self.column or '*'}) moved {base} -> {new}, "
-                f"outside ±{self.rel_tol:.0%}"
+                f"outside ±{self.rel_tol:.0%} (abs_tol={self.abs_tol})"
             )

@@ -652,11 +652,12 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             vc = pdf["tok"].value_counts().head(HH_K)
             yield pd.DataFrame({"tok": vc.index})
 
-    cands = (
-        toks.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(batch_topk, schema="tok string")
-        .distinct()
-    )
+    # NO repartition before the candidate pass: the pigeonhole
+    # superset guarantee holds for any batching, so shuffling the
+    # whole token stream first would cost more movement than the
+    # full-vocabulary groupBy this query exists to avoid — the pass
+    # runs map-side on the scan partitions as-is.
+    cands = toks.mapInPandas(batch_topk, schema="tok string").distinct()
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     counted = (
         toks.join(F.broadcast(cands), "tok", "semi")

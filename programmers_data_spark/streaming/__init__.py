@@ -72,6 +72,7 @@ def dedup_within_watermark(
 def stream_publish_foreachbatch(
     stream_df: DataFrame, path: str, checks=None,
     checkpoint: str | None = None,
+    exactly_once: bool = False,
 ) -> None:
     """K8's streaming form: every micro-batch APPENDS to the target
     through the checked swap writer (read current ∪ batch → validate →
@@ -82,17 +83,41 @@ def stream_publish_foreachbatch(
     just that batch's rows, silently dropping earlier batches under
     maxFilesPerTrigger/Kafka — covered by a multi-batch test.)
 
-    ``checkpoint``: source-offset checkpoint directory. With it, a
-    restarted query resumes AFTER the last committed batch instead of
-    re-reading the source from scratch — the exactly-once half the
-    offset log provides; the idempotent/atomic publish is the other
-    half (covered by the checkpoint-resume test)."""
+    ``checkpoint``: source-offset checkpoint directory — a restarted
+    query resumes after the last batch recorded in the commit log
+    instead of re-reading the source from scratch.
+
+    Delivery semantics: foreachBatch is AT-LEAST-ONCE — a crash after
+    the publish commits but before the checkpoint writes that batch's
+    commit-log entry replays the batch on restart, and a plain append
+    would then duplicate its rows. ``exactly_once=True`` closes that
+    window: each batch is tagged with a ``_batch_id`` column and a
+    replayed batch (its id already present in the published table) is
+    skipped, making the append idempotent under replay. The default
+    keeps the published schema untagged and accepts the at-least-once
+    crash window. (stream_incremental_keep_latest needs no tag: its
+    keyed merge is idempotent by construction.)"""
+    import os as _os
+
     from ..publish import incremental_append
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_append(batch_df.sparkSession, path, batch_df, checks=checks)
+        spark = batch_df.sparkSession
+        if exactly_once:
+            if _os.path.exists(path):
+                cur = spark.read.parquet(path)
+                if (
+                    "_batch_id" in cur.columns
+                    and cur.filter(F.col("_batch_id") == batch_id)
+                    .limit(1)
+                    .count()
+                    > 0
+                ):
+                    return  # replay of an already-committed batch
+            batch_df = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        incremental_append(spark, path, batch_df, checks=checks)
 
     writer = stream_df.writeStream.outputMode("append").foreachBatch(_publish)
     if checkpoint is not None:

@@ -292,14 +292,17 @@ def test_publish_swap_crash_between_renames_recoverable(
     assert spark.read.parquet(path).count() == 100
 
 
-def test_stream_checkpoint_resume_is_exactly_once(spark, sf_smoke, tmp_path):
-    """Checkpointed restart semantics: a stream stopped after
-    committing its batches and restarted against the SAME checkpoint
-    must resume after the offset log — new source files are processed,
-    already-committed ones are NOT re-read. Since the sink here is a
-    plain append, any replay would surface as duplicate event_ids, so
-    distinct == total proves exactly-once end to end (offset log +
-    atomic publish)."""
+def test_stream_checkpoint_resume_skips_committed_batches(
+    spark, sf_smoke, tmp_path
+):
+    """Checkpointed restart semantics (the graceful-stop path): a
+    stream stopped after committing its batches and restarted against
+    the SAME checkpoint must resume after the offset log — new source
+    files are processed, already-committed ones are NOT re-read.
+    Since the sink here is a plain append, any replay would surface
+    as duplicate event_ids. (The crash window where the publish
+    commits but the commit log doesn't is covered by the
+    exactly_once replay test below.)"""
     from programmers_data_spark.streaming import stream_publish_foreachbatch
 
     events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
@@ -499,3 +502,115 @@ def test_publish_versioned_drift_gate(spark, events, tmp_path):
     with pytest.raises(QualityCheckError, match="avg_value"):
         publish_versioned(shifted, table, drift_checks=gates)
     assert read_versioned(spark, table).count() == 900
+
+
+def test_stream_exactly_once_survives_batch_replay(spark, sf_smoke, tmp_path):
+    """The at-least-once crash window: the publish committed but the
+    checkpoint's commit log didn't. Simulated faithfully by deleting
+    the checkpoint's commits dir after a successful run — restart
+    replays the same batches with the same batch ids. exactly_once
+    must skip them (no duplicates); the untagged default duplicates,
+    which is exactly why the flag exists."""
+    import shutil
+
+    from programmers_data_spark.streaming import stream_publish_foreachbatch
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "src")
+    events.limit(200).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once(out, ckpt, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_publish_foreachbatch(stream, out, checkpoint=ckpt, **kw)
+
+    out = str(tmp_path / "out_eo")
+    ckpt = str(tmp_path / "ckpt_eo")
+    run_once(out, ckpt, exactly_once=True)
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(f"{ckpt}/commits")  # lose the commit log: forces replay
+    run_once(out, ckpt, exactly_once=True)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n, "replayed batch must be skipped"
+    assert replayed.select("event_id").distinct().count() == n
+
+    # the untagged default really does duplicate under the same replay
+    out2 = str(tmp_path / "out_alo")
+    ckpt2 = str(tmp_path / "ckpt_alo")
+    run_once(out2, ckpt2)
+    shutil.rmtree(f"{ckpt2}/commits")
+    run_once(out2, ckpt2)
+    assert spark.read.parquet(out2).count() == 2 * n
+
+
+def test_publish_versioned_orphan_never_serves_nor_starves_retention(
+    spark, events, tmp_path
+):
+    """A SIGKILL mid-write leaves a generation directory with no
+    validation marker. That orphan must not count toward
+    keep_generations (it would push real history out), must not be a
+    rollback target, must not be readable as history, and the next
+    publish numbers past it and deletes it."""
+    import os
+
+    from programmers_data_spark.publish import (
+        _versioned_generations,
+        publish_versioned,
+        read_versioned,
+        rollback_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_versioned(events.limit(100), table, keep_generations=2)
+
+    # simulate the hard-kill orphan: a half-written gen-000002 with
+    # no _VALIDATED marker (the except-block never ran)
+    orphan = os.path.join(table, "gen-000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, table, generation=2)
+    with pytest.raises(ValueError):  # gen-1 is current; orphan is no target
+        rollback_versioned(table)
+
+    publish_versioned(events.limit(40), table, keep_generations=2)
+    # orphan pruned; the two VALIDATED generations retained
+    assert _versioned_generations(table) == [1, 3]
+    assert read_versioned(spark, table).count() == 40
+    assert read_versioned(spark, table, generation=1).count() == 100
+    assert rollback_versioned(table) == 1
+    assert read_versioned(spark, table).count() == 100
+
+
+def test_drift_check_abs_tol_keeps_zero_baseline_usable(
+    spark, events, tmp_path
+):
+    """A zero-baseline aggregate must not turn rel_tol into exact
+    equality: with abs_tol, a tiny null fraction appearing over a
+    no-nulls baseline passes; a large one still fails."""
+    from programmers_data_spark.publish import publish_versioned
+    from programmers_data_spark.quality import DriftCheck
+
+    table = str(tmp_path / "vt")
+    base = events.limit(1000).withColumn("v", F.lit(1.0))
+    publish_versioned(base, table)
+
+    gate = [DriftCheck("nulls", agg="null_frac", column="v", abs_tol=0.05)]
+    few_nulls = events.limit(1000).withColumn(
+        "v", F.when(F.col("event_id") % 500 == 0, None).otherwise(F.lit(1.0))
+    )
+    publish_versioned(few_nulls, table, drift_checks=gate)  # ~0.2% nulls: ok
+
+    many_nulls = events.limit(1000).withColumn(
+        "v", F.when(F.col("event_id") % 2 == 0, None).otherwise(F.lit(1.0))
+    )
+    with pytest.raises(QualityCheckError, match="nulls"):
+        publish_versioned(many_nulls, table, drift_checks=gate)

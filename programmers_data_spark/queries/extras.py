@@ -900,3 +900,83 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "rank")
         .orderBy(F.desc("rank"), "nation")
     )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(value, 0.5) * 100 + 0.5) AS BIGINT)
+               AS med_c
+      FROM events GROUP BY 1
+    ),
+    adev AS (
+      SELECT e.event_type, e.value, m.med_c,
+             abs(e.value - m.med_c / 100.0) AS dev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(dev, 0.5) * 100 + 0.5) AS BIGINT)
+               AS mad_c
+      FROM adev GROUP BY 1
+    )
+    SELECT a.event_type,
+           a.med_c + 3 * d.mad_c AS threshold_cents,
+           CAST(sum(CASE WHEN CAST(floor(a.value * 100 + 0.5) AS BIGINT)
+                              > a.med_c + 3 * d.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM adev a JOIN mad d ON a.event_type = d.event_type
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: values above
+    median + 3×MAD (median absolute deviation) — the standard
+    heavy-tail-safe anomaly filter (a mean/stddev rule is itself
+    dragged by the outliers it should catch). Used as the pre-publish
+    value-sanity gate a pipeline runs before trusting a new batch.
+
+    Cross-engine determinism: the median and MAD are cent-rounded to
+    exact integers BEFORE entering the threshold (both engines'
+    linear-interpolation percentiles agree to cents — the
+    value_percentiles precedent), deviations are measured around the
+    cent-rounded median so both engines interpolate identical
+    doubles, and the outlier comparison is integer cents vs integer
+    cents — no float boundary can flip a row between engines.
+
+    Scale: two percentile passes + one counting pass, each a
+    map-side aggregate per event_type with the tiny per-group
+    statistics broadcast back — no row-level shuffle."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("med_c")
+    )
+    adev = events.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med_c") / 100.0)
+    )
+    mad = adev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(dev, 0.5)") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("mad_c")
+    )
+    scored = adev.join(F.broadcast(mad), "event_type").withColumn(
+        "threshold_cents", F.col("med_c") + 3 * F.col("mad_c")
+    )
+    return (
+        scored.groupBy("event_type", "threshold_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                    > F.col("threshold_cents"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )

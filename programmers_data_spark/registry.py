@@ -37,13 +37,13 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.summary",  # 5 (→58)
     "programmers_data_spark.queries.text_quality_ops",  # 6 (→64)
     "programmers_data_spark.queries.curation_ops",  # 5 (→69)
-    "programmers_data_spark.queries.extras",  # 20 (→89)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→95)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→99)
-    "programmers_data_spark.queries.analytics",  # 19 (→118)
-    "programmers_data_spark.queries.subqueries",  # 8 (→126)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→131)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→133)
+    "programmers_data_spark.queries.extras",  # 21 (→90)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→96)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→100)
+    "programmers_data_spark.queries.analytics",  # 19 (→119)
+    "programmers_data_spark.queries.subqueries",  # 8 (→127)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→132)
+    "programmers_data_spark.queries.sampling_ops",  # 2 (→134)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

@@ -614,3 +614,93 @@ def test_drift_check_abs_tol_keeps_zero_baseline_usable(
     )
     with pytest.raises(QualityCheckError, match="nulls"):
         publish_versioned(many_nulls, table, drift_checks=gate)
+
+
+def test_publish_versioned_model_based_random_walk(spark, events, tmp_path):
+    """Model-based check of the versioned-table lifecycle: a seeded
+    random walk of publish / failing-publish / crash-before-pointer /
+    rollback ops, mirrored against a pure-Python model of (current,
+    retained validated generations). After every op the table must
+    agree with the model: current readable with the modeled row
+    count, every modeled generation time-travelable, every pruned or
+    orphaned generation refused."""
+    import random
+
+    import programmers_data_spark.publish as pub
+
+    table = str(tmp_path / "vt")
+    KEEP = 2
+    rng = random.Random(20260814)
+
+    # model: list of (gen_number, row_count) for validated retained
+    # generations, plus the current gen number
+    validated: list[tuple[int, int]] = []
+    current: int | None = None
+    next_gen = 1
+
+    def model_publish(n_rows):
+        nonlocal current, next_gen
+        gen = next_gen
+        next_gen += 1
+        validated.append((gen, n_rows))
+        current = gen
+        # retention: newest KEEP validated + current
+        keep = {g for g, _ in validated[-KEEP:]} | {current}
+        validated[:] = [(g, n) for g, n in validated if g in keep]
+
+    real_replace = pub.os.replace
+    for step in range(28):
+        op = rng.choice(["publish", "fail_check", "crash", "rollback"])
+        if op == "publish":
+            n = rng.randrange(10, 200)
+            pub.publish_versioned(
+                events.limit(n), table, keep_generations=KEEP
+            )
+            model_publish(n)
+        elif op == "fail_check":
+            with pytest.raises(QualityCheckError):
+                pub.publish_versioned(
+                    events.limit(5),
+                    table,
+                    checks=[CountCheck("min1000", 1000, "ge")],
+                    keep_generations=KEEP,
+                )
+            # model unchanged; gen number NOT consumed (dir removed)
+        elif op == "crash":
+            pub.os.replace = lambda *a, **k: (_ for _ in ()).throw(
+                OSError("crash")
+            )
+            try:
+                with pytest.raises(OSError):
+                    pub.publish_versioned(
+                        events.limit(50), table, keep_generations=KEEP
+                    )
+            finally:
+                pub.os.replace = real_replace
+            # model unchanged (the except-path removes the dir)
+        elif op == "rollback":
+            earlier = [g for g, _ in validated if current and g < current]
+            if current is None or not earlier:
+                with pytest.raises((FileNotFoundError, ValueError)):
+                    pub.rollback_versioned(table)
+            else:
+                assert pub.rollback_versioned(table) == earlier[-1]
+                current = earlier[-1]
+
+        # invariants after every step
+        if current is None:
+            with pytest.raises(FileNotFoundError):
+                pub.read_versioned(spark, table)
+            continue
+        by_gen = dict(validated)
+        assert pub.read_versioned(spark, table).count() == by_gen[current], (
+            f"step {step}: current gen {current} row count"
+        )
+        for g, n in validated:
+            assert (
+                pub.read_versioned(spark, table, generation=g).count() == n
+            ), f"step {step}: generation {g}"
+        on_disk = set(pub._validated_generations(table))
+        assert on_disk == {g for g, _ in validated}, (
+            f"step {step}: retained {on_disk} != model {validated}"
+        )

@@ -146,3 +146,118 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < TOKEN_BUDGET)
         .orderBy("doc_id")
     )
+
+
+# mixture_resample draws the same doc budget from every source — the
+# "equalize provenance" cut corpus_mixture_weights' upweights point
+# at, applied. 40% of the corpus keeps the quota strictly smaller
+# than most sources (a real cut) while surviving skewed fixtures.
+MIXTURE_BUDGET_FRACTION = 0.4
+
+
+@query(
+    "mixture_resample",
+    oracle=f"""
+    WITH quota AS (
+      SELECT CAST(floor(count(*) * {MIXTURE_BUDGET_FRACTION}
+                        / count(DISTINCT source)) AS BIGINT) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{SHUFFLE_SALT}|' || text), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r, quota
+    WHERE r.rk <= quota.q
+    ORDER BY r.doc_id
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an equalized source mixture: draw the SAME deterministic
+    doc quota from every source (hash-ordered, salted-content rank —
+    the same stable ordering the corpus shuffle and splits use), so
+    no provenance dominates the training cut. This is the
+    applied counterpart of `corpus_mixture_weights`, which only
+    REPORTS the shares and equalizing upweights; here the corpus is
+    actually resampled to the uniform mixture.
+
+    Scale: one window per source partition (hash-partitioned — the
+    top-quota rank is WindowGroupLimit-prunable map-side) against a
+    1-row broadcast quota; deterministic across re-ingestions because
+    the rank keys on salted content, not ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = docs.agg(
+        F.floor(
+            F.count(F.lit(1)) * MIXTURE_BUDGET_FRACTION
+            / F.countDistinct("source")
+        )
+        .cast("long")
+        .alias("q")
+    )
+    h = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("text")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rk") <= F.col("q"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT md5('{SHUFFLE_SALT}|' || text) AS h,
+             CASE WHEN substring(md5('{SHUFFLE_SALT}|' || text), 1, 2)
+                       < '{_SPLIT_HEX_BOUND}'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT h AS content_hash
+    FROM assigned
+    GROUP BY h
+    HAVING count(DISTINCT split) > 1
+    ORDER BY 1
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage contract: content hashes assigned to BOTH
+    splits — expected EMPTY, and empty by construction because the
+    split keys on the content hash itself (byte-identical documents
+    cannot straddle the boundary). Registered as a query so the
+    invariant is driver-hash-checked every round: if the split
+    implementation ever drifts to keying on doc_id or an unsalted
+    hash, Spark emits violation rows while the oracle recomputes the
+    content-keyed truth, and the row-count/hash mismatch turns the
+    driver row red — eval-contamination protection as a standing
+    contract, not a code comment.
+
+    Scale: one groupBy on the content hash (the same key exact dedup
+    shuffles on) emitting only violators — output is empty in a
+    healthy pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("text")))
+    assigned = docs.select(
+        h.alias("content_hash"),
+        F.when(
+            F.substring(h, 1, 2) < F.lit(_SPLIT_HEX_BOUND), "train"
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("content_hash")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .select("content_hash")
+        .orderBy("content_hash")
+    )

@@ -43,7 +43,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.analytics",  # 19 (→119)
     "programmers_data_spark.queries.subqueries",  # 8 (→127)
     "programmers_data_spark.queries.accuracy_ops",  # 5 (→132)
-    "programmers_data_spark.queries.sampling_ops",  # 2 (→134)
+    "programmers_data_spark.queries.sampling_ops",  # 4 (→136)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

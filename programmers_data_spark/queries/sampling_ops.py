@@ -186,18 +186,24 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     REPORTS the shares and equalizing upweights; here the corpus is
     actually resampled to the uniform mixture.
 
-    Scale: one window per source partition (hash-partitioned — the
-    top-quota rank is WindowGroupLimit-prunable map-side) against a
-    1-row broadcast quota; deterministic across re-ingestions because
-    the rank keys on salted content, not ids."""
+    Scale: one window per source partition (hash-partitioned). The
+    quota is resolved to a LITERAL at plan-build time (one tiny
+    count aggregate — the same driver-side-metadata move the IVF
+    quantizer makes): a runtime-joined quota would block Spark's
+    WindowGroupLimit rewrite, whereas the literal lets the rank
+    filter prune map-side so only ~quota rows per source reach the
+    window sort. Deterministic across re-ingestions because the rank
+    keys on salted content, not ids."""
     docs = load_table(spark, sf_dir, "documents")
-    quota = docs.agg(
-        F.floor(
-            F.count(F.lit(1)) * MIXTURE_BUDGET_FRACTION
-            / F.countDistinct("source")
-        )
-        .cast("long")
-        .alias("q")
+    q = int(
+        docs.agg(
+            F.floor(
+                F.count(F.lit(1)) * MIXTURE_BUDGET_FRACTION
+                / F.countDistinct("source")
+            )
+            .cast("long")
+            .alias("q")
+        ).collect()[0].q
     )
     h = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("text")))
     w = Window.partitionBy("source").orderBy(h, "doc_id")
@@ -205,8 +211,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.row_number().over(w).alias("rk")
     )
     return (
-        ranked.crossJoin(F.broadcast(quota))
-        .filter(F.col("rk") <= F.col("q"))
+        ranked.filter(F.col("rk") <= F.lit(q))
         .select("doc_id", "source")
         .orderBy("doc_id")
     )

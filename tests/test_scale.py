@@ -550,6 +550,7 @@ def test_topk_windows_keep_group_limit_pushdown(spark, sf_smoke):
         "top_terms_per_doc",
         "embedding_topk",
         "dedup_keep_latest",
+        "mixture_resample",  # literal quota exists to enable this
     ):
         plan = (
             registry.QUERIES[name](spark, sf_smoke)

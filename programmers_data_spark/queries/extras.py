@@ -980,3 +980,113 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ingest_freshness",
+    oracle="""
+    WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+    SELECT event_type,
+           max(epoch_us(ts)) AS latest_us,
+           (g.gmax - max(epoch_us(ts))) // 1000000 AS lag_seconds
+    FROM events, g
+    GROUP BY event_type, g.gmax
+    ORDER BY event_type
+    """,
+)
+def ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitor: each event type's latest event
+    time and its lag behind the freshest stream — the first dashboard
+    a scheduled-ingestion platform needs (the reference's failure
+    mode: one DAG silently stops and its table quietly ages;
+    cross-checking every stream against the freshest one surfaces
+    exactly that). Integer epoch-micros end to end, so both engines
+    agree bitwise.
+
+    Scale: one map-side max aggregate per type plus a 1-row global
+    max broadcast — no row-level shuffle."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    g = events.agg(F.max("ts_us").alias("gmax"))
+    return (
+        events.groupBy("event_type")
+        .agg(F.max("ts_us").alias("latest_us"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "latest_us",
+            # integer div on BOTH sides: DuckDB CAST(double AS BIGINT)
+            # ROUNDS where Spark's cast truncates — float division here
+            # was off by one second at the boundary
+            F.expr("(gmax - latest_us) div 1000000").alias("lag_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "volume_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(floor(quantile_cont(CAST(n AS DOUBLE), 0.5) * 100 + 0.5)
+                  AS BIGINT) AS med_c
+      FROM daily
+    ),
+    mad AS (
+      SELECT CAST(floor(quantile_cont(abs(d.n - m.med_c / 100.0), 0.5)
+                        * 100 + 0.5) AS BIGINT) AS mad_c
+      FROM daily d, med m
+    )
+    SELECT d.day, d.n
+    FROM daily d, med m, mad a
+    WHERE abs(d.n * 100 - m.med_c) > 3 * a.mad_c
+    ORDER BY d.day
+    """,
+)
+def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly days: days whose event count deviates
+    from the median daily volume by more than 3×MAD — the series-level
+    companion to `mad_outliers` (row-level values): a silent upstream
+    outage halves a day's volume and a replay doubles it; both land
+    outside the robust band while ordinary traffic variation stays
+    inside. Median and MAD are cent-scaled integers (the
+    value_percentiles cent-parity precedent) and the day count enters
+    the comparison as an exact integer, so the band check is integer
+    arithmetic on both engines.
+
+    Scale: the daily rollup is one map-side count per day; the two
+    percentile passes run over one-row-per-day aggregates (tiny), and
+    the verdict join broadcasts two 1-row statistics."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = daily.agg(
+        F.floor(F.expr("percentile(CAST(n AS DOUBLE), 0.5)") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("med_c")
+    )
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.floor(
+            F.expr("percentile(abs(n - med_c / 100.0), 0.5)") * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mad_c")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("n") * 100 - F.col("med_c")) > 3 * F.col("mad_c")
+        )
+        .select("day", "n")
+        .orderBy("day")
+    )

@@ -37,13 +37,13 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.summary",  # 5 (→58)
     "programmers_data_spark.queries.text_quality_ops",  # 6 (→64)
     "programmers_data_spark.queries.curation_ops",  # 5 (→69)
-    "programmers_data_spark.queries.extras",  # 21 (→90)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→96)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→100)
-    "programmers_data_spark.queries.analytics",  # 19 (→119)
-    "programmers_data_spark.queries.subqueries",  # 8 (→127)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→132)
-    "programmers_data_spark.queries.sampling_ops",  # 4 (→136)
+    "programmers_data_spark.queries.extras",  # 23 (→92)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→98)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→102)
+    "programmers_data_spark.queries.analytics",  # 19 (→121)
+    "programmers_data_spark.queries.subqueries",  # 8 (→129)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→134)
+    "programmers_data_spark.queries.sampling_ops",  # 4 (→138)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

@@ -30,20 +30,20 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.loads",  # 6
     "programmers_data_spark.queries.transforms",  # 7 (→13)
     "programmers_data_spark.queries.text_ops",  # 14 (→27)
-    "programmers_data_spark.queries.dedup_ops",  # 6 (→33)
-    "programmers_data_spark.queries.round3_ops",  # 10 (→43)
+    "programmers_data_spark.queries.dedup_ops",  # 7 (→34)
+    "programmers_data_spark.queries.round3_ops",  # 10 (→44)
     "programmers_data_spark.queries.streaming_ops",  # 10 incl. the
-    #   unconditionally-registered, call-time-gated tws query (→53)
-    "programmers_data_spark.queries.summary",  # 5 (→58)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→64)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→69)
-    "programmers_data_spark.queries.extras",  # 23 (→92)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→98)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→102)
-    "programmers_data_spark.queries.analytics",  # 19 (→121)
-    "programmers_data_spark.queries.subqueries",  # 8 (→129)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→134)
-    "programmers_data_spark.queries.sampling_ops",  # 4 (→138)
+    #   unconditionally-registered, call-time-gated tws query (→54)
+    "programmers_data_spark.queries.summary",  # 5 (→59)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→65)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→70)
+    "programmers_data_spark.queries.extras",  # 23 (→93)
+    "programmers_data_spark.queries.similarity_ops",  # 6 (→99)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→103)
+    "programmers_data_spark.queries.analytics",  # 19 (→122)
+    "programmers_data_spark.queries.subqueries",  # 8 (→130)
+    "programmers_data_spark.queries.accuracy_ops",  # 5 (→135)
+    "programmers_data_spark.queries.sampling_ops",  # 4 (→139)
 )
 
 # The first 50 names get_queries() yields — i.e. the names the driver

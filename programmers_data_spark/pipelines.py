@@ -250,6 +250,7 @@ def curate_corpus(
     sf_dir: str,
     table_dir: str,
     keep_generations: int = 2,
+    near_dup: str = "greedy",
 ) -> dict[str, int]:
     """End-to-end corpus curation: Gopher quality gate → exact content
     dedup → MinHash near-dup removal → leakage-safe train/val split →
@@ -259,11 +260,12 @@ def curate_corpus(
     train_val_split), composed into the production job shape: one
     pipeline a training-data team would schedule, not a demo.
 
-    Near-dup removal is edge-greedy — the higher doc_id of every
-    verified pair is dropped, so no surviving pair is a near-dup; for
-    transitive clusters this can drop more than the minimum
-    (connected-components canonicalization, dedup_keep_canonical,
-    keeps exactly one per cluster at higher cost — pick per corpus).
+    ``near_dup`` picks the removal strategy: ``"greedy"`` drops the
+    higher doc_id of every verified pair (cheapest; for transitive
+    clusters it can drop more than the minimum), ``"canonical"``
+    resolves connected components over the pair graph and keeps
+    exactly the minimum doc_id per cluster (one more iterative pass;
+    maximal survivors). Either way no surviving pair is a near-dup.
 
     Returns the funnel (docs surviving each stage) — the same
     numbers the curation_funnel query reports — and publishes the
@@ -309,9 +311,23 @@ def curate_corpus(
     pairs_alive = pairs.join(
         alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
     ).join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
-    near_losers = pairs_alive.select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
+    if near_dup == "canonical":
+        from .operators import connected_components_auto
+
+        labels = connected_components_auto(
+            pairs_alive.select("doc_a", "doc_b"), "doc_a", "doc_b"
+        )
+        # component label = min vertex id per cluster: keep it, drop
+        # the other members (exactly one survivor per cluster)
+        near_losers = labels.filter(
+            F.col("vertex") != F.col("component")
+        ).select(F.col("vertex").alias("doc_id"))
+    elif near_dup == "greedy":
+        near_losers = pairs_alive.select(
+            F.col("doc_b").alias("doc_id")
+        ).distinct()
+    else:
+        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
     survivors = exact.join(near_losers, "doc_id", "anti")
     funnel["near_deduped"] = survivors.count()
 

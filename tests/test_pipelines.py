@@ -263,3 +263,36 @@ def test_curate_corpus_end_to_end(spark, sf_smoke, tmp_path):
     assert funnel2 == funnel
     out2 = read_versioned(spark, table)
     assert out2.subtract(out).count() == 0 and out.subtract(out2).count() == 0
+
+
+def test_curate_corpus_canonical_strategy(spark, sf_smoke, tmp_path):
+    """Canonical near-dup removal keeps exactly one doc per pair
+    cluster: at least as many survivors as the greedy cut, still no
+    surviving verified pair, and every pair cluster keeps its minimum
+    member."""
+    from programmers_data_spark.pipelines import curate_corpus
+    from programmers_data_spark.publish import read_versioned
+    from programmers_data_spark.queries.dedup_ops import dedup_minhash
+
+    greedy = curate_corpus(
+        spark, sf_smoke, str(tmp_path / "g"), near_dup="greedy"
+    )
+    canonical = curate_corpus(
+        spark, sf_smoke, str(tmp_path / "c"), near_dup="canonical"
+    )
+    assert canonical["near_deduped"] >= greedy["near_deduped"]
+    ids = {
+        r.doc_id
+        for r in read_versioned(spark, str(tmp_path / "c"))
+        .select("doc_id")
+        .collect()
+    }
+    for pair in dedup_minhash(spark, sf_smoke).collect():
+        assert not (pair.doc_a in ids and pair.doc_b in ids)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown near_dup"):
+        curate_corpus(
+            spark, sf_smoke, str(tmp_path / "x"), near_dup="nope"
+        )

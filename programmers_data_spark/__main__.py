@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("-n", "--rows", type=int, default=20)
     ex = sub.add_parser("explain", help="print a query's physical plan")
     ex.add_argument("name")
+    sub.add_parser(
+        "audit",
+        help="lint every query's physical plan against the engine's "
+        "scale policy (Python tier, bounded cartesians, bounded "
+        "single-partition exchanges)",
+    )
 
     args = p.parse_args(argv)
     registry.load_all()
@@ -46,6 +52,20 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(registry.QUERIES):
             tag = "oracle" if name in oracled else "rows-only"
             print(f"{name:32s} {tag}")
+        return 0
+
+    if args.cmd == "audit":
+        from .plan_audit import audit_all
+
+        spark = get_spark(app_name="pds-audit", master=args.master)
+        flagged = audit_all(spark, args.sf_dir)
+        for name, flags in flagged.items():
+            for flag in flags:
+                print(f"{name}: {flag}")
+        if flagged:
+            print(f"{len(flagged)} flagged quer(y/ies)", file=sys.stderr)
+            return 1
+        print("plan audit clean")
         return 0
 
     if args.name not in registry.QUERIES:

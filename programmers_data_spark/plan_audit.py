@@ -1,0 +1,114 @@
+"""Plan governance: the engine's physical-plan policy, auditable.
+
+Every registered query carries an implicit scale contract — pure-JVM
+expressions unless declared Arrow-tier, no unbounded cartesian
+products, no single-partition funnels on SF-growing data. This module
+owns the policy (the allowlists live HERE, next to the operators they
+describe, not inside a test) and exposes it two ways: `audit_all` for
+`python -m programmers_data_spark audit` (lint every query's executed
+plan before a deploy) and as the data behind
+tests/test_scale.py::test_plan_policy_audit (the same policy enforced
+in CI).
+
+An allowlist entry is a DOCUMENTED exception, not an excuse: each name
+below appears because its docstring explains why the node is bounded
+(a 1-row broadcast aggregate, a capped ground-truth twin, an Arrow
+kernel that IS the operator). A new query that trips a rule either
+gets redesigned or earns its entry with the same justification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Queries whose OPERATOR is an Arrow/Python kernel (mapInPandas /
+# applyInPandas GEMMs, signature passes, codecs) — vectorized batch
+# kernels, never row-at-a-time UDFs. Everything else must plan as
+# pure JVM expressions (whole-stage-codegen eligible).
+PYTHON_TIER = frozenset({
+    "dedup_minhash", "dedup_simhash", "embedding_neardup",
+    "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
+    "ann_recall_at5",  # composes ann_lsh_topk's signature pass
+    "ivf_recall_at5",  # composes ivf_topk's cell-assignment pass
+    "lsh_neardup_recall",  # composes both near-dup GEMM kernels
+    "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
+    "multimodal_decode", "multimodal_features",
+    "minhash_jaccard_estimate",  # reuses the Arrow signature pass
+    "near_dup_rate_by_source",  # composes dedup_minhash
+})
+
+# Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose
+# broadcast side is provably bounded: a 1-row aggregate (thresholds,
+# totals, global max), a fixed query set, or an intentionally capped
+# ground-truth twin for an LSH path.
+BOUNDED_CARTESIAN = frozenset({
+    "adaptive_quality_gate",   # 1-row p25 threshold broadcast
+    "ann_recall_at5",          # bounded query set crossJoin (via ANN)
+    "ivf_recall_at5",          # same, via ivf_topk
+    "corpus_mixture_weights",  # 1-row corpus totals broadcast
+    "dedup_clusters",          # capped (doc_id<120) ground-truth twin
+    "dedup_keep_canonical",    # same capped twin
+    "embedding_topk",          # broadcast bounded query set x corpus
+    "idle_rich_customers",     # Q22 scalar-subquery 1-row broadcast
+    "ingest_freshness",        # 1-row global-max broadcast
+    "knn_label_vote",          # broadcast bounded query set
+    "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
+    "skew_profile",            # 1-row total broadcast
+    "supplier_value_share",    # Q11 scalar-subquery 1-row broadcast
+    "token_heavy_hitters",     # 1-row total-count broadcast
+    "volume_anomaly_days",     # two 1-row robust-stat broadcasts
+})
+
+# Queries planning an Exchange SinglePartition that carries a provably
+# tiny input: 1-row global aggregates feeding a broadcast, or a
+# final single-row result.
+BOUNDED_SINGLE_PARTITION = frozenset({
+    "adaptive_quality_gate", "ann_recall_at5", "ivf_recall_at5",
+    "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
+    "discounted_revenue", "forecast_revenue_change",
+    "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
+    "skew_profile", "small_qty_revenue", "supplier_value_share",
+    "table_profile", "token_heavy_hitters", "top_supplier",
+    "volume_anomaly_days",
+})
+
+_PYTHON_MARKERS = (
+    "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def audit_plan(name: str, df: DataFrame) -> list[str]:
+    """Flags for one query's executed plan; empty list = clean."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = []
+    if name not in PYTHON_TIER and any(m in plan for m in _PYTHON_MARKERS):
+        flags.append("python-node outside the declared Arrow tier")
+    if name not in BOUNDED_CARTESIAN and (
+        "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    ):
+        flags.append("cartesian/nested-loop join not declared bounded")
+    if name not in BOUNDED_SINGLE_PARTITION and (
+        "Exchange SinglePartition" in plan
+    ):
+        flags.append("single-partition exchange not declared bounded")
+    return flags
+
+
+def audit_all(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, list[str]]:
+    """Audit every registered batch query; returns only the flagged
+    ones (streaming queries execute on call, so they are audited by
+    their own plan-shape tests instead)."""
+    from . import registry
+
+    registry.load_all()
+    flagged: dict[str, list[str]] = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        flags = audit_plan(name, fn(spark, sf_dir))
+        if flags:
+            flagged[name] = flags
+    return flagged

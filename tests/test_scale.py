@@ -403,36 +403,18 @@ def test_subquery_decorrelation_plan_guards(spark, sf_smoke):
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in q22
 
 
-def test_python_stays_out_of_sql_tier_plans(spark, sf_smoke):
-    """Global policy guard (SCALE.md 'Python boundary policy'): only
-    the declared Arrow/Python-tier queries may contain Python
-    evaluation nodes; every other registered query must plan as pure
-    JVM expressions (no BatchEvalPython/ArrowEvalPython/mapInPandas,
-    i.e. whole-stage-codegen eligible)."""
-    from programmers_data_spark import registry
+def test_plan_policy_audit(spark, sf_smoke):
+    """Global policy guard (SCALE.md 'Python boundary policy', now
+    engine-owned in plan_audit.py and user-runnable via
+    `python -m programmers_data_spark audit`): Python evaluation
+    nodes only in the declared Arrow tier, cartesian/nested-loop
+    joins only where the broadcast side is documented bounded,
+    single-partition exchanges only on provably 1-row inputs. Every
+    allowlist entry is a documented exception next to the policy."""
+    from programmers_data_spark.plan_audit import audit_all
 
-    registry.load_all()
-    PYTHON_TIER = {
-        "dedup_minhash", "dedup_simhash", "embedding_neardup",
-        "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
-        "ann_recall_at5",  # composes ann_lsh_topk's signature pass
-        "ivf_recall_at5",  # composes ivf_topk's cell-assignment pass
-        "lsh_neardup_recall",  # composes both near-dup GEMM kernels
-        "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
-        "multimodal_decode", "multimodal_features",
-        "minhash_jaccard_estimate",  # reuses the Arrow signature pass
-        "near_dup_rate_by_source",  # composes dedup_minhash
-    }
-    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-               "FlatMapGroupsInPandas")
-    offenders = []
-    for name, fn in sorted(registry.QUERIES.items()):
-        if name in PYTHON_TIER or name.startswith("stream_"):
-            continue
-        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
-        if any(m in plan for m in markers):
-            offenders.append(name)
-    assert not offenders, f"Python nodes leaked into SQL-tier plans: {offenders}"
+    flagged = audit_all(spark, sf_smoke)
+    assert not flagged, f"plan policy violations: {flagged}"
 
 
 def test_no_forced_broadcast_on_sf_growing_tables():

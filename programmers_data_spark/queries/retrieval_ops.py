@@ -23,6 +23,10 @@ operators a training-data stack needs next to dedup and curation:
                         ANSI SQL).
 - semantic_dedup_recall: hash-checkable accuracy contract for the
                         semantic path vs the exact all-pairs twin.
+- embedding_sq8:        uint8 scalar quantization of the embedding
+                        column with the reconstruction-error contract
+                        inline (4x storage compression for vector
+                        columns at scale).
 
 Reference anchor: the reference's dedup/reporting tier stops at exact
 SQL (SURVEY §2 A4/K6); this module is the §2.5 scale extension in the
@@ -543,4 +547,101 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_ok = n_exact == 0 or (n_caught / n_exact) >= SEMDEDUP_RECALL_FLOOR
     return spark.createDataFrame(
         [(n_exact, bool(recall_ok))], "n_exact_dropped long, recall_ok boolean"
+    )
+
+
+# Scalar-quantization rounding bound: round-to-nearest puts the
+# reconstruction within half a step (range/510) per dimension; the
+# epsilon absorbs the few-ulp slack of the dequantization arithmetic
+# itself (ranges here are O(1), so an absolute epsilon is safe).
+SQ8_EPS = 1e-12
+
+
+@query(
+    "embedding_sq8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT e.vec_id, u.x, u.pos
+      FROM e, LATERAL (
+        SELECT unnest(emb) AS x, unnest(range(1, len(emb) + 1)) AS pos
+      ) u
+    ),
+    d AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+    ),
+    c AS (
+      SELECT ex.vec_id, ex.pos, ex.x, d.mn, d.mx,
+             CASE WHEN d.mx = d.mn THEN 0
+                  ELSE CAST(floor(((ex.x - d.mn) / (d.mx - d.mn)) * 255.0
+                                  + 0.5) AS BIGINT)
+             END AS code
+      FROM ex JOIN d USING (pos)
+    )
+    SELECT vec_id,
+           string_agg(code, ',' ORDER BY pos) AS codes,
+           bool_and(
+             abs(x - (mn + ((CAST(code AS DOUBLE) * (mx - mn)) / 255.0)))
+             <= (((mx - mn) / 510.0) + 1e-12)
+           ) AS within_bound
+    FROM c
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of the embedding column to uint8 codes
+    (4x storage compression — the standard first step before storing
+    or ANN-indexing 100 TB of vectors), with the reconstruction-error
+    contract inline: every dimension's dequantized value within half
+    a quantization step of the original, or the row's boolean flips
+    and the driver hash goes red.
+
+    Per-dimension min/max is a tiny aggregate (dims x 1 rows,
+    collected to broadcast literals — the quantizer is metadata, like
+    the IVF centroids); encoding is then a pure map over the corpus
+    via transform() with an index lambda — no explode of the corpus,
+    no shuffle, whole-stage codegen end to end. floor(x + 0.5)
+    rounding instead of round() dodges the half-even vs half-away
+    divergence between engines; the code string is exact integers so
+    the hash carries no float at all, and the float contract is
+    collapsed to the boolean.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    dims = (
+        emb.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = F.array(*[F.lit(r.mn) for r in dims])
+    mx = F.array(*[F.lit(r.mx) for r in dims])
+
+    def _code(x, i):
+        lo, hi = F.element_at(mn, i + 1), F.element_at(mx, i + 1)
+        return F.when(hi == lo, F.lit(0).cast("long")).otherwise(
+            F.floor(((x - lo) / (hi - lo)) * F.lit(255.0) + F.lit(0.5))
+        )
+
+    def _ok(x, i):
+        lo, hi = F.element_at(mn, i + 1), F.element_at(mx, i + 1)
+        deq = lo + ((_code(x, i).cast("double") * (hi - lo)) / F.lit(255.0))
+        return F.abs(x - deq) <= (((hi - lo) / F.lit(510.0)) + F.lit(SQ8_EPS))
+
+    return (
+        emb.select(
+            "vec_id",
+            F.concat_ws(
+                ",", F.transform("emb", lambda x, i: _code(x, i).cast("string"))
+            ).alias("codes"),
+            F.forall(
+                F.transform("emb", lambda x, i: _ok(x, i)), lambda b: b
+            ).alias("within_bound"),
+        )
+        .orderBy("vec_id")
     )

@@ -93,3 +93,16 @@ def test_semantic_dedup_sound(spark, sf_smoke):
     assert dropped <= exact_dropped
     assert min(r.vec_id for r in rows) not in dropped
     assert len(rows) == emb.count()
+
+
+def test_sq8_roundtrip_error_bounded(spark, sf_smoke):
+    """Every vector passes the inline reconstruction contract, codes
+    stay in uint8 range, and the code count equals the vector dim."""
+    from programmers_data_spark.queries.retrieval_ops import embedding_sq8
+
+    rows = embedding_sq8(spark, sf_smoke).collect()
+    assert rows and all(r.within_bound for r in rows)
+    dims = {len(r.codes.split(",")) for r in rows}
+    assert len(dims) == 1
+    for r in rows[:50]:
+        assert all(0 <= int(c) <= 255 for c in r.codes.split(","))

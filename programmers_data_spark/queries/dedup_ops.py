@@ -673,8 +673,15 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["lang", "blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("edits", F.levenshtein("pfx_a", "pfx_b").cast("long"))
-        .filter(F.col("edits") <= _FUZZY_MAX_EDITS)
+        # threshold form runs the BANDED DP (O(len*k) not O(len^2))
+        # with early exit, returning -1 past the bound and the exact
+        # distance inside it — same values the oracle's unbounded
+        # levenshtein produces for every surviving pair
+        .withColumn(
+            "edits",
+            F.levenshtein("pfx_a", "pfx_b", _FUZZY_MAX_EDITS).cast("long"),
+        )
+        .filter(F.col("edits") >= 0)
         .select("doc_a", "doc_b", "edits")
         .orderBy("doc_a", "doc_b")
     )

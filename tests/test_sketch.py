@@ -1,0 +1,47 @@
+"""Mergeable-sketch tier invariants (sketch_ops). Oracle parity is
+covered by test_oracle_parity; these pin the sketch-algebra claims
+the docstrings make."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from programmers_data_spark.catalog import load_table
+from programmers_data_spark.queries.sketch_ops import (
+    mau_sketch_rollup,
+    segment_overlap_sketch,
+)
+
+
+def test_daily_rollup_equals_direct_monthly_sketch(spark, sf_smoke):
+    """HLL union is lossless: a month's estimate from merged DAILY
+    sketches is bit-identical to building one sketch over the month
+    directly (registers are per-key maxima, and max is associative).
+    This is the property that makes the persisted daily-sketch layer
+    safe — any rollup grain gives the same answer as a rescan."""
+    orders = load_table(spark, sf_smoke, "orders")
+    daily = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_custkey",
+    )
+    via_days = (
+        daily.groupBy("month", "day")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy("month")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    )
+    merged = {r.month: r.est for r in via_days.collect()}
+    built = {r.month: r.est for r in direct.collect()}
+    assert merged == built
+
+
+def test_sketch_contracts_hold_on_smoke(spark, sf_smoke):
+    mau = mau_sketch_rollup(spark, sf_smoke).collect()
+    assert mau and all(r.within_bound for r in mau)
+    ov = segment_overlap_sketch(spark, sf_smoke).collect()
+    assert ov and all(r.within_bound for r in ov)
+    assert all(r.overlap_exact >= 0 for r in ov)

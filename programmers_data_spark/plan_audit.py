@@ -71,6 +71,8 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "skew_profile", "small_qty_revenue", "supplier_value_share",
     "table_profile", "token_heavy_hitters", "top_supplier",
     "volume_anomaly_days",
+    "daily_revenue_dense",  # 1-row min/max bounds agg feeds the spine
+    "ewma_daily_revenue",   # bounded daily series folds in one row
 })
 
 _PYTHON_MARKERS = (

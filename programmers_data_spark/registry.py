@@ -46,13 +46,14 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.sampling_ops",  # 4 (→139)
     "programmers_data_spark.queries.retrieval_ops",  # 7 (→146)
     "programmers_data_spark.queries.sketch_ops",  # 2 (→148)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→151)
 )
 
 # ROUND-6 ROTATION PLAN (for the next session): after r5 verifies the
 # analytics/extras/subqueries tiers below, the least-recently-checked
 # names become (a) summary (5, r1/r3-vintage), text_quality_ops (6,
 # r3), curation_ops (5, r3), similarity_ops (6, r2), multimodal_ops
-# (4, r2) and (b) the 23 queries registered during r5 that have never
+# (4, r2) and (b) the 26 queries registered during r5 that have never
 # had a driver row: ivf_recall_at5, lsh_neardup_recall,
 # quantile_sketch_error, ohlc_daily, scd2_intervals, nation_pagerank,
 # incr_mau_refresh, token_heavy_hitters, mad_outliers,
@@ -60,9 +61,10 @@ _QUERY_MODULES = (
 # volume_anomaly_days, fuzzy_match_pairs, inverted_postings,
 # bm25_topk, bloom_decontam, bloom_decontam_misses, dedup_semantic,
 # semantic_dedup_recall, embedding_sq8, mau_sketch_rollup,
-# segment_overlap_sketch. (a)+(b) = 49; fill to 50 with the mau
-# sentinel and keep stream_tws_value_stats' gate row if still
-# protobuf-absent (two of the above then wait for r7).
+# segment_overlap_sketch, rolling_7d_revenue, daily_revenue_dense,
+# ewma_daily_revenue. (a)+(b) = 52 — two slots over; hold back two
+# r5-locally-green names (e.g. the bounded-twin ngram family) for r7
+# and keep stream_tws_value_stats' gate row if still protobuf-absent.
 
 # The first 50 names get_queries() yields — i.e. the names the driver
 # verifies this round. Round-5 rotation (VERDICT r4 ask #1): the 45

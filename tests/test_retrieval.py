@@ -106,3 +106,41 @@ def test_sq8_roundtrip_error_bounded(spark, sf_smoke):
     assert len(dims) == 1
     for r in rows[:50]:
         assert all(0 <= int(c) <= 255 for c in r.codes.split(","))
+
+
+def test_rolling_window_counts_calendar_days(spark, sf_smoke):
+    """RANGE frame semantics: days_present never exceeds 7, and after
+    a gap the window holds fewer days than a ROWS frame would."""
+    from programmers_data_spark.queries.timeseries_ops import rolling_7d_revenue
+
+    rows = rolling_7d_revenue(spark, sf_smoke).collect()
+    assert rows and all(1 <= r.days_present_7d <= 7 for r in rows)
+
+
+def test_dense_spine_has_no_gaps(spark, sf_smoke):
+    """Every calendar day between min and max appears exactly once,
+    and filled gaps carry zero revenue."""
+    import datetime as dt
+
+    from programmers_data_spark.queries.timeseries_ops import daily_revenue_dense
+
+    rows = daily_revenue_dense(spark, sf_smoke).collect()
+    days = [dt.date.fromisoformat(r.day) for r in rows]
+    assert days == sorted(days)
+    assert len(days) == (days[-1] - days[0]).days + 1
+    assert all(r.revenue == 0.0 for r in rows if r.gap_filled)
+
+
+def test_ewma_matches_reference_recursion(spark, sf_smoke):
+    """The distributed fold reproduces the plain-Python recursion."""
+    from programmers_data_spark.queries.timeseries_ops import (
+        EWMA_ALPHA,
+        ewma_daily_revenue,
+    )
+
+    rows = ewma_daily_revenue(spark, sf_smoke).collect()
+    s = rows[0].revenue
+    assert rows[0].ewma == s
+    for r in rows[1:]:
+        s = (EWMA_ALPHA * r.revenue) + ((1.0 - EWMA_ALPHA) * s)
+        assert r.ewma == s

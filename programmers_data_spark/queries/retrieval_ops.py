@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import textfn
+from ..operators import bounded_global_window, top_k
 from ..functions.vectors import as_double_array
 from ..registry import query
 from ._oracle_shared import _DUCK_TOKS
@@ -252,10 +253,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.count(F.lit(1)).cast("int").alias("n_terms"),
     )
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    # Global top-k WITHOUT a single-partition window: orderBy+limit
+    # plans TakeOrderedAndProject (per-partition heaps + one merge),
+    # then ranks are assigned on the already-bounded BM25_TOPK rows.
+    winners = top_k(scored, [F.desc("score"), F.asc("doc_id")], BM25_TOPK)
+    w = bounded_global_window(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
+        winners.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "rank", "n_terms")
         .orderBy("rank")
     )
@@ -661,4 +665,166 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
         .orderBy("vec_id")
+    )
+
+
+# Sparse-vector similarity space: word-3-gram shingles with document
+# frequency in [2, TFIDF_DF_CAP]. df=1 shingles cannot form pairs;
+# df > cap shingles are the "stopword shingles" whose postings would
+# dominate the pair fan-out (a term with df=d yields d(d-1)/2
+# candidate pairs — the cap bounds that at 45). This df-pruned
+# inverted-index join is the classic sparse candidate generator: at
+# 100 TB the pair space stays SUM(df^2) over rare terms, never N^2.
+TFIDF_DF_CAP = 10
+TFIDF_COS_THRESH = 0.25
+
+
+@query(
+    "tfidf_shingle_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+    sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+      WHERE len(toks) >= 3
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND {TFIDF_DF_CAP}
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * ((n.n - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5)) AS w
+      FROM tf JOIN df USING (term), n
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list(w * w ORDER BY term),
+                              (a, x) -> a + x)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_reduce(list(a.w * b.w ORDER BY a.term),
+                         (a2, x) -> a2 + x) AS dot,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           dot / (na.nrm * nb.nrm) AS cos
+    FROM dot
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_COS_THRESH}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity over rare word-3-gram
+    shingles: the lexical near-dup detector that complements the
+    hash families (MinHash estimates Jaccard on uniform shingles;
+    this WEIGHTS shingles by rarity, so two docs sharing a few
+    distinctive phrases outrank two docs sharing boilerplate).
+
+    Pair generation is an inverted-index self-join on df-pruned
+    shingles — see TFIDF_DF_CAP above for why the fan-out is bounded
+    — then one pair-keyed aggregate. Exact hash parity on the double
+    `cos` column is held by pinning every float hazard: linear idf
+    (n-df+0.5)/(df+0.5) on exact integers (the bm25_topk trick),
+    and both the norm and dot sums folded IN TERM ORDER on both
+    engines (F.aggregate over sort_array here, list_reduce over
+    list(... ORDER BY term) in the oracle).
+
+    Scale shape: shingles via posexplode + LEAD (the codegen-friendly
+    form shingle_novelty measured 8x faster than array HOFs); one
+    shuffle on term, one on (doc_a, doc_b); norms join back keyed by
+    doc. Nothing is collected but the 1-row doc count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfn.tokenize("text").alias("toks")
+    )
+    n_docs = float(docs.count())
+    tok = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(wdoc).alias("t1"),
+            F.lead("tok", 2).over(wdoc).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("term"))
+    )
+    tf = sh.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
+    )
+    dfd = F.col("df").cast("double")
+    weights = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * ((F.lit(n_docs) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+        ).alias("w"),
+    )
+    nrm = weights.groupBy("doc_id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term"), (F.col("w") * F.col("w")).alias("v")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            )
+        ).alias("nrm")
+    )
+    a = weights.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = weights.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term"), (F.col("wa") * F.col("wb")).alias("v")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(TFIDF_COS_THRESH))
+        .orderBy("doc_a", "doc_b")
     )

@@ -46,6 +46,9 @@ NEARDUP_THRESHOLD = 0.42
 # capped well below it so the guard fires before memory pressure does.
 NEARDUP_COLLECT_CAP = 10_000_000
 
+# memoized exact near-dup pair tables, keyed (applicationId, sf_dir)
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 _DUCK_COS = (
     "list_dot_product(a.emb, b.emb)"
     " / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -136,9 +139,19 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises (checked on the single collected batch — one scan, not a
     count()+collect() pair), pointing at the LSH twin — a library
     call can't silently OOM the driver.
+
+    The pair table is memoized per (application, sf_dir): three
+    registered queries consume it (this one, lsh_neardup_recall,
+    semantic_dedup_recall), and without the memo each re-collects the
+    corpus and re-runs the GEMM pass (the round-5 shared-helper
+    memoization learning, same shape as dedup_ops._SIG_CACHE).
     """
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("emb")
     )
@@ -173,9 +186,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = a < b
             yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
 
-    return emb.mapInPandas(block, schema="vec_a long, vec_b long").orderBy(
-        "vec_a", "vec_b"
+    pairs = (
+        emb.mapInPandas(block, schema="vec_a long, vec_b long")
+        .orderBy("vec_a", "vec_b")
+        .persist()
     )
+    _PAIR_CACHE[key] = pairs
+    return pairs
 
 
 _N_TABLES = 8  # L hash tables ...
@@ -504,4 +521,126 @@ def label_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("label")
+    )
+
+
+_PQ_M = 8  # subquantizers: 64-dim -> 8 x 8-dim subspaces
+_PQ_K = 16  # centroids per subspace (4-bit codes, 8x compression
+#             over float32 after the codes replace the vectors)
+
+
+@query("pq_topk")  # rows-only: k-means codebooks aren't ANSI SQL
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization: each vector is stored as _PQ_M
+    4-bit codebook indices (4 bytes/vector vs 256 for float32), and
+    queries score the COMPRESSED corpus through per-query lookup
+    tables (asymmetric distance computation) — the third standard ANN
+    economics next to LSH (data-oblivious hashes) and IVF (scan
+    pruning): PQ shrinks the thing being scanned by ~64x, so the
+    "brute force" scan itself becomes cheap and cache-resident.
+
+    Training mirrors ivf_topk's determinism: strided 512-vector
+    sample, per-subspace Lloyd iterations seeded by striding — no
+    RNG, so results are reproducible run-to-run (the driver rows-only
+    check still re-executes it). Codebooks are metadata (_PQ_M x
+    _PQ_K x 8 doubles) broadcast like a dim table; encoding is
+    map-only; scoring is one mapInPandas over the coded corpus with a
+    (queries x M x K) LUT — per batch a numpy gather + sum, no
+    per-row Python. At 100 TB the coded corpus is the thing you
+    persist (4 GB per billion vectors); candidate re-ranking against
+    full vectors would compose with ann/ivf the way FAISS IVF-PQ
+    does. Accuracy is driver-contracted by pq_recall_at5.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    sample = np.array(
+        [r.emb for r in emb.filter(F.col("vec_id") % 7 < 3).limit(512).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    d_sub = dim // _PQ_M
+    k = min(_PQ_K, len(sample))
+    codebooks = np.zeros((_PQ_M, k, d_sub))
+    for m in range(_PQ_M):
+        sub = sample[:, m * d_sub : (m + 1) * d_sub]
+        stride = max(len(sub) // k, 1)
+        cents = sub[::stride][:k].copy()
+        for _ in range(5):  # Lloyd iterations per subspace
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebooks[m] = cents
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        import pandas as pd
+
+        cb = bc.value
+        for pdf in batches:
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((len(x), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                sub = x[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    coded = emb.mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+    qvecs = np.array(
+        [
+            r.emb
+            for r in emb.filter(F.col("vec_id") < N_QUERIES)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    # ADC lookup tables: lut[q, m, c] = <query_sub, codeword> — inner
+    # product on unit vectors approximates cosine
+    lut = np.einsum(
+        "qmd,mcd->qmc",
+        qvecs.reshape(len(qvecs), _PQ_M, d_sub),
+        codebooks,
+    )
+    bq = spark.sparkContext.broadcast(lut)
+
+    def score(batches):
+        import pandas as pd
+
+        tables = bq.value  # (Q, M, K)
+        n_q = tables.shape[0]
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, M)
+            # scores[b, q] = sum_m tables[q, m, codes[b, m]]
+            scores = tables[:, np.arange(_PQ_M)[None, :], codes].sum(-1)
+            b = len(codes)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.arange(n_q), b),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    scored = coded.mapInPandas(
+        score, schema="query_id long, vec_id long, score double"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("query_id", "rank")
     )

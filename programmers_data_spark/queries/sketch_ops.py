@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._oracle_shared import _DUCK_TOKS
 
 # datasketches HLL at the default lgConfigK=12: relative standard
 # error 1.04/sqrt(2^12) ~ 1.6%. 0.08 is ~5 sigma — far outside honest
@@ -200,4 +201,128 @@ def segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
         .orderBy("seg_a", "seg_b")
+    )
+
+
+# Count-min sketch geometry. Width 512 gives eps = e/512 ~ 0.5% of
+# the total token mass as the worst-case overestimate; depth 4 drives
+# the per-query failure probability to e^-4 ~ 2%. Both engines build
+# the SAME sketch bit-for-bit (md5-derived cell positions, exact
+# integer counters), so the driver hash covers est values themselves,
+# not just the contract booleans.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP = 20
+
+_DUCK_CMS_POS = (
+    "CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || term), 1, 8)) AS UBIGINT)"
+    f" % {CMS_WIDTH}"
+)
+
+
+def _cms_pos(term, s: int):
+    """Cell position of `term` in sketch row `s`: seed-prefixed md5,
+    first 8 hex chars -> int, mod width — the same portable hash
+    family as the Bloom/MinHash/SimHash operators, so DuckDB
+    reproduces every counter."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(s)), term)), 1, 8), 16, 10
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+    ),
+    cells AS (
+      SELECT s AS row, CAST({_DUCK_CMS_POS} AS BIGINT) AS pos,
+             CAST(sum(c) AS BIGINT) AS cell
+      FROM cnt, generate_series(0, {CMS_DEPTH - 1}) AS g(s)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {CMS_TOP}
+    ),
+    probe AS (
+      SELECT term, c, s AS row, CAST({_DUCK_CMS_POS} AS BIGINT) AS pos
+      FROM cand, generate_series(0, {CMS_DEPTH - 1}) AS g(s)
+    )
+    SELECT p.term,
+           CAST(p.c AS BIGINT) AS exact_cnt,
+           min(cells.cell) AS est_cnt,
+           min(cells.cell) >= p.c AS no_underestimate
+    FROM probe p JOIN cells USING (row, pos)
+    GROUP BY p.term, p.c
+    ORDER BY exact_cnt DESC, term
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed for the
+    top heavy hitters: the MERGEABLE frequency summary next to the
+    HLL distinct-count rollups above. `token_heavy_hitters` answers
+    the same question exactly with a candidate-pruned second scan;
+    this is the one-scan variant whose state is a fixed
+    depth x width counter grid — per-shard (or per-day) grids merge
+    by cell-wise ADDITION, so at 100 TB the sketch layer is what you
+    persist and the raw token stream is never rescanned.
+
+    Both engines materialize the same grid (md5 cell positions,
+    integer counters) and the same deterministic candidate set (exact
+    top-CMS_TOP by (count desc, term)), so the estimates hash-match
+    exactly; `no_underestimate` asserts the CMS one-sided error
+    guarantee (min over rows can only overestimate).
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    grid is <= depth*width = 2048 rows regardless of corpus size; the
+    probe set broadcasts. Nothing here grows with N except the first
+    aggregate. Reference anchor: SURVEY §2 A1's aggregate family —
+    this is its bounded-state streaming-compatible form (see
+    streaming.stream_sketch_rollup for the HLL producer twin).
+    """
+    from ..functions import textfn
+    from ..operators import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(textfn.tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "term",
+            "c",
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)])
+            ).alias("row", "pos"),
+        )
+
+    cells = (
+        _positions(cnt)
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("cell"))
+    )
+    cand = top_k(cnt, [F.desc("c"), F.asc("term")], CMS_TOP)
+    probes = _positions(cand)
+    return (
+        cells.join(F.broadcast(probes), ["row", "pos"])
+        .groupBy("term", "c")
+        .agg(F.min("cell").alias("est_cnt"))
+        .select(
+            "term",
+            F.col("c").alias("exact_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("c")).alias("no_underestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
     )

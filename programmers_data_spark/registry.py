@@ -38,15 +38,15 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_quality_ops",  # 6 (→65)
     "programmers_data_spark.queries.curation_ops",  # 5 (→70)
     "programmers_data_spark.queries.extras",  # 23 (→93)
-    "programmers_data_spark.queries.similarity_ops",  # 6 (→99)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→103)
-    "programmers_data_spark.queries.analytics",  # 19 (→122)
-    "programmers_data_spark.queries.subqueries",  # 8 (→130)
-    "programmers_data_spark.queries.accuracy_ops",  # 5 (→135)
-    "programmers_data_spark.queries.sampling_ops",  # 4 (→139)
-    "programmers_data_spark.queries.retrieval_ops",  # 7 (→146)
-    "programmers_data_spark.queries.sketch_ops",  # 2 (→148)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→151)
+    "programmers_data_spark.queries.similarity_ops",  # 7 (→100)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→104)
+    "programmers_data_spark.queries.analytics",  # 19 (→123)
+    "programmers_data_spark.queries.subqueries",  # 8 (→131)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→137)
+    "programmers_data_spark.queries.sampling_ops",  # 4 (→141)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→149)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→152)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→155)
 )
 
 # ROUND-6 ROTATION PLAN (for the next session): after r5 verifies the

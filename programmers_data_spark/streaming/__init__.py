@@ -311,3 +311,57 @@ def stream_incremental_keep_latest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_sketch_rollup(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str = "user_id",
+    day_col: str = "ts",
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming distinct-count at 100 TB scale: each micro-batch is
+    reduced to per-day HLL sketch rows and MERGED (hll_union_agg)
+    into a persisted (day, sketch) table through the checked swap —
+    the streaming producer for the mau_sketch_rollup consumption
+    pattern. State grows with DAYS, not users: a billion distinct
+    keys per day is one ~KB register blob, and any rollup grain
+    (month, quarter, all-time) is a union over stored rows.
+
+    Correctness under replay: HLL union is IDEMPOTENT (register-wise
+    max — merging the same batch twice is a no-op), so at-least-once
+    foreachBatch delivery yields exactly-once SKETCH state with no
+    batch-id tagging; tests prove streamed-in-batches == built-direct
+    bit-for-bit. The swap keeps readers on a fully-merged generation.
+    """
+    from pyspark.sql import functions as F
+
+    from ..publish import publish_swap
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        daily = batch_df.groupBy(
+            F.date_format(day_col, "yyyy-MM-dd").alias("day")
+        ).agg(F.hll_sketch_agg(key_col).alias("sk"))
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            current = None
+        if current is not None:
+            daily = (
+                current.unionByName(daily)
+                .groupBy("day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        publish_swap(daily, path)
+
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(_merge)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -278,3 +278,71 @@ def test_token_budget_sample_plan_is_distributed(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan  # offsets ride a broadcast join
+
+
+# ------------------------------------------- late-round-5 operators
+
+
+def test_cms_grid_merges_across_shards(spark, sf_oracle):
+    """The CMS scale claim: per-shard counter grids merge by cell-wise
+    ADDITION into exactly the global grid (same md5 cell positions,
+    integer counters) — the property that lets per-day/per-shard
+    sketches be persisted and rolled up without rescanning tokens."""
+    from programmers_data_spark.functions import textfn
+    from programmers_data_spark.queries.sketch_ops import CMS_DEPTH, _cms_pos
+
+    docs = load_table(spark, sf_oracle, "documents")
+
+    def grid(df):
+        cnt = (
+            df.select(F.explode(textfn.tokenize("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cells = cnt.select(
+            "c",
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)])
+            ).alias("row", "pos"),
+        ).groupBy("row", "pos").agg(F.sum("c").alias("cell"))
+        return {(r.row, r.pos): r.cell for r in cells.collect()}
+
+    full = grid(docs)
+    left = grid(docs.filter(F.col("doc_id") % 2 == 0))
+    right = grid(docs.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for g in (left, right):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_cms_estimates_never_underestimate(spark, sf_oracle):
+    rows = registry.QUERIES["cms_heavy_hitters"](spark, sf_oracle).collect()
+    assert len(rows) > 0
+    assert all(r.no_underestimate for r in rows)
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+
+
+def test_pq_topk_deterministic(spark, sf_oracle):
+    """Strided-sample Lloyd training has no RNG: two full runs yield
+    identical neighbor lists (the rows-only driver check re-executes
+    the query, so nondeterminism would flake the round)."""
+    a = registry.QUERIES["pq_topk"](spark, sf_oracle).collect()
+    b = registry.QUERIES["pq_topk"](spark, sf_oracle).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_pq_recall_meets_floor(spark, sf_oracle):
+    rows = registry.QUERIES["pq_recall_at5"](spark, sf_oracle).collect()
+    assert len(rows) == 1 and rows[0].mean_meets_floor
+
+
+def test_tfidf_pairs_no_cartesian(spark, sf_smoke):
+    """The pair generator must stay an equi-join on term (df-capped
+    fan-out), never a cartesian/nested-loop expansion."""
+    df = registry.QUERIES["tfidf_shingle_pairs"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -45,3 +45,48 @@ def test_sketch_contracts_hold_on_smoke(spark, sf_smoke):
     ov = segment_overlap_sketch(spark, sf_smoke).collect()
     assert ov and all(r.within_bound for r in ov)
     assert all(r.overlap_exact >= 0 for r in ov)
+
+
+def test_stream_sketch_rollup_matches_direct(spark, sf_smoke, tmp_path):
+    """Streamed-in-micro-batches sketch state reproduces the direct
+    batch build bit-for-bit (HLL union associativity + idempotent
+    merge), and re-processing converges to the same estimates."""
+    from programmers_data_spark.streaming import (
+        read_events_stream,
+        stream_sketch_rollup,
+    )
+
+    path = str(tmp_path / "sketches")
+    stream = read_events_stream(spark, sf_smoke)
+    stream_sketch_rollup(stream, path, key_col="user_id", day_col="ts")
+
+    stored = spark.read.parquet(path)
+    merged = {
+        r.day: r.est
+        for r in stored.select(
+            "day", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    events = load_table(spark, sf_smoke, "events")
+    direct = {
+        r.day: r.est
+        for r in events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+
+    # replay the whole source into the same table: estimates unchanged
+    stream_sketch_rollup(
+        read_events_stream(spark, sf_smoke), path,
+        key_col="user_id", day_col="ts",
+    )
+    replayed = {
+        r.day: r.est
+        for r in spark.read.parquet(path)
+        .select("day", F.hll_sketch_estimate("sk").alias("est"))
+        .collect()
+    }
+    assert replayed == direct

@@ -36,6 +36,8 @@ PYTHON_TIER = frozenset({
     "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     "near_dup_rate_by_source",  # composes dedup_minhash
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
+    "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
+    "pq_recall_at5",  # composes pq_topk's Arrow kernels
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose
@@ -46,6 +48,7 @@ BOUNDED_CARTESIAN = frozenset({
     "adaptive_quality_gate",   # 1-row p25 threshold broadcast
     "ann_recall_at5",          # bounded query set crossJoin (via ANN)
     "ivf_recall_at5",          # same, via ivf_topk
+    "pq_recall_at5",           # same, via embedding_topk baseline
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
@@ -65,7 +68,7 @@ BOUNDED_CARTESIAN = frozenset({
 # final single-row result.
 BOUNDED_SINGLE_PARTITION = frozenset({
     "adaptive_quality_gate", "ann_recall_at5", "ivf_recall_at5",
-    "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
+    "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
     "skew_profile", "small_qty_revenue", "supplier_value_share",

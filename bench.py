@@ -42,6 +42,22 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _reset(spark) -> None:
+    """Per-query isolation: drop persisted tables, module-level memo
+    caches, and accumulated heap garbage so each timed query pays its
+    own full cost. Without this, which consumer of a shared memoized
+    table (minhash signatures, exact near-dup pairs) pays the build is
+    an artifact of alphabetical order, and ~100 queries of cache/heap
+    residue inflate late-run token-heavy queries 5-10x in ways that
+    never reproduce standalone (see SCALE.md 'Bench drift')."""
+    from programmers_data_spark.queries import dedup_ops, similarity_ops
+
+    spark.catalog.clearCache()
+    dedup_ops._SIG_CACHE.clear()
+    similarity_ops._PAIR_CACHE.clear()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -70,7 +86,9 @@ def main() -> None:
     # still executes the full plan end-to-end through the noop sink
     timings: dict[str, float] = {}
     for name in names:
+        _reset(spark)
         _force(registry.QUERIES[name](spark, sf_dir))
+        _reset(spark)  # the timed run must not inherit warmup's memos
         t0 = time.perf_counter()
         _force(registry.QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -704,3 +704,52 @@ def test_publish_versioned_model_based_random_walk(spark, events, tmp_path):
         assert on_disk == {g for g, _ in validated}, (
             f"step {step}: retained {on_disk} != model {validated}"
         )
+
+
+def test_compact_table_merges_small_files(spark, sf_smoke, tmp_path):
+    """Compaction rewrites a many-small-files table into few files
+    through the checked swap with content unchanged."""
+    from programmers_data_spark.publish import compact_table
+
+    src = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_frag")
+    src.repartition(20).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    before_hash = (
+        spark.read.parquet(path)
+        .select(F.bit_xor(F.xxhash64(*spark.read.parquet(path).columns)).alias("h"))
+        .collect()[0].h
+    )
+
+    n_before, n_after = compact_table(
+        spark, path, target_file_bytes=64 * 1024 * 1024
+    )
+    assert n_before == 20
+    assert n_after < n_before
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    after_hash = after.select(
+        F.bit_xor(F.xxhash64(*after.columns)).alias("h")
+    ).collect()[0].h
+    assert after_hash == before_hash
+
+
+def test_compact_table_failing_check_leaves_table(spark, sf_smoke, tmp_path):
+    """A failing validation must leave the fragmented-but-correct
+    table untouched (same K8 contract as any publish)."""
+    import pytest
+
+    from programmers_data_spark.publish import CountCheck, compact_table
+
+    src = load_table(spark, sf_smoke, "events").limit(100)
+    path = str(tmp_path / "events_frag2")
+    src.repartition(10).write.parquet(path)
+
+    with pytest.raises(Exception):
+        compact_table(
+            spark, path, checks=[CountCheck("min", 10**9)]
+        )
+    kept = spark.read.parquet(path)
+    assert kept.count() == 100
+    import os
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 10

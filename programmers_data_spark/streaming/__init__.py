@@ -365,3 +365,131 @@ def stream_sketch_rollup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_cms_rollup(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str = "user_id",
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming count-min sketch: each micro-batch's key frequencies
+    become a depth x width counter grid merged into the persisted
+    grid by cell-wise ADDITION — the frequency twin of
+    stream_sketch_rollup's distinct-count HLL.
+
+    The instructive difference: HLL union is register-wise max, so
+    replaying a batch is a no-op and at-least-once delivery needs no
+    bookkeeping. CMS merge is addition — replay DOUBLE-COUNTS — so
+    this producer must be transactional: the processed-batch ledger
+    lives in the SAME table as the grid (kind='batch' rows next to
+    kind='cell' rows) and each micro-batch commits grid+ledger in one
+    publish_swap. A replayed batch finds its id in the ledger and
+    skips; a crash before the swap leaves the previous grid+ledger
+    pair intact, so state and "offsets" can never disagree — the
+    same state-with-offsets-in-one-transaction rule any additive
+    streaming aggregate needs at scale. (Ledger ids are per logical
+    pipeline: one writer per grid table.)
+
+    Estimates come from the stored grid exactly as in
+    cms_heavy_hitters: min over depth rows of the probed cells.
+    """
+    from ..publish import publish_swap
+    from ..queries.sketch_ops import CMS_DEPTH, _cms_pos
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            cur = spark.read.parquet(path)
+        except Exception:
+            cur = None
+        if (
+            cur is not None
+            and cur.filter(
+                (F.col("kind") == "batch") & (F.col("batch_id") == batch_id)
+            )
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return  # replayed batch: already folded into the grid
+        cnt = (
+            batch_df.select(F.col(key_col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        delta = (
+            cnt.select(
+                "c",
+                F.posexplode(
+                    F.array(
+                        *[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)]
+                    )
+                ).alias("row", "pos"),
+            )
+            .groupBy("row", "pos")
+            .agg(F.sum("c").alias("cell"))
+        )
+        ledger = spark.createDataFrame([(batch_id,)], "batch_id long")
+        if cur is not None:
+            delta = (
+                cur.filter(F.col("kind") == "cell")
+                .select("row", "pos", "cell")
+                .unionByName(delta)
+                .groupBy("row", "pos")
+                .agg(F.sum("cell").alias("cell"))
+            )
+            ledger = (
+                cur.filter(F.col("kind") == "batch")
+                .select("batch_id")
+                .unionByName(ledger)
+            )
+        state = delta.select(
+            F.lit("cell").alias("kind"),
+            "row",
+            "pos",
+            "cell",
+            F.lit(None).cast("long").alias("batch_id"),
+        ).unionByName(
+            ledger.select(
+                F.lit("batch").alias("kind"),
+                F.lit(None).cast("int").alias("row"),
+                F.lit(None).cast("long").alias("pos"),
+                F.lit(None).cast("long").alias("cell"),
+                "batch_id",
+            )
+        )
+        publish_swap(state, path)
+
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(_merge)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def cms_estimate(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
+    """Point-query a stored CMS grid: per term, min over depth rows of
+    the probed cells (0 if a cell was never touched)."""
+    from ..queries.sketch_ops import CMS_DEPTH, _cms_pos
+
+    cells = spark.read.parquet(path).filter(F.col("kind") == "cell")
+    probes = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select(
+        "term",
+        F.posexplode(
+            F.array(*[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)])
+        ).alias("row", "pos"),
+    )
+    return (
+        probes.join(cells, ["row", "pos"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est"))
+        .orderBy("term")
+    )

@@ -90,3 +90,73 @@ def test_stream_sketch_rollup_matches_direct(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert replayed == direct
+
+
+def test_stream_cms_rollup_matches_direct_and_survives_replay(
+    spark, sf_smoke, tmp_path
+):
+    """Streamed CMS grid == direct batch grid, and replaying the
+    whole source (fresh query, same table) changes nothing: the
+    in-table batch ledger makes the additive merge exactly-once."""
+    from programmers_data_spark.queries.sketch_ops import CMS_DEPTH, _cms_pos
+    from programmers_data_spark.streaming import (
+        cms_estimate,
+        read_events_stream,
+        stream_cms_rollup,
+    )
+
+    path = str(tmp_path / "cms")
+    stream_cms_rollup(read_events_stream(spark, sf_smoke), path)
+
+    def grid(df):
+        return {
+            (r.row, r.pos): r.cell
+            for r in df.collect()
+        }
+
+    stored = grid(
+        spark.read.parquet(path)
+        .filter(F.col("kind") == "cell")
+        .select("row", "pos", "cell")
+    )
+    events = load_table(spark, sf_smoke, "events")
+    direct = grid(
+        events.select(F.col("user_id").cast("string").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)])
+            ).alias("row", "pos"),
+        )
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("cell"))
+    )
+    assert stored == direct
+
+    # full-source replay: ledger skips every batch, grid unchanged
+    stream_cms_rollup(read_events_stream(spark, sf_smoke), path)
+    replayed = grid(
+        spark.read.parquet(path)
+        .filter(F.col("kind") == "cell")
+        .select("row", "pos", "cell")
+    )
+    assert replayed == direct
+
+    # estimates never underestimate the true counts
+    truth = {
+        r.term: r.c
+        for r in events.select(
+            F.col("user_id").cast("string").alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(10)
+        .collect()
+    }
+    est = {
+        r.term: r.est
+        for r in cms_estimate(spark, path, list(truth)).collect()
+    }
+    assert all(est[t] >= c for t, c in truth.items())

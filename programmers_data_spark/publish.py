@@ -399,51 +399,3 @@ def rollback_versioned(table_dir: str) -> int:
     os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))
     return prev
 
-
-def compact_table(
-    spark: SparkSession,
-    path: str,
-    target_file_bytes: int = 128 * 1024 * 1024,
-    checks: list[CountCheck] | None = None,
-) -> tuple[int, int]:
-    """Small-file compaction: rewrite a parquet table into
-    ~target_file_bytes files through the K8 checked swap; returns
-    (files_before, files_after).
-
-    Incremental strategies append a file (or a few) per run, so a
-    table ingested hourly for a year carries ~10k tiny files — at
-    100 TB that is the classic degradation: file-listing dominates
-    planning, each task reads one undersized file, and row-group
-    min/max pruning loses leverage. Compaction is table maintenance,
-    not a query, and composes the existing machinery: read → one
-    repartition sized from the CURRENT on-disk byte count (the only
-    listing made) → publish_swap, so readers keep the old generation
-    until validation passes and a crash leaves the table untouched.
-
-    The default row-count check makes the rewrite self-verifying:
-    compaction must be a no-op on content. On a real deployment this
-    is Delta OPTIMIZE / Iceberg rewrite_data_files; the sizing rule
-    (ceil(bytes / target)) and swap discipline are the same.
-    """
-    import math
-
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(".")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_after = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.parquet(path)
-    expected = df.count()
-    all_checks = [CountCheck("compaction_rowcount", expected, op="eq")] + (
-        checks or []
-    )
-    # coalesce, not repartition: compaction must not shuffle the
-    # table — it only merges input splits (repartition would pay a
-    # full exchange of every row to fix a FILE-COUNT problem)
-    publish_swap(df.coalesce(n_after), path, checks=all_checks)
-    n_files_after = len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
-    return len(files), n_files_after

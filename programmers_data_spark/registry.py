@@ -53,7 +53,7 @@ _QUERY_MODULES = (
 # analytics/extras/subqueries tiers below, the least-recently-checked
 # names become (a) summary (5, r1/r3-vintage), text_quality_ops (6,
 # r3), curation_ops (5, r3), similarity_ops (6, r2), multimodal_ops
-# (4, r2) and (b) the 26 queries registered during r5 that have never
+# (4, r2) and (b) the 30 queries registered during r5 that have never
 # had a driver row: ivf_recall_at5, lsh_neardup_recall,
 # quantile_sketch_error, ohlc_daily, scd2_intervals, nation_pagerank,
 # incr_mau_refresh, token_heavy_hitters, mad_outliers,
@@ -62,8 +62,10 @@ _QUERY_MODULES = (
 # bm25_topk, bloom_decontam, bloom_decontam_misses, dedup_semantic,
 # semantic_dedup_recall, embedding_sq8, mau_sketch_rollup,
 # segment_overlap_sketch, rolling_7d_revenue, daily_revenue_dense,
-# ewma_daily_revenue. (a)+(b) = 52 — two slots over; hold back two
-# r5-locally-green names (e.g. the bounded-twin ngram family) for r7
+# ewma_daily_revenue, cms_heavy_hitters, tfidf_shingle_pairs,
+# pq_topk, pq_recall_at5. (a)+(b) = 56 — six slots over; prefer (b)
+# entirely (never-checked beats stale-green), fill the rest with the
+# r1/r3-vintage summary tier, hold the remaining stale names for r7,
 # and keep stream_tws_value_stats' gate row if still protobuf-absent.
 
 # The first 50 names get_queries() yields — i.e. the names the driver

@@ -23,6 +23,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 
 from ..functions.cleaning import fill_empty_strings, stringify_for_export
+from ..quality import CountCheck
 from ..publish import (  # noqa: F401  (re-exports: the K1-K8 strategies)
     full_refresh,
     incremental_distinct,
@@ -47,6 +48,8 @@ __all__ = [
     "write_zorder",
     "zorder_value",
     "compact_parquet",
+    "save_bucketed",
+    "load_bucketed",
     "export_rows",
     "notify_on_failure",
 ]
@@ -258,6 +261,7 @@ def compact_parquet(
     spark: Any,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    checks: list | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet table into
     ceil(total_bytes / target) files via staging + atomic swap
@@ -281,5 +285,55 @@ def compact_parquet(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path).coalesce(n_files)
-    return publish_swap(df, path)
+    # coalesce, not repartition: compaction merges input splits and
+    # must never pay a full exchange to fix a FILE-COUNT problem
+    df = spark.read.parquet(path)
+    expected = df.count()
+    # self-verifying: compaction must be a no-op on content, enforced
+    # through the same K8 gate as any publish — a failed check (or a
+    # crash) leaves the fragmented-but-correct table serving
+    all_checks = [CountCheck("compaction_rowcount", expected, op="eq")] + (
+        checks or []
+    )
+    return publish_swap(df.coalesce(n_files), path, checks=all_checks)
+
+
+# ------------------------------------------------ bucketed layout
+# (DISTKEY analogue: write-once hash shuffle replaces every
+# query-time shuffle on the bucket key; SORTKEY analogue lives in
+# write_partitioned/write_zorder above)
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed table ``name`` at
+    ``path``: one hash shuffle now, zero on every future join/agg
+    keyed by ``bucket_by`` against a co-bucketed table.
+
+    ``sort_by`` additionally orders rows inside each bucket file so a
+    sort-merge join skips its per-task sort. Pick ``n_buckets`` so a
+    bucket is a few hundred MB at target scale (buckets are the unit
+    of join parallelism; too few starves the cluster, too many makes
+    small files — see compact_parquet for the latter's cost).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(name, format="parquet")
+
+
+def load_bucketed(spark: Any, name: str) -> DataFrame:
+    """Read a bucketed table WITH its bucket metadata (a plain
+    ``spark.read.parquet(path)`` of the same files loses the bucket
+    spec and re-shuffles on the next join)."""
+    return spark.table(name)

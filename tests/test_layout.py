@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from programmers_data_spark.catalog import load_table
-from programmers_data_spark.layout import load_bucketed, save_bucketed, save_sorted
+from programmers_data_spark.sinks import load_bucketed, save_bucketed, write_zorder
 
 
 def _final_plan(df) -> str:
@@ -82,21 +82,20 @@ def test_bucketed_agg_has_no_exchange(spark, sf_smoke, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_events_b")
 
 
-def test_sorted_layout_narrows_file_ranges(spark, sf_smoke, tmp_path):
-    """Range-clustered files cover disjoint key ranges: a point
-    predicate's matching rows land in ONE file, so row-group pruning
-    has leverage (plain hash layout spreads every key everywhere)."""
+def test_zorder_single_column_narrows_file_ranges(spark, sf_smoke, tmp_path):
+    """Range-clustered files cover (near-)disjoint key ranges: a point
+    predicate's matching rows land in few files, so file/row-group
+    pruning has leverage (plain hash layout spreads keys everywhere)."""
     import os
 
     events = load_table(spark, sf_smoke, "events")
     path = str(tmp_path / "ev_sorted")
-    save_sorted(events, path, ["user_id"], n_files=8)
+    write_zorder(events, path, ["user_id"], num_files=8)
 
     files = [
         f for f in os.listdir(path) if f.endswith(".parquet")
     ]
     assert len(files) >= 2
-    # per-file min/max of the cluster key must be (near-)disjoint
     ranges = []
     for f in files:
         pf = spark.read.parquet(os.path.join(path, f))
@@ -105,11 +104,12 @@ def test_sorted_layout_narrows_file_ranges(spark, sf_smoke, tmp_path):
         ).collect()[0]
         ranges.append((row.lo, row.hi))
     ranges.sort()
+    # z-quantization (16-bit levels) may share a boundary value; the
+    # interiors must not interleave
     overlaps = sum(
         1
         for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:])
         if lo_b < hi_a
     )
     assert overlaps == 0, ranges
-    # content unchanged
     assert spark.read.parquet(path).count() == events.count()

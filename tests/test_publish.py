@@ -706,10 +706,10 @@ def test_publish_versioned_model_based_random_walk(spark, events, tmp_path):
         )
 
 
-def test_compact_table_merges_small_files(spark, sf_smoke, tmp_path):
+def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
     """Compaction rewrites a many-small-files table into few files
     through the checked swap with content unchanged."""
-    from programmers_data_spark.publish import compact_table
+    from programmers_data_spark.sinks import compact_parquet
 
     src = load_table(spark, sf_smoke, "events")
     path = str(tmp_path / "events_frag")
@@ -721,11 +721,15 @@ def test_compact_table_merges_small_files(spark, sf_smoke, tmp_path):
         .collect()[0].h
     )
 
-    n_before, n_after = compact_table(
-        spark, path, target_file_bytes=64 * 1024 * 1024
-    )
-    assert n_before == 20
-    assert n_after < n_before
+    def n_files():
+        return len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+
+    assert n_files() == 20
+    rows = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert rows == before_rows
+    assert n_files() < 20
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     after_hash = after.select(
@@ -734,22 +738,22 @@ def test_compact_table_merges_small_files(spark, sf_smoke, tmp_path):
     assert after_hash == before_hash
 
 
-def test_compact_table_failing_check_leaves_table(spark, sf_smoke, tmp_path):
+def test_compact_parquet_failing_check_leaves_table(spark, sf_smoke, tmp_path):
     """A failing validation must leave the fragmented-but-correct
     table untouched (same K8 contract as any publish)."""
     import pytest
 
-    from programmers_data_spark.publish import CountCheck, compact_table
+    from programmers_data_spark.quality import CountCheck
+    from programmers_data_spark.sinks import compact_parquet
 
     src = load_table(spark, sf_smoke, "events").limit(100)
     path = str(tmp_path / "events_frag2")
     src.repartition(10).write.parquet(path)
 
     with pytest.raises(Exception):
-        compact_table(
+        compact_parquet(
             spark, path, checks=[CountCheck("min", 10**9)]
         )
     kept = spark.read.parquet(path)
     assert kept.count() == 100
-    import os
     assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 10

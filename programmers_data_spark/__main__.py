@@ -10,6 +10,12 @@ against a fixture directory. Subcommands:
 - ``explain NAME``      — print the formatted physical plan (the
                           scale-review tool: check pushdown,
                           broadcast, codegen spans).
+- ``audit``             — lint every query's plan against the scale
+                          policy (plan_audit allowlists).
+- ``sql STMT``          — ad-hoc Spark SQL over the fixture views —
+                          the reference user's native interface
+                          (their DAGs ship SQL strings; here the
+                          same SQL runs on Spark directly).
 """
 
 from __future__ import annotations
@@ -43,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         "scale policy (Python tier, bounded cartesians, bounded "
         "single-partition exchanges)",
     )
+    sq = sub.add_parser(
+        "sql",
+        help="run an ad-hoc Spark SQL statement over the fixture "
+        "tables (registered as views) — the reference user's native "
+        "interface",
+    )
+    sq.add_argument("statement")
+    sq.add_argument("-n", "--rows", type=int, default=20)
 
     args = p.parse_args(argv)
     registry.load_all()
@@ -66,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{len(flagged)} flagged quer(y/ies)", file=sys.stderr)
             return 1
         print("plan audit clean")
+        return 0
+
+    if args.cmd == "sql":
+        from .catalog import register_views
+
+        spark = get_spark(app_name="pds-sql", master=args.master)
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.rows, truncate=False)
         return 0
 
     if args.name not in registry.QUERIES:

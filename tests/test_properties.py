@@ -272,3 +272,67 @@ def test_distributed_hash_rank_matches_serial(spark, ids):
         ids, key=lambda i: (hashlib.md5(f"42|{i}".encode()).hexdigest(), i)
     )
     assert got == {i: p for p, i in enumerate(serial)}
+
+
+# ------------------------------------------------- count-min sketch
+
+TOKEN_DOCS = st.lists(
+    st.lists(st.text(alphabet="abxyz", min_size=1, max_size=3), max_size=8),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=TOKEN_DOCS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_grid_matches_python_replica(spark, docs):
+    """The Spark-built CMS grid equals a from-scratch Python replica
+    for ANY token multiset — md5 cell positions and integer counters
+    are engine-independent, which is the whole portability claim
+    behind cms_heavy_hitters' oracle and the streaming rollup."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.queries.sketch_ops import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_pos,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    counts = Counter(t for toks in docs for t in toks)
+    expect: dict = {}
+    for term, c in counts.items():
+        for s in range(CMS_DEPTH):
+            pos = (
+                int(
+                    hashlib.md5((str(s) + term).encode()).hexdigest()[:8], 16
+                )
+                % CMS_WIDTH
+            )
+            expect[(s, pos)] = expect.get((s, pos), 0) + c
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from programmers_data_spark.functions import textfn
+
+    grid = (
+        df.select(F.explode(textfn.tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("term"), s) for s in range(CMS_DEPTH)])
+            ).alias("row", "pos"),
+        )
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("cell"))
+    )
+    got = {(r.row, r.pos): r.cell for r in grid.collect()}
+    assert got == expect

@@ -125,6 +125,11 @@ def main() -> None:
                 "n_queries_timed": len(timings),
                 "queries": {n: timings[n] for n in names if n in HEADLINE},
                 "slowest_other": slowest,
+                # per-query times are ISOLATED since round 5 (cache/
+                # memo/GC reset between queries — SCALE.md "Bench
+                # drift"); totals are not comparable to r4-and-earlier
+                # runs, which let shared memos amortize across queries
+                "accounting": "isolated-per-query",
                 "sf": sf,
             }
         )

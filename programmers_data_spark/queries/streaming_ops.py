@@ -270,6 +270,36 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_value_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tws value-stats SEMANTICS on the dependency-free
+    applyInPandasWithState API: per-user running event count and
+    cent-exact value total, hash-matched against the batch GROUP BY.
+    stream_tws_value_stats is the Spark-4 TWS form of this exact
+    computation — protobuf-gated where the runtime lacks the package —
+    so this twin keeps the semantics driver-verified everywhere while
+    the gate documents the API difference, mirroring the fake-codec /
+    real-codec split in the multimodal tier."""
+    from ..streaming import stateful_value_stats_gs
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        stateful_value_stats_gs(stream), output_mode="update"
+    )
+    return out.orderBy("user_id")
+
+
+@query(
     "stream_tws_value_stats",
     oracle="""
     SELECT user_id,

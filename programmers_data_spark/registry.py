@@ -32,21 +32,22 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_ops",  # 14 (→27)
     "programmers_data_spark.queries.dedup_ops",  # 7 (→34)
     "programmers_data_spark.queries.round3_ops",  # 10 (→44)
-    "programmers_data_spark.queries.streaming_ops",  # 10 incl. the
-    #   unconditionally-registered, call-time-gated tws query (→54)
-    "programmers_data_spark.queries.summary",  # 5 (→59)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→65)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→70)
-    "programmers_data_spark.queries.extras",  # 23 (→93)
-    "programmers_data_spark.queries.similarity_ops",  # 7 (→100)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→104)
-    "programmers_data_spark.queries.analytics",  # 19 (→123)
-    "programmers_data_spark.queries.subqueries",  # 8 (→131)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→137)
-    "programmers_data_spark.queries.sampling_ops",  # 4 (→141)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→149)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→152)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→155)
+    "programmers_data_spark.queries.streaming_ops",  # 11 incl. the
+    #   unconditionally-registered, call-time-gated tws query and its
+    #   dependency-free applyInPandasWithState twin (→55)
+    "programmers_data_spark.queries.summary",  # 5 (→60)
+    "programmers_data_spark.queries.text_quality_ops",  # 6 (→66)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→71)
+    "programmers_data_spark.queries.extras",  # 23 (→94)
+    "programmers_data_spark.queries.similarity_ops",  # 7 (→101)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→105)
+    "programmers_data_spark.queries.analytics",  # 19 (→124)
+    "programmers_data_spark.queries.subqueries",  # 8 (→132)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→138)
+    "programmers_data_spark.queries.sampling_ops",  # 4 (→142)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→150)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→153)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→156)
 )
 
 # ROUND-6 ROTATION PLAN (for the next session): after r5 verifies the
@@ -63,10 +64,12 @@ _QUERY_MODULES = (
 # semantic_dedup_recall, embedding_sq8, mau_sketch_rollup,
 # segment_overlap_sketch, rolling_7d_revenue, daily_revenue_dense,
 # ewma_daily_revenue, cms_heavy_hitters, tfidf_shingle_pairs,
-# pq_topk, pq_recall_at5. (a)+(b) = 56 — six slots over; prefer (b)
-# entirely (never-checked beats stale-green), fill the rest with the
-# r1/r3-vintage summary tier, hold the remaining stale names for r7,
-# and keep stream_tws_value_stats' gate row if still protobuf-absent.
+# pq_topk, pq_recall_at5, stream_stateful_value_stats (the
+# dependency-free twin that keeps the tws semantics verified).
+# (a)+(b) = 57 — seven slots over; prefer (b) entirely (never-checked
+# beats stale-green), fill the rest with the r1/r3-vintage summary
+# tier, hold the remaining stale names for r7, and keep
+# stream_tws_value_stats' gate row if still protobuf-absent.
 
 # The first 50 names get_queries() yields — i.e. the names the driver
 # verifies this round. Round-5 rotation (VERDICT r4 ask #1): the 45

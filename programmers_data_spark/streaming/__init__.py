@@ -493,3 +493,56 @@ def cms_estimate(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est"))
         .orderBy("term")
     )
+
+
+def stateful_value_stats_gs(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """The SAME per-key value-stats semantics as stateful_value_stats
+    (running event count + cent-exact value total), on the
+    dependency-free applyInPandasWithState API — so the semantics are
+    verifiable in ANY environment while the TWS form stays honestly
+    gated on protobuf. One (long, long) tuple of state per key; cents
+    are floor(value*100+0.5) 64-bit ints, making the accumulation
+    order-independent and bit-equal to the batch GROUP BY oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -38,6 +38,7 @@ PYTHON_TIER = frozenset({
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
+    "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.retrieval_ops",  # 8 (→150)
     "programmers_data_spark.queries.sketch_ops",  # 3 (→153)
     "programmers_data_spark.queries.timeseries_ops",  # 3 (→156)
+    "programmers_data_spark.queries.tokenizer_ops",  # 2 (→158)
 )
 
 # ROUND-6 ROTATION PLAN (for the next session): after r5 verifies the

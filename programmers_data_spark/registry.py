@@ -66,8 +66,9 @@ _QUERY_MODULES = (
 # segment_overlap_sketch, rolling_7d_revenue, daily_revenue_dense,
 # ewma_daily_revenue, cms_heavy_hitters, tfidf_shingle_pairs,
 # pq_topk, pq_recall_at5, stream_stateful_value_stats (the
-# dependency-free twin that keeps the tws semantics verified).
-# (a)+(b) = 57 — seven slots over; prefer (b) entirely (never-checked
+# dependency-free twin that keeps the tws semantics verified),
+# bpe_merges, bpe_encoded_counts (tokenizer tier, rows-only).
+# (a)+(b) = 59 — nine slots over; prefer (b) entirely (never-checked
 # beats stale-green), fill the rest with the r1/r3-vintage summary
 # tier, hold the remaining stale names for r7, and keep
 # stream_tws_value_stats' gate row if still protobuf-absent.

@@ -410,3 +410,25 @@ def test_fixture_timestamps_read_as_instants(spark, sf_smoke):
     for t in ("events", "orders", "lineitem"):
         for _name, dt in load_table(spark, sf_smoke, t).dtypes:
             assert dt != "timestamp_ntz", (t, _name, dt)
+
+
+def test_parse_with_rejects_quarantines_bad_lines(spark):
+    """Malformed rows (wrong arity, uncastable cells) land in the
+    reject table with their raw line; good rows parse fully typed;
+    nothing is dropped or aborted."""
+    from programmers_data_spark.sources import parse_with_rejects
+
+    lines = [
+        "alice,30",
+        "bob,notanumber",
+        "carol",
+        "dave,44",
+        "eve,55,extra",
+    ]
+    ds = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    good, rejects = parse_with_rejects(ds, "name string, age int")
+    g = {(r.name, r.age) for r in good.collect()}
+    assert g == {("alice", 30), ("dave", 44)}
+    raw = {r.raw_line for r in rejects.collect()}
+    assert raw == {"bob,notanumber", "carol", "eve,55,extra"}
+    assert good.count() + rejects.count() == len(lines)

@@ -50,11 +50,16 @@ def _reset(spark) -> None:
     an artifact of alphabetical order, and ~100 queries of cache/heap
     residue inflate late-run token-heavy queries 5-10x in ways that
     never reproduce standalone (see SCALE.md 'Bench drift')."""
-    from programmers_data_spark.queries import dedup_ops, similarity_ops
+    from programmers_data_spark.queries import (
+        dedup_ops,
+        retrieval_ops,
+        similarity_ops,
+    )
 
     spark.catalog.clearCache()
     dedup_ops._SIG_CACHE.clear()
     similarity_ops._PAIR_CACHE.clear()
+    retrieval_ops._TFIDF_CACHE.clear()
     spark.sparkContext._jvm.System.gc()
 
 

@@ -40,3 +40,9 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
         as_double_array(a), as_double_array(b), lambda x, y: (x - y) * (x - y)
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def sq_norm(a: Column | str) -> Column:
+    """Squared L2 norm — the zero-vector test (sq_norm > 0) without
+    the sqrt."""
+    return dot(a, a)

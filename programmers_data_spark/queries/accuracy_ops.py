@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import ORACLE, query
+from ._oracle_shared import _DUCK_NONZERO
 from .similarity_ops import (
     N_QUERIES,
     ann_lsh_topk,
@@ -128,7 +129,7 @@ def mau_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS mean_meets_floor
     FROM embeddings
-    WHERE vec_id < {N_QUERIES}
+    WHERE vec_id < {N_QUERIES} AND {_DUCK_NONZERO}
     """,
 )
 def ann_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +181,7 @@ def ann_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS mean_meets_floor
     FROM embeddings
-    WHERE vec_id < {N_QUERIES}
+    WHERE vec_id < {N_QUERIES} AND {_DUCK_NONZERO}
     """,
 )
 def ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +361,7 @@ PQ_RECALL_FLOOR = 0.05
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS mean_meets_floor
     FROM embeddings
-    WHERE vec_id < {N_QUERIES}
+    WHERE vec_id < {N_QUERIES} AND {_DUCK_NONZERO}
     """,
 )
 def pq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:

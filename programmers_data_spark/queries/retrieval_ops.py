@@ -44,8 +44,12 @@ from ..functions import textfn
 from ..operators import bounded_global_window, top_k
 from ..functions.vectors import as_double_array
 from ..registry import query
-from ._oracle_shared import _DUCK_TOKS
-from .similarity_ops import NEARDUP_THRESHOLD, embedding_neardup
+from ._oracle_shared import _DUCK_NONZERO, _DUCK_TOKS
+from .similarity_ops import (
+    NEARDUP_THRESHOLD,
+    embedding_neardup,
+    load_vectors,
+)
 
 # Posting lists are CAPPED: a stopword-grade term at 100 TB has
 # billions of postings, so per-term state must be bounded. The capped
@@ -457,9 +461,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SEM_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     bc = _train_cells(spark, emb)
 
     def assign_cells(batches):
@@ -530,6 +532,7 @@ _DUCK_COS_AB = (
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
     ),
     exact_dropped AS (
       SELECT DISTINCT b.vec_id

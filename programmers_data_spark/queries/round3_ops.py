@@ -32,7 +32,7 @@ from ..functions import textfn
 from ..functions.vectors import as_double_array, cosine
 from ..operators import bounded_global_window
 from ..registry import query
-from ._oracle_shared import _DUCK_TOKS
+from ._oracle_shared import _DUCK_NONZERO, _DUCK_TOKS
 from .dedup_ops import (
     _AUG_SQL,
     _SHINGLES_DUCK,
@@ -391,6 +391,7 @@ _DUCK_COS_QC = (
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.label AS true_label,
@@ -428,9 +429,9 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side (same shape as embedding_topk); at 100 TB the
     neighbor stage swaps to the IVF/LSH path unchanged — the vote is
     a per-query aggregate either way."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("emb")
-    )
+    from .similarity_ops import load_vectors
+
+    emb = load_vectors(spark, sf_dir, "label")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),

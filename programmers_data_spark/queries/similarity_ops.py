@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import as_double_array, cosine
+from ..functions.vectors import as_double_array, cosine, sq_norm
 from ..registry import query
+from ._oracle_shared import _DUCK_NONZERO
 
 TOPK = 5
 N_QUERIES = 20
@@ -55,11 +56,29 @@ _DUCK_COS = (
 )
 
 
+def load_vectors(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """The similarity tier's corpus loader: vec_id (+ extra_cols) and
+    the double-cast embedding, with ZERO-NORM VECTORS EXCLUDED. A
+    zero vector has no direction, so cosine against it is 0/0 —
+    Spark's ANSI mode raises DIVIDE_BY_ZERO and DuckDB emits NaN
+    (which then sorts unpredictably); defining them out of the corpus
+    on BOTH engines (oracles filter _DUCK_NONZERO) is the only
+    semantics that is total, portable, and honest. Operators that
+    never normalize (embedding_sq8, label_quality_profile) read the
+    unfiltered table deliberately."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", *extra_cols, as_double_array("embedding").alias("emb")
+    )
+    return emb.filter(sq_norm(F.col("emb")) > 0)
+
+
+
 @query(
     "embedding_topk",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
     ),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -83,15 +102,12 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the bounded query set
     against the corpus scan, rank per query. The corpus side never
     shuffles until the (tiny) per-query top-k window."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
     scored = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_array("embedding").alias("emb"))
+        load_vectors(spark, sf_dir)
         .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -114,6 +130,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -152,9 +169,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     # One action, bounded driver memory (r4 advice): LIMIT cap+1 so an
     # oversized corpus trips the guard after materializing at most
     # cap+1 rows instead of OOMing the driver first; a separate
@@ -223,9 +238,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (L, k) for the recall/cost point, never N²."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     dim = 64
     n_planes = _N_TABLES * _N_BITS
     planes = np.array(
@@ -310,9 +323,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     sample = np.array(
         [r.emb for r in emb.filter(F.col("vec_id") % 7 < 3).limit(512).collect()],
         dtype=np.float64,
@@ -410,9 +421,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_scale.py::test_neardup_lsh_recall)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     dim = 64
     n_planes = _ND_TABLES * _ND_BITS
     planes = np.array(
@@ -553,9 +562,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("emb")
-    )
+    emb = load_vectors(spark, sf_dir)
     sample = np.array(
         [r.emb for r in emb.filter(F.col("vec_id") % 7 < 3).limit(512).collect()],
         dtype=np.float64,
@@ -597,15 +604,14 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coded = emb.mapInPandas(encode, schema="vec_id long, codes array<int>")
 
-    qvecs = np.array(
-        [
-            r.emb
-            for r in emb.filter(F.col("vec_id") < N_QUERIES)
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype=np.float64,
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
     )
+    # carry the REAL vec_ids: positional indexing would silently
+    # mislabel queries whenever the id range has gaps (e.g. the
+    # zero-norm exclusion, or sparse fixtures)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qvecs = np.array([r.emb for r in qrows], dtype=np.float64)
     qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
     # ADC lookup tables: lut[q, m, c] = <query_sub, codeword> — inner
     # product on unit vectors approximates cosine
@@ -614,12 +620,12 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvecs.reshape(len(qvecs), _PQ_M, d_sub),
         codebooks,
     )
-    bq = spark.sparkContext.broadcast(lut)
+    bq = spark.sparkContext.broadcast((qids, lut))
 
     def score(batches):
         import pandas as pd
 
-        tables = bq.value  # (Q, M, K)
+        ids, tables = bq.value  # (Q,), (Q, M, K)
         n_q = tables.shape[0]
         for pdf in batches:
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, M)
@@ -628,7 +634,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = len(codes)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(np.arange(n_q), b),
+                    "query_id": np.repeat(ids, b),
                     "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
                     "score": scores.reshape(-1),
                 }

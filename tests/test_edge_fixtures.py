@@ -82,12 +82,19 @@ def edge_sf_dir(spark, tmp_path_factory):
     )
     docs.to_parquet(d / "documents.parquet", index=False)
     rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(64).astype(np.float32) for _ in _EDGE_DOCS]
+    # adversarial vectors: a ZERO vector (no direction — the
+    # similarity tier defines it out of the corpus on both engines;
+    # before that rule, ANSI Spark raised DIVIDE_BY_ZERO in cosine
+    # while DuckDB emitted NaN), an exact duplicate pair (cos = 1
+    # ties), and a scaled twin (cos = 1 without byte equality)
+    vecs[0] = np.zeros(64, dtype=np.float32)
+    vecs[15] = vecs[11].copy()
+    vecs[14] = (2.0 * vecs[13]).astype(np.float32)
     emb = pd.DataFrame(
         {
             "vec_id": np.arange(len(_EDGE_DOCS), dtype=np.int64),
-            "embedding": [
-                rng.standard_normal(64).astype(np.float32) for _ in _EDGE_DOCS
-            ],
+            "embedding": vecs,
             "label": (np.arange(len(_EDGE_DOCS)) % 3).astype(np.int32),
         }
     )

@@ -50,16 +50,22 @@ def _reset(spark) -> None:
     an artifact of alphabetical order, and ~100 queries of cache/heap
     residue inflate late-run token-heavy queries 5-10x in ways that
     never reproduce standalone (see SCALE.md 'Bench drift')."""
-    from programmers_data_spark.queries import (
-        dedup_ops,
-        retrieval_ops,
-        similarity_ops,
-    )
+    import programmers_data_spark.queries as qpkg
 
     spark.catalog.clearCache()
-    dedup_ops._SIG_CACHE.clear()
-    similarity_ops._PAIR_CACHE.clear()
-    retrieval_ops._TFIDF_CACHE.clear()
+    # Derive the memo-cache list DYNAMICALLY (r5 advice: a hand-kept
+    # list missed _SEM_CACHE et al., letting some queries skip their
+    # driver-side training in the timed run): every module-level
+    # *_CACHE dict in any queries submodule is cleared.
+    for mod in list(sys.modules.values()):
+        name = getattr(mod, "__name__", "")
+        if not name.startswith(qpkg.__name__ + "."):
+            continue
+        for attr in dir(mod):
+            if attr.endswith("_CACHE") and isinstance(
+                getattr(mod, attr), dict
+            ):
+                getattr(mod, attr).clear()
     spark.sparkContext._jvm.System.gc()
 
 

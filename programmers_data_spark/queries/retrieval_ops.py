@@ -471,6 +471,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = bc.value
         n_probe = min(SEMDEDUP_PROBES, len(cents))
         for pdf in batches:
+            if len(pdf) == 0:  # mapInPandas can deliver empty batches
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             order = np.argsort(-(x @ cents.T), axis=1)[:, :n_probe]
@@ -564,10 +566,19 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_dropped = (
         dedup_semantic(spark, sf_dir)
         .filter(F.col("dropped"))
-        .select("vec_id")
+        .select("vec_id", F.lit(1).alias("caught"))
     )
-    n_exact = exact_dropped.count()
-    n_caught = exact_dropped.join(sem_dropped, "vec_id", "left_semi").count()
+    # one aggregate job computes both sides (a second count-after-join
+    # action would re-schedule the whole tiny-DAG pipeline)
+    row = (
+        exact_dropped.join(sem_dropped, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("caught").alias("n_caught"),
+        )
+        .first()
+    )
+    n_exact, n_caught = row.n_exact, row.n_caught
     recall_ok = n_exact == 0 or (n_caught / n_exact) >= SEMDEDUP_RECALL_FLOOR
     return spark.createDataFrame(
         [(n_exact, bool(recall_ok))], "n_exact_dropped long, recall_ok boolean"

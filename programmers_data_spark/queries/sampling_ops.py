@@ -108,6 +108,12 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.md5(
         F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string"))
     )
+    # persist the tokenized projection: BOTH branches below (the
+    # per-bucket window and the bucket-totals aggregate) consume it,
+    # and without the persist each re-runs the scan + tokenize —
+    # the dominant cost of this query (r5 bench: 6.4s, almost all of
+    # it split()+size() arithmetic paid twice). The cached form is
+    # (doc_id, n_tokens, k, bucket) — no text column, tiny at any SF.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -116,6 +122,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.alias("k"),
         )
         .withColumn("bucket", F.substring("k", 1, 2))
+        .persist()
     )
     w_local = (
         Window.partitionBy("bucket")

@@ -192,6 +192,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         c_ids, c_mat = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.array(list(pdf["emb"]), dtype=np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -253,6 +255,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             bits = (x @ planes) > 0  # (n, L*k)
             out = []
@@ -346,6 +350,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cents = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             cell = np.argmax(x @ cents.T, axis=1)
@@ -363,6 +369,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = bc.value
         n_probe = min(_IVF_PROBES, len(cents))
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             order = np.argsort(-(x @ cents.T), axis=1)[:, :n_probe]
@@ -433,6 +441,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             bits = (x @ planes) > 0
             out = []
@@ -591,6 +601,8 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cb = bc.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             codes = np.empty((len(x), _PQ_M), dtype=np.int32)
@@ -628,6 +640,8 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, tables = bq.value  # (Q,), (Q, M, K)
         n_q = tables.shape[0]
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, M)
             # scores[b, q] = sum_m tables[q, m, codes[b, m]]
             scores = tables[:, np.arange(_PQ_M)[None, :], codes].sum(-1)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import textfn
 from ..registry import query
+from ._oracle_shared import _DUCK_TOKS
 
 # Merge budget: enough to learn real structure in the fixture corpus
 # (shared prefixes/suffixes across the synthetic vocabulary) while
@@ -121,16 +122,30 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+# Learned-merge memo: three queries (bpe_merges, bpe_encoded_counts,
+# bpe_contract) share one word-count collect + merge loop per
+# (application, sf_dir). bench.py clears every *_CACHE dict between
+# timed queries, so isolation accounting still charges each query its
+# full cost.
+_MERGES_CACHE: dict[tuple[str, str], list[tuple[str, str]]] = {}
+
+
 def _learn_from_corpus(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, str]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MERGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     wc = (
         _word_counts(spark, sf_dir)
         .orderBy(F.desc("c"), "word")
         .limit(VOCAB_CAP)
         .collect()
     )
-    return learn_bpe_merges([(r.word, r.c) for r in wc], BPE_N_MERGES)
+    merges = learn_bpe_merges([(r.word, r.c) for r in wc], BPE_N_MERGES)
+    _MERGES_CACHE[key] = merges
+    return merges
 
 
 @query("bpe_merges")  # rows-only: data-dependent iteration isn't ANSI SQL
@@ -194,3 +209,86 @@ def bpe_encoded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         enc, schema="doc_id long, n_tokens long, n_chars_alpha long"
     ).orderBy("doc_id")
+
+
+@query(
+    "bpe_contract",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_DUCK_TOKS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+    ),
+    capped AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {VOCAB_CAP}
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS l,
+             substr(word, i + 1, 1) AS r,
+             sum(c) AS pc
+      FROM (
+        SELECT word, c,
+               CAST(unnest(range(1, length(word))) AS INT) AS i
+        FROM capped
+      )
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT l, r FROM pairs ORDER BY pc DESC, l, r LIMIT 1),
+    totals AS (
+      SELECT CAST(sum(length(word)) AS BIGINT) AS total_chars,
+             CAST(count(*) AS BIGINT) AS total_words
+      FROM (SELECT unnest(toks) AS word FROM t)
+    )
+    SELECT best.l AS first_left,
+           best.r AS first_right,
+           CAST({BPE_N_MERGES} AS INT) AS n_merges,
+           totals.total_chars,
+           totals.total_words,
+           TRUE AS compressed,
+           TRUE AS tokens_ge_words
+    FROM best, totals
+    """,
+)
+def bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable contract for the BPE trainer (the accuracy-twin
+    pattern the ANN tier uses): the FIRST learned merge is exactly
+    SQL-expressible — the count-weighted most frequent adjacent
+    character pair over the capped word table, ties to the
+    lexicographically smallest (left, right) — so the oracle
+    re-derives it independently and the driver hash certifies the
+    trainer's pair counting, frequency weighting, and tie-break.
+    Exact corpus totals (chars, words) anchor the rest of the row;
+    booleans assert the learned vocabulary actually compresses
+    (sum tokens < sum chars — merges were applied, not just learned)
+    and never splits below word granularity (sum tokens >= words).
+
+    Scale shape: reuses the memoized merge table and the map-only
+    encode pass; everything else is 1-row aggregates.
+    """
+    merges = _learn_from_corpus(spark, sf_dir)
+    first = merges[0]
+    enc_totals = bpe_encoded_counts(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_alpha").alias("total_chars"),
+    )
+    word_totals = (
+        load_table(spark, sf_dir, "documents")
+        .select(textfn.token_count("text").alias("n"))
+        .agg(F.sum("n").cast("long").alias("total_words"))
+    )
+    return (
+        enc_totals.crossJoin(word_totals)
+        .select(
+            F.lit(first[0]).alias("first_left"),
+            F.lit(first[1]).alias("first_right"),
+            F.lit(len(merges)).cast("int").alias("n_merges"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "total_words",
+            (F.col("total_tokens") < F.col("total_chars")).alias("compressed"),
+            (F.col("total_tokens") >= F.col("total_words")).alias(
+                "tokens_ge_words"
+            ),
+        )
+    )

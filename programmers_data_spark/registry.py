@@ -48,100 +48,97 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.retrieval_ops",  # 8 (→150)
     "programmers_data_spark.queries.sketch_ops",  # 3 (→153)
     "programmers_data_spark.queries.timeseries_ops",  # 3 (→156)
-    "programmers_data_spark.queries.tokenizer_ops",  # 2 (→158)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→159)
 )
 
-# ROUND-6 ROTATION PLAN (for the next session): after r5 verifies the
-# analytics/extras/subqueries tiers below, the least-recently-checked
-# names become (a) summary (5, r1/r3-vintage), text_quality_ops (6,
-# r3), curation_ops (5, r3), similarity_ops (6, r2), multimodal_ops
-# (4, r2) and (b) the 30 queries registered during r5 that have never
-# had a driver row: ivf_recall_at5, lsh_neardup_recall,
-# quantile_sketch_error, ohlc_daily, scd2_intervals, nation_pagerank,
-# incr_mau_refresh, token_heavy_hitters, mad_outliers,
-# mixture_resample, split_leakage_check, ingest_freshness,
-# volume_anomaly_days, fuzzy_match_pairs, inverted_postings,
-# bm25_topk, bloom_decontam, bloom_decontam_misses, dedup_semantic,
-# semantic_dedup_recall, embedding_sq8, mau_sketch_rollup,
-# segment_overlap_sketch, rolling_7d_revenue, daily_revenue_dense,
-# ewma_daily_revenue, cms_heavy_hitters, tfidf_shingle_pairs,
-# pq_topk, pq_recall_at5, stream_stateful_value_stats (the
-# dependency-free twin that keeps the tws semantics verified),
-# bpe_merges, bpe_encoded_counts (tokenizer tier, rows-only).
-# (a)+(b) = 59 — nine slots over; prefer (b) entirely (never-checked
-# beats stale-green), fill the rest with the r1/r3-vintage summary
-# tier, hold the remaining stale names for r7, and keep
-# stream_tws_value_stats' gate row if still protobuf-absent.
+# ROUND-7 ROTATION PLAN (for the next session): after r6 verifies the
+# 35 previously-never-checked names + bpe_contract + the r2/r3-stale
+# refreshes below, the least-recently-checked tier becomes the
+# remaining r3-vintage names (repetition_profile, gopher_quality_flags,
+# dedup_prefix, stratified_sample, shingle_novelty,
+# corpus_mixture_weights, decontam_overlap, doc_commonness,
+# dedup_incremental, table_profile, curation_funnel — 11) plus the
+# r4-vintage transforms/text/dedup/streaming block (48). 11+48 = 59 —
+# prefer the r3 block whole, fill the rest with the oldest r4 names
+# (registration order), and keep 2-3 r6-green sentinels as canaries.
 
 # The first 50 names get_queries() yields — i.e. the names the driver
-# verifies this round. Round-5 rotation (VERDICT r4 ask #1): the 45
-# r1-vintage analytics/extras/subqueries queries (last driver-checked
-# against a fixture generation that no longer exists) re-enter, plus
-# the mau + incr_distinct r4-green sentinels, the two new accuracy
-# queries that make the approximate tier hash-checkable (ask #4), and
-# stream_tws_value_stats for its first-ever driver row (ask #2 —
-# explicitly gated where protobuf is absent, green where present).
-# Everything outside the window was driver-green in r3/r4 and stays
+# verifies this round. Round-6 rotation (VERDICT r5 asks #1/#2/#6):
+# every query that has NEVER had a driver CORRECTNESS row enters — the
+# whole r5-registered retrieval/sketch/sampling/time-series tier (35
+# names, incl. stream_stateful_value_stats, the dependency-free
+# applyInPandasWithState twin that takes over the slot burned by the
+# protobuf-gated stream_tws_value_stats in r5) — plus the new
+# bpe_contract (the tokenizer tier's first hash-checkable driver row),
+# with the 14 remaining slots refreshing the stalest greens: the 10
+# r2-vintage similarity/multimodal names and 4 r3-vintage summary
+# headliners as canaries. stream_tws_value_stats stays registered
+# OUTSIDE the window (still honestly gated: google.protobuf remains
+# absent in this environment and installs are disallowed).
+# Everything outside the window was driver-green in r3/r4/r5 and stays
 # locally verified every run by tests/test_oracle_parity.py, which
 # hash-checks ALL registered oracles.
 _WINDOW = (
-    # analytics (19) — r1-vintage
-    "pricing_summary",
-    "region_revenue",
-    "top_customers",
-    "order_priority",
-    "top3_per_segment",
-    "nation_customer_stats",
-    "brand_revenue",
-    "daily_revenue",
-    "shipping_priority",
-    "promo_revenue_share",
-    "nation_trade_volume",
-    "returned_item_customers",
-    "order_count_distribution",
-    "top_supplier",
-    "large_orders",
-    "discounted_revenue",
-    "forecast_revenue_change",
-    "market_share",
-    "product_type_profit",
-    # extras (18) — r1-vintage
-    "customers_with_orders",
-    "customers_without_orders",
-    "rollup_revenue",
-    "returning_customers",
-    "churned_customers",
-    "mau_approx",
-    "cube_order_stats",
-    "running_revenue",
-    "asof_last_order",
-    "value_histogram",
-    "event_type_pivot",
-    "value_percentiles",
-    "post_purchase_clicks",
-    "acctbal_quartiles",
-    "grouping_sets_revenue",
-    "event_type_unpivot",
-    "salted_segment_revenue",
-    "cohort_retention",
-    # subqueries (8) — r1-vintage
-    "cheapest_supplier_per_part",
-    "supplier_value_share",
-    "priority_line_counts",
-    "supplier_cnt_by_part",
-    "small_qty_revenue",
-    "waiting_suppliers",
-    "idle_rich_customers",
-    "bulk_suppliers_for_parts",
-    # accuracy deltas (2) — new in r5
-    "mau_approx_error",
-    "ann_recall_at5",
-    # sentinels (2) — r4-green canaries
-    "mau",
-    "incr_distinct",
-    # first-ever driver row (1) — green with protobuf, explicit
-    # NotImplementedError gate without it
-    "stream_tws_value_stats",
+    # retrieval tier (r5-registered, first driver rows)
+    "inverted_postings",
+    "bm25_topk",
+    "bloom_decontam",
+    "bloom_decontam_misses",
+    "tfidf_shingle_pairs",
+    "dedup_semantic",
+    "semantic_dedup_recall",
+    "embedding_sq8",
+    "pq_topk",
+    "pq_recall_at5",
+    "ivf_recall_at5",
+    "lsh_neardup_recall",
+    # sketch tier (r5-registered, first driver rows)
+    "mau_sketch_rollup",
+    "segment_overlap_sketch",
+    "cms_heavy_hitters",
+    "token_heavy_hitters",
+    "quantile_sketch_error",
+    # sampling/split tier (r5-registered, first driver rows)
+    "train_val_split",
+    "token_budget_sample",
+    "mixture_resample",
+    "split_leakage_check",
+    # time-series tier (r5-registered, first driver rows)
+    "ohlc_daily",
+    "scd2_intervals",
+    "rolling_7d_revenue",
+    "ewma_daily_revenue",
+    "daily_revenue_dense",
+    "mad_outliers",
+    "volume_anomaly_days",
+    "ingest_freshness",
+    # graph/incremental/matching (r5-registered, first driver rows)
+    "nation_pagerank",
+    "incr_mau_refresh",
+    "fuzzy_match_pairs",
+    # streaming per-key state semantics — first driver row via the
+    # dependency-free twin (r5 verdict ask #2)
+    "stream_stateful_value_stats",
+    # tokenizer tier (r5-registered rows-only + the new r6 contract)
+    "bpe_merges",
+    "bpe_encoded_counts",
+    "bpe_contract",
+    # r2-vintage refresh: similarity + multimodal (stalest greens)
+    "embedding_topk",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_neardup_lsh",
+    "label_quality_profile",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_features",
+    # r3-vintage summary canaries
+    "dau",
+    "channel_firstlast",
+    "nps",
+    "funnel_signup_purchase",
 )
 
 

@@ -372,6 +372,7 @@ def stream_cms_rollup(
     path: str,
     key_col: str = "user_id",
     checkpoint: str | None = None,
+    unsafe_no_checkpoint: bool = False,
 ) -> None:
     """Streaming count-min sketch: each micro-batch's key frequencies
     become a depth x width counter grid merged into the persisted
@@ -393,9 +394,31 @@ def stream_cms_rollup(
 
     Estimates come from the stored grid exactly as in
     cms_heavy_hitters: min over depth rows of the probed cells.
+
+    The ledger is only sound WITH a checkpointLocation: batch ids are
+    assigned by the streaming engine per checkpoint, so an
+    un-checkpointed re-run over a source that GAINED files restarts
+    ids at 0 — the ledger then matches old ids and silently skips
+    batches carrying new data (permanent undercount). A checkpointed
+    restart resumes the id sequence and only true redeliveries
+    collide. checkpoint=None therefore raises unless the caller
+    explicitly asserts byte-identical-replay-only semantics via
+    unsafe_no_checkpoint=True (tests; one-shot backfills that always
+    start from an empty grid).
     """
     from ..publish import publish_swap
     from ..queries.sketch_ops import CMS_DEPTH, _cms_pos
+
+    if checkpoint is None and not unsafe_no_checkpoint:
+        raise ValueError(
+            "stream_cms_rollup requires a checkpointLocation: the "
+            "additive grid's batch-id ledger only deduplicates "
+            "correctly when the engine resumes the id sequence from "
+            "a checkpoint. Without one, a re-run over a grown source "
+            "restarts ids at 0 and silently DROPS new batches. Pass "
+            "checkpoint=..., or unsafe_no_checkpoint=True only if "
+            "every replay is byte-identical to the original run."
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

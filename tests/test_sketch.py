@@ -4,6 +4,7 @@ the docstrings make."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from programmers_data_spark.catalog import load_table
@@ -106,7 +107,15 @@ def test_stream_cms_rollup_matches_direct_and_survives_replay(
     )
 
     path = str(tmp_path / "cms")
-    stream_cms_rollup(read_events_stream(spark, sf_smoke), path)
+    # un-checkpointed runs must refuse: batch-id ledger soundness
+    # depends on the engine resuming ids from a checkpoint (r5 advice)
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        stream_cms_rollup(read_events_stream(spark, sf_smoke), path)
+    stream_cms_rollup(
+        read_events_stream(spark, sf_smoke),
+        path,
+        checkpoint=str(tmp_path / "cp1"),
+    )
 
     def grid(df):
         return {
@@ -135,8 +144,12 @@ def test_stream_cms_rollup_matches_direct_and_survives_replay(
     )
     assert stored == direct
 
-    # full-source replay: ledger skips every batch, grid unchanged
-    stream_cms_rollup(read_events_stream(spark, sf_smoke), path)
+    # redelivery of byte-identical batches (fresh checkpoint restarts
+    # ids at 0 over the SAME source): ledger skips every batch, grid
+    # unchanged — the one scenario unsafe_no_checkpoint covers
+    stream_cms_rollup(
+        read_events_stream(spark, sf_smoke), path, unsafe_no_checkpoint=True
+    )
     replayed = grid(
         spark.read.parquet(path)
         .filter(F.col("kind") == "cell")

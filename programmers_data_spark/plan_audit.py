@@ -39,6 +39,7 @@ PYTHON_TIER = frozenset({
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
     "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator
+    "bpe_contract",  # composes bpe_encoded_counts' Arrow encoder
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose
@@ -48,6 +49,7 @@ PYTHON_TIER = frozenset({
 BOUNDED_CARTESIAN = frozenset({
     "adaptive_quality_gate",   # 1-row p25 threshold broadcast
     "ann_recall_at5",          # bounded query set crossJoin (via ANN)
+    "bpe_contract",            # crossJoins two 1-row corpus aggregates
     "ivf_recall_at5",          # same, via ivf_topk
     "pq_recall_at5",           # same, via embedding_topk baseline
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
@@ -68,7 +70,8 @@ BOUNDED_CARTESIAN = frozenset({
 # tiny input: 1-row global aggregates feeding a broadcast, or a
 # final single-row result.
 BOUNDED_SINGLE_PARTITION = frozenset({
-    "adaptive_quality_gate", "ann_recall_at5", "ivf_recall_at5",
+    "adaptive_quality_gate", "ann_recall_at5", "bpe_contract",
+    "ivf_recall_at5",
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",

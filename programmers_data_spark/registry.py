@@ -51,94 +51,103 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.tokenizer_ops",  # 3 (→159)
 )
 
-# ROUND-7 ROTATION PLAN (for the next session): after r6 verifies the
-# 35 previously-never-checked names + bpe_contract + the r2/r3-stale
-# refreshes below, the least-recently-checked tier becomes the
-# remaining r3-vintage names (repetition_profile, gopher_quality_flags,
-# dedup_prefix, stratified_sample, shingle_novelty,
-# corpus_mixture_weights, decontam_overlap, doc_commonness,
-# dedup_incremental, table_profile, curation_funnel — 11) plus the
-# r4-vintage transforms/text/dedup/streaming block (48). 11+48 = 59 —
-# prefer the r3 block whole, fill the rest with the oldest r4 names
-# (registration order), and keep 2-3 r6-green sentinels as canaries.
+# ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
+# r3 block + 36 oldest r4-vintage names below, the least-recently-
+# checked tier is the 12 remaining r4-vintage names
+# (near_dup_rate_by_source, corpus_shuffle, skew_profile, and the nine
+# streaming_ops queries stream_tumbling_daily, stream_sliding_2d,
+# stream_dedup, sessionization, stream_session_window,
+# stream_stateful_counts, stream_enrich_segment,
+# stream_join_attribution, stream_corpus_quality) plus the r5-vintage
+# TPC-H/analytics block (49 names). 12+49 = 61 — take the r4 block
+# whole, fill with the oldest r5 names (registration order), keep 2-3
+# r7-green sentinels as canaries, and keep stream_tws_value_stats
+# OUTSIDE the window (honestly gated: google.protobuf absent,
+# installs disallowed — semantics driver-certified r6 via the
+# applyInPandasWithState twin).
+
+# Queries registered WITHOUT an oracle, by design (seeded-RNG ANN
+# paths not reproducible in SQL, BPE merge iteration, HLL sketch
+# internals). Each has a hash-checkable accuracy-contract twin that
+# IS oracle-checked (ann_recall_at5, ivf_recall_at5, pq_recall_at5,
+# lsh_neardup_recall, semantic_dedup_recall, bpe_contract,
+# mau_approx_error). tests/test_round5.py derives the window's
+# expected rows-only set from this list — keep it in sync with
+# registration (test_registry_hygiene asserts equality).
+ROWS_ONLY = frozenset({
+    "ann_lsh_topk", "bpe_encoded_counts", "bpe_merges",
+    "dedup_semantic", "embedding_neardup_lsh", "ivf_topk",
+    "mau_approx", "pq_topk",
+})
 
 # The first 50 names get_queries() yields — i.e. the names the driver
-# verifies this round. Round-6 rotation (VERDICT r5 asks #1/#2/#6):
-# every query that has NEVER had a driver CORRECTNESS row enters — the
-# whole r5-registered retrieval/sketch/sampling/time-series tier (35
-# names, incl. stream_stateful_value_stats, the dependency-free
-# applyInPandasWithState twin that takes over the slot burned by the
-# protobuf-gated stream_tws_value_stats in r5) — plus the new
-# bpe_contract (the tokenizer tier's first hash-checkable driver row),
-# with the 14 remaining slots refreshing the stalest greens: the 10
-# r2-vintage similarity/multimodal names and 4 r3-vintage summary
-# headliners as canaries. stream_tws_value_stats stays registered
-# OUTSIDE the window (still honestly gated: google.protobuf remains
-# absent in this environment and installs are disallowed).
-# Everything outside the window was driver-green in r3/r4/r5 and stays
-# locally verified every run by tests/test_oracle_parity.py, which
-# hash-checks ALL registered oracles.
+# verifies this round. Round-7 rotation (VERDICT r6 ask #2, executing
+# the plan the r6 registry comment laid down): the 11 r3-vintage names
+# whole, plus the 36 oldest r4-vintage names in registration order
+# (the r4 transforms/text/dedup tier; the 12 youngest r4 names — the
+# streaming_ops block and three stragglers — roll to round 8), plus 3
+# r6-green sentinels: tfidf_shingle_pairs (its plan is being
+# re-optimized this round — the window row proves the hash survived),
+# bpe_contract (marked weak in VERDICT r6 until the suite is green),
+# and dau (summary-tier canary). Every window name has an oracle —
+# zero rows-only slots this round. Everything outside the window was
+# driver-green in r5/r6 and stays locally verified every run by
+# tests/test_oracle_parity.py, which hash-checks ALL registered
+# oracles.
 _WINDOW = (
-    # retrieval tier (r5-registered, first driver rows)
-    "inverted_postings",
-    "bm25_topk",
-    "bloom_decontam",
-    "bloom_decontam_misses",
+    # r3-vintage block, whole (stalest driver rows in the fleet)
+    "repetition_profile",
+    "gopher_quality_flags",
+    "dedup_prefix",
+    "stratified_sample",
+    "shingle_novelty",
+    "corpus_mixture_weights",
+    "decontam_overlap",
+    "doc_commonness",
+    "dedup_incremental",
+    "table_profile",
+    "curation_funnel",
+    # r4-vintage, oldest 36 by registration order
+    "dedup_keep_latest",
+    "upsert_keyed",
+    "distinct_rows",
+    "csv_parse_project",
+    "json_nested_project",
+    "epoch_to_date",
+    "ts_format",
+    "daily_filter",
+    "clean_currency",
+    "null_fill",
+    "token_count",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "doc_winnow_fingerprint",
+    "corpus_clean",
+    "corpus_sample_hash",
+    "pii_redact",
+    "vocab_topk",
+    "top_terms_per_doc",
+    "doc_chunks",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "minhash_jaccard_estimate",
+    "sequence_packing",
+    "packing_spans",
+    "bigram_stats",
+    "doc_lang_mix",
+    "knn_label_vote",
+    "adaptive_quality_gate",
+    # r6-green sentinels (canaries)
     "tfidf_shingle_pairs",
-    "dedup_semantic",
-    "semantic_dedup_recall",
-    "embedding_sq8",
-    "pq_topk",
-    "pq_recall_at5",
-    "ivf_recall_at5",
-    "lsh_neardup_recall",
-    # sketch tier (r5-registered, first driver rows)
-    "mau_sketch_rollup",
-    "segment_overlap_sketch",
-    "cms_heavy_hitters",
-    "token_heavy_hitters",
-    "quantile_sketch_error",
-    # sampling/split tier (r5-registered, first driver rows)
-    "train_val_split",
-    "token_budget_sample",
-    "mixture_resample",
-    "split_leakage_check",
-    # time-series tier (r5-registered, first driver rows)
-    "ohlc_daily",
-    "scd2_intervals",
-    "rolling_7d_revenue",
-    "ewma_daily_revenue",
-    "daily_revenue_dense",
-    "mad_outliers",
-    "volume_anomaly_days",
-    "ingest_freshness",
-    # graph/incremental/matching (r5-registered, first driver rows)
-    "nation_pagerank",
-    "incr_mau_refresh",
-    "fuzzy_match_pairs",
-    # streaming per-key state semantics — first driver row via the
-    # dependency-free twin (r5 verdict ask #2)
-    "stream_stateful_value_stats",
-    # tokenizer tier (r5-registered rows-only + the new r6 contract)
-    "bpe_merges",
-    "bpe_encoded_counts",
     "bpe_contract",
-    # r2-vintage refresh: similarity + multimodal (stalest greens)
-    "embedding_topk",
-    "embedding_neardup",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "embedding_neardup_lsh",
-    "label_quality_profile",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_features",
-    # r3-vintage summary canaries
     "dau",
-    "channel_firstlast",
-    "nps",
-    "funnel_signup_purchase",
 )
 
 

@@ -25,9 +25,21 @@ def test_window_is_pinned_and_first():
     os_ = registry.get_oracle_sql()
     oracle_window = [n for n in registry._WINDOW if n in os_]
     assert list(os_)[: len(oracle_window)] == oracle_window
-    # every window query except the documented rows-only set has an oracle
+    # every window query except the documented rows-only set has an
+    # oracle — derived from registry.ROWS_ONLY so rotations can't
+    # re-break this assertion (VERDICT r6 ask #1b)
     no_oracle = [n for n in registry._WINDOW if n not in os_]
-    assert no_oracle == ["mau_approx"]
+    assert no_oracle == [
+        n for n in registry._WINDOW if n in registry.ROWS_ONLY
+    ]
+
+
+def test_rows_only_list_matches_registration():
+    """registry.ROWS_ONLY is the single documented source of truth
+    for oracle-less queries; drift between it and actual
+    registration would silently weaken the window assertion."""
+    actual = {n for n in registry.QUERIES if n not in registry.ORACLE}
+    assert actual == set(registry.ROWS_ONLY)
 
 
 # ------------------------------------------------- accuracy contracts

@@ -50,22 +50,17 @@ def _reset(spark) -> None:
     an artifact of alphabetical order, and ~100 queries of cache/heap
     residue inflate late-run token-heavy queries 5-10x in ways that
     never reproduce standalone (see SCALE.md 'Bench drift')."""
-    import programmers_data_spark.queries as qpkg
+    from programmers_data_spark.memo import clear_memo_caches
 
     spark.catalog.clearCache()
     # Derive the memo-cache list DYNAMICALLY (r5 advice: a hand-kept
     # list missed _SEM_CACHE et al., letting some queries skip their
     # driver-side training in the timed run): every module-level
-    # *_CACHE dict in any queries submodule is cleared.
-    for mod in list(sys.modules.values()):
-        name = getattr(mod, "__name__", "")
-        if not name.startswith(qpkg.__name__ + "."):
-            continue
-        for attr in dir(mod):
-            if attr.endswith("_CACHE") and isinstance(
-                getattr(mod, attr), dict
-            ):
-                getattr(mod, attr).clear()
+    # *_CACHE dict ANYWHERE in the package is cleared — the whole
+    # programmers_data_spark.* prefix, not just queries.* (r6 advice:
+    # a future cache in streaming/ etc. must not escape isolation).
+    # tests/test_round7.py asserts this sweep reaches every *_CACHE.
+    clear_memo_caches()
     spark.sparkContext._jvm.System.gc()
 
 

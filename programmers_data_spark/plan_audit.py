@@ -62,6 +62,7 @@ BOUNDED_CARTESIAN = frozenset({
     "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
     "skew_profile",            # 1-row total broadcast
     "supplier_value_share",    # Q11 scalar-subquery 1-row broadcast
+    "tfidf_shingle_pairs",     # 1-row corpus-size broadcast into idf
     "token_heavy_hitters",     # 1-row total-count broadcast
     "volume_anomaly_days",     # two 1-row robust-stat broadcasts
 })
@@ -76,7 +77,8 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
     "skew_profile", "small_qty_revenue", "supplier_value_share",
-    "table_profile", "token_heavy_hitters", "top_supplier",
+    "table_profile", "tfidf_shingle_pairs", "token_heavy_hitters",
+    "top_supplier",
     "volume_anomaly_days",
     "daily_revenue_dense",  # 1-row min/max bounds agg feeds the spine
     "ewma_daily_revenue",   # bounded daily series folds in one row

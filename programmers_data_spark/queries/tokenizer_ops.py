@@ -268,6 +268,17 @@ def bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode pass; everything else is 1-row aggregates.
     """
     merges = _learn_from_corpus(spark, sf_dir)
+    # The oracle pins n_merges = BPE_N_MERGES; the trainer returns
+    # fewer only on a degenerate corpus (pair space exhausted before
+    # BPE_N_MERGES iterations — e.g. all-single-char words). Fail
+    # with a clear signal rather than a spurious hash-mismatch row
+    # or an IndexError on merges[0] (r6 driver advice).
+    if len(merges) != BPE_N_MERGES:
+        raise ValueError(
+            f"bpe_contract: trainer learned {len(merges)} merges but "
+            f"the oracle pins {BPE_N_MERGES} — corpus too degenerate "
+            "(adjacent-pair space exhausted) for the contract"
+        )
     first = merges[0]
     enc_totals = bpe_encoded_counts(spark, sf_dir).agg(
         F.sum("n_tokens").alias("total_tokens"),

@@ -123,20 +123,52 @@ def _pillow_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _builtin_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real decode without Pillow: the pure-stdlib PNG reader
+    (multimodal.png) parses actual image headers. Non-PNG payloads
+    raise NotImplementedError — an honest per-payload gate, never a
+    silent fallback to the fake codec."""
+    from . import png as _png
+
+    widths: list[int | None] = []
+    heights: list[int | None] = []
+    md5s: list[str | None] = []
+    for p in pdf["payload"]:
+        if p is None:
+            widths.append(None), heights.append(None), md5s.append(None)
+            continue
+        raw = bytes(p)
+        if not _png.is_png(raw):
+            raise NotImplementedError(
+                "builtin codec only decodes PNG; other formats need "
+                "Pillow (optional dependency not present)"
+            )
+        w, h, _, _ = _png.read_header(raw)
+        widths.append(w), heights.append(h)
+        md5s.append(hashlib.md5(raw).hexdigest())
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "mime": pdf["mime"],
+            "n_bytes": pdf["n_bytes"],
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "payload_md5": md5s,
+        }
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode binary payloads → metadata + dimensions via mapInPandas
     (Arrow record batches; partition-parallel). fake=False dispatches
-    to Pillow when importable, else raises — never silently fakes."""
-    if not fake and not pillow_available():
-        raise NotImplementedError(
-            "real media decode requires Pillow (optional dependency "
-            "not present in this environment); use fake=True for the "
-            "deterministic stand-in codec"
-        )
+    to Pillow when importable, else to the pure-stdlib PNG reader
+    (multimodal.png) — non-PNG payloads then raise executor-side.
+    Never silently fakes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _pillow_decode_batch if pillow_available() else _builtin_decode_batch
         for pdf in batches:
-            yield _fake_decode_batch(pdf) if fake else _pillow_decode_batch(pdf)
+            yield _fake_decode_batch(pdf) if fake else real(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -268,13 +300,34 @@ def resize_media(
     """Resize stub: binary→binary through the real mapInPandas path.
     With fake=True the "resized" payload is a deterministic truncation
     to width*height bytes (a stand-in for a pixel buffer); with
-    fake=False this is where Pillow's resize would run."""
+    fake=False Pillow resizes when importable, else the pure-stdlib
+    PNG codec does a nearest-neighbor resize (non-PNG payloads raise
+    executor-side)."""
 
-    if not fake and not pillow_available():
-        raise NotImplementedError(
-            "real resize requires Pillow (optional dependency not "
-            "present in this environment); use fake=True for the "
-            "deterministic truncation stand-in"
+    def _builtin_resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import png as _png
+
+        payloads: list[bytes | None] = []
+        for p in pdf["payload"]:
+            if p is None:
+                payloads.append(None)
+                continue
+            raw = bytes(p)
+            if not _png.is_png(raw):
+                raise NotImplementedError(
+                    "builtin codec only resizes PNG; other formats "
+                    "need Pillow (optional dependency not present)"
+                )
+            payloads.append(_png.resize_nearest(raw, width, height))
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "mime": "image/png",
+                "n_bytes": [0 if p is None else len(p) for p in payloads],
+                "width": width,
+                "height": height,
+            }
         )
 
     def _pillow_resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -304,9 +357,14 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
+        real = (
+            _pillow_resize_batch
+            if pillow_available()
+            else _builtin_resize_batch
+        )
         for pdf in batches:
             if not fake:
-                yield _pillow_resize_batch(pdf)
+                yield real(pdf)
                 continue
             yield pd.DataFrame(
                 {

@@ -259,8 +259,10 @@ def test_resize_media_binary_roundtrip(spark, sf_smoke):
 
 
 def test_real_decode_paths_are_gated(spark, sf_smoke):
-    """Without the optional codec deps, fake=False raises eagerly
-    (driver-side) instead of silently falling back to fake output."""
+    """Without the optional codec deps, fake=False on NON-PNG payloads
+    raises (decode/resize now fall back to the builtin pure-stdlib PNG
+    codec, so the gate fires per-payload executor-side for formats the
+    builtin can't read) instead of silently faking output."""
     from programmers_data_spark import multimodal
     from programmers_data_spark.multimodal import (
         attach_binary_payload,

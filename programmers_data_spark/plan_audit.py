@@ -56,6 +56,8 @@ BOUNDED_CARTESIAN = frozenset({
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
     "embedding_topk",          # broadcast bounded query set x corpus
+    "hard_negatives",          # broadcast bounded query set x corpus
+    "rrf_fusion",              # broadcast bounded query set x corpus
     "idle_rich_customers",     # Q22 scalar-subquery 1-row broadcast
     "ingest_freshness",        # 1-row global-max broadcast
     "knn_label_vote",          # broadcast bounded query set
@@ -76,7 +78,9 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
-    "skew_profile", "small_qty_revenue", "supplier_value_share",
+    "skew_profile", "small_qty_revenue",
+    "source_temperature_weights",  # bounded per-source fold (1 row)
+    "supplier_value_share",
     "table_profile", "tfidf_shingle_pairs", "token_heavy_hitters",
     "top_supplier",
     "volume_anomaly_days",

@@ -287,3 +287,70 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content_hash")
         .orderBy("content_hash")
     )
+
+
+# temperature exponent for source-mixture smoothing; 0.5 == sqrt,
+# which is correctly-rounded IEEE on both engines (a general pow()
+# would not be parity-safe)
+TEMP_ALPHA = 0.5
+
+
+@query(
+    "source_temperature_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    z AS (
+      SELECT list_reduce(
+               list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+               (a, x) -> a + x) AS z
+      FROM c
+    )
+    SELECT source, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) / z.z AS weight
+    FROM c, z
+    ORDER BY source
+    """,
+)
+def source_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source mixture: sampling weight
+    n_s^alpha / sum_t n_t^alpha with alpha=0.5 — the standard
+    up-weighting of small sources / down-weighting of dominant ones a
+    multilingual or multi-source pretraining mix applies (the
+    mBERT/XLM exponent-smoothing recipe, public).
+
+    Scale shape: one shuffle to the per-source counts (thousands of
+    rows at any corpus size), then a bounded single-row fold over the
+    sorted source list for the normalizer — pinned fold order keeps
+    the double sum bitwise identical to the oracle's ordered
+    list_reduce. The corpus itself is touched once, map-side."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    folded = counts.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n_docs"))).alias(
+            "arr"
+        )
+    )
+    z = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda a, x: a + F.sqrt(x["n_docs"].cast("double")),
+    )
+    return (
+        folded.select(F.explode("arr").alias("s"), z.alias("z"))
+        .select(
+            F.col("s.source").alias("source"),
+            F.col("s.n_docs").alias("n_docs"),
+            (F.sqrt(F.col("s.n_docs").cast("double")) / F.col("z")).alias(
+                "weight"
+            ),
+        )
+        .orderBy("source")
+    )

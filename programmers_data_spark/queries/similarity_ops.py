@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.vectors import as_double_array, cosine, sq_norm
+from ..functions.vectors import dot as vdot
 from ..registry import query
 from ._oracle_shared import _DUCK_NONZERO
 
@@ -663,4 +664,178 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# hard-negative mining keeps the HARDK most-similar wrong-label
+# neighbors per query — the contrastive-training cut (harder than a
+# random negative, cheaper than a full mined curriculum)
+HARDK = 3
+
+# reciprocal-rank-fusion constant (the standard k=60 from the RRF
+# paper, Cormack et al. SIGIR'09)
+RRF_K = 60
+
+
+@query(
+    "hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE {_DUCK_NONZERO}
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(b.label AS BIGINT) AS neg_label, {_DUCK_COS} AS cos
+      FROM e a JOIN e b
+        ON a.vec_id != b.vec_id AND a.label != b.label
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neg_label, rank
+    FROM (
+      SELECT query_id, neighbor_id, neg_label,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {HARDK}
+    ORDER BY query_id, rank
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    HARDK nearest neighbors whose LABEL DIFFERS — the negatives a
+    contrastive trainer most wants (high similarity, wrong class).
+
+    Same scale shape as embedding_topk: broadcast the bounded query
+    set (with labels) against the corpus scan, filter label mismatch
+    map-side, rank inside the per-query window. The corpus never
+    shuffles until the tiny top-k window."""
+    emb = load_vectors(spark, sf_dir, "label")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = (
+        load_vectors(spark, sf_dir, "label")
+        .crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            cosine("q_emb", "emb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDK)
+        .select("query_id", "neighbor_id", "neg_label", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE {_DUCK_NONZERO}
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos,
+             list_dot_product(a.emb, b.emb) AS dot
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS r_cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+             ) AS r_dot
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             (CASE WHEN r_cos <= {TOPK}
+                   THEN 1.0 / ({RRF_K} + r_cos) ELSE 0.0 END)
+             + (CASE WHEN r_dot <= {TOPK}
+                     THEN 1.0 / ({RRF_K} + r_dot) ELSE 0.0 END) AS rrf
+      FROM ranked
+      WHERE r_cos <= {TOPK} OR r_dot <= {TOPK}
+    )
+    SELECT query_id, neighbor_id, rrf, fused_rank
+    FROM (
+      SELECT query_id, neighbor_id, rrf,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, neighbor_id
+             ) AS fused_rank
+      FROM fused
+    )
+    WHERE fused_rank <= {TOPK}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: two retrieval
+    systems over the same corpus — normalized cosine and raw
+    inner-product (the two scoring regimes real rerankers mix) — each
+    produce a top-K list per query; RRF fuses them with the standard
+    1/(k + rank) weighting (k=60) and re-ranks.
+
+    Both ranks come from ONE scored pass (the rows carry cos and dot
+    side by side), so fusion needs no join at all: one broadcast
+    crossJoin, one shuffle on query_id shared by both rank windows and
+    the fused window. Float parity is safe by construction — ranks
+    are integers, 1/(60+r) is a single exact IEEE division, and the
+    two contributions add in fixed syntactic order on both engines."""
+    emb = load_vectors(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        load_vectors(spark, sf_dir)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "emb").alias("cos"),
+            vdot("q_emb", "emb").alias("dot"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    w_dot = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_dot).alias("r_dot"),
+    )
+    contrib = lambda r: F.when(
+        F.col(r) <= TOPK, F.lit(1.0) / (F.lit(RRF_K) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    fused = ranked.filter(
+        (F.col("r_cos") <= TOPK) | (F.col("r_dot") <= TOPK)
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (contrib("r_cos") + contrib("r_dot")).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rrf", "fused_rank")
+        .orderBy("query_id", "fused_rank")
     )

@@ -39,16 +39,16 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_quality_ops",  # 6 (→66)
     "programmers_data_spark.queries.curation_ops",  # 5 (→71)
     "programmers_data_spark.queries.extras",  # 23 (→94)
-    "programmers_data_spark.queries.similarity_ops",  # 7 (→101)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→105)
-    "programmers_data_spark.queries.analytics",  # 19 (→124)
-    "programmers_data_spark.queries.subqueries",  # 8 (→132)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→138)
-    "programmers_data_spark.queries.sampling_ops",  # 4 (→142)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→150)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→153)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→156)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→159)
+    "programmers_data_spark.queries.similarity_ops",  # 9 (→103)
+    "programmers_data_spark.queries.multimodal_ops",  # 4 (→107)
+    "programmers_data_spark.queries.analytics",  # 19 (→126)
+    "programmers_data_spark.queries.subqueries",  # 8 (→134)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→140)
+    "programmers_data_spark.queries.sampling_ops",  # 5 (→145)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→153)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→156)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→159)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→162)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the

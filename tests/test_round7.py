@@ -222,3 +222,70 @@ def test_png_nearest_resize_samples_expected_pixels():
     quad = lambda x, y: tuple(px[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
     assert quad(0, 0) == (255, 0, 0) and quad(3, 0) == (0, 255, 0)
     assert quad(0, 3) == (0, 0, 255) and quad(3, 3) == (9, 9, 9)
+
+
+# --------------------------------------- round-7 query contracts
+
+
+def test_hard_negatives_labels_always_differ(spark, sf_oracle):
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries.similarity_ops import HARDK
+
+    rows = registry.QUERIES["hard_negatives"](spark, sf_oracle).collect()
+    assert rows, "no hard negatives mined"
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_oracle, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q: dict[int, int] = {}
+    for r in rows:
+        assert r.neg_label == labels[r.neighbor_id]
+        assert labels[r.query_id] != r.neg_label, (
+            f"query {r.query_id} mined a same-label 'negative'"
+        )
+        assert 1 <= r.rank <= HARDK
+        by_q[r.query_id] = by_q.get(r.query_id, 0) + 1
+    assert all(n <= HARDK for n in by_q.values())
+
+
+def test_rrf_fusion_is_union_of_input_rankings(spark, sf_oracle):
+    """Every fused result must come from at least one input top-k
+    list, and a neighbor that tops BOTH lists must outrank one that
+    appears in only one."""
+    from programmers_data_spark.queries.similarity_ops import RRF_K, TOPK
+
+    fused = registry.QUERIES["rrf_fusion"](spark, sf_oracle).collect()
+    topk = registry.QUERIES["embedding_topk"](spark, sf_oracle).collect()
+    cos_set = {(r.query_id, r.neighbor_id) for r in topk}
+    assert fused
+    # max possible single-list score < min possible double-list score
+    single_max = 1.0 / (RRF_K + 1)
+    double_min = 2.0 / (RRF_K + TOPK)
+    assert double_min > single_max
+    for r in fused:
+        assert 0.0 < r.rrf <= 2.0 / (RRF_K + 1)
+        if r.rrf > single_max:  # fused from both systems
+            assert (r.query_id, r.neighbor_id) in cos_set
+
+
+def test_source_temperature_weights_contract(spark, sf_oracle):
+    """Weights sum to 1, and temperature smoothing strictly favors
+    small sources: weight ratio < count ratio for any pair."""
+    import math
+
+    rows = registry.QUERIES["source_temperature_weights"](
+        spark, sf_oracle
+    ).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs > small.n_docs:
+        assert big.weight / small.weight < big.n_docs / small.n_docs
+        assert math.isclose(
+            big.weight / small.weight,
+            math.sqrt(big.n_docs / small.n_docs),
+            rel_tol=1e-9,
+        )

@@ -65,6 +65,7 @@ BOUNDED_CARTESIAN = frozenset({
     "skew_profile",            # 1-row total broadcast
     "supplier_value_share",    # Q11 scalar-subquery 1-row broadcast
     "tfidf_shingle_pairs",     # 1-row corpus-size broadcast into idf
+    "token_budget_allocation",  # 1-row shortfall broadcast
     "token_heavy_hitters",     # 1-row total-count broadcast
     "volume_anomaly_days",     # two 1-row robust-stat broadcasts
 })
@@ -80,6 +81,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
     "skew_profile", "small_qty_revenue",
     "source_temperature_weights",  # bounded per-source fold (1 row)
+    "token_budget_allocation",     # composes the fold + 1-row agg
     "supplier_value_share",
     "table_profile", "tfidf_shingle_pairs", "token_heavy_hitters",
     "top_supplier",

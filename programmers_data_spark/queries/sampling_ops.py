@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions import textfn
 from ..operators import bounded_global_window
-from ..registry import query
+from ..registry import ORACLE, query
 from ._oracle_shared import _DUCK_TOKS
 from .round3_ops import SHUFFLE_SALT
 
@@ -351,6 +351,87 @@ def source_temperature_weights(
             (F.sqrt(F.col("s.n_docs").cast("double")) / F.col("z")).alias(
                 "weight"
             ),
+        )
+        .orderBy("source")
+    )
+
+
+# total token budget to allocate across sources via the temperature
+# weights; prime-ish so fractional parts are non-trivial on any
+# fixture generation
+ALLOCATION_BUDGET = 99_991
+
+
+# the oracle composes source_temperature_weights' registered oracle
+# as a CTE (the r4 rule: composition queries pull sub-oracles from
+# registry.ORACLE so hand-rolled copies can't drift)
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH w AS (
+      {{temperature_weights}}
+    ),
+    fl AS (
+      SELECT source, n_docs, weight,
+             CAST(floor(weight * {ALLOCATION_BUDGET}) AS BIGINT) AS base,
+             weight * {ALLOCATION_BUDGET}
+               - floor(weight * {ALLOCATION_BUDGET}) AS frac
+      FROM w
+    ),
+    short AS (
+      SELECT CAST({ALLOCATION_BUDGET} - sum(base) AS BIGINT) AS k FROM fl
+    )
+    SELECT source, n_docs,
+           base + CASE WHEN rk <= short.k THEN 1 ELSE 0 END AS alloc
+    FROM (
+      SELECT source, n_docs, base,
+             row_number() OVER (ORDER BY frac DESC, source) AS rk
+      FROM fl
+    ), short
+    ORDER BY source
+    """.format(temperature_weights=ORACLE["source_temperature_weights"]),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the temperature mixture into an actual integer budget:
+    allocate ALLOCATION_BUDGET tokens across sources by the
+    largest-remainder method (floor each weight*B, then hand the
+    leftover k tokens to the k largest fractional parts, ties by
+    source) — the step that converts sampling weights into the exact
+    per-source quotas a mixture builder executes. sum(alloc) == B by
+    construction.
+
+    Float parity is inherited: the weights hash-match the oracle
+    bitwise (see source_temperature_weights), weight*B is one IEEE
+    multiply, and floor/fraction comparisons then agree exactly.
+
+    Scale shape: everything after the per-source counts is a bounded
+    few-thousand-row frame (one source row each), so the global
+    window and the 1-row shortfall aggregate are bounded by the
+    source-catalog size, not the corpus."""
+    w = source_temperature_weights(spark, sf_dir)
+    wb = F.col("weight") * F.lit(float(ALLOCATION_BUDGET))
+    fl = w.select(
+        "source",
+        "n_docs",
+        F.floor(wb).cast("long").alias("base"),
+        (wb - F.floor(wb)).alias("frac"),
+    )
+    short = fl.agg(
+        (F.lit(ALLOCATION_BUDGET) - F.sum("base")).cast("long").alias("k")
+    )
+    rk = bounded_global_window(F.desc("frac"), "source")
+    return (
+        fl.withColumn("rk", F.row_number().over(rk))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("k"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("alloc"),
         )
         .orderBy("source")
     )

@@ -289,3 +289,25 @@ def test_source_temperature_weights_contract(spark, sf_oracle):
             math.sqrt(big.n_docs / small.n_docs),
             rel_tol=1e-9,
         )
+
+
+def test_token_budget_allocation_sums_to_budget(spark, sf_oracle):
+    """Largest-remainder allocation: quotas are integers, sum exactly
+    to the budget, and each is within 1 of its real-valued share."""
+    from programmers_data_spark.queries.sampling_ops import (
+        ALLOCATION_BUDGET,
+    )
+
+    rows = registry.QUERIES["token_budget_allocation"](
+        spark, sf_oracle
+    ).collect()
+    weights = {
+        r.source: r.weight
+        for r in registry.QUERIES["source_temperature_weights"](
+            spark, sf_oracle
+        ).collect()
+    }
+    assert sum(r.alloc for r in rows) == ALLOCATION_BUDGET
+    for r in rows:
+        exact = weights[r.source] * ALLOCATION_BUDGET
+        assert exact - 1 < r.alloc < exact + 1

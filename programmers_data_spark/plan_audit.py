@@ -35,6 +35,7 @@ PYTHON_TIER = frozenset({
     "multimodal_decode", "multimodal_features",
     "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     "near_dup_rate_by_source",  # composes dedup_minhash
+    "split_neardup_leakage",  # composes dedup_minhash
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels

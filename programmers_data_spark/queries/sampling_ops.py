@@ -18,6 +18,7 @@ from ..functions import textfn
 from ..operators import bounded_global_window
 from ..registry import ORACLE, query
 from ._oracle_shared import _DUCK_TOKS
+from .dedup_ops import dedup_minhash
 from .round3_ops import SHUFFLE_SALT
 
 # train/val boundary on the first hex byte of the content hash:
@@ -434,4 +435,77 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc"),
         )
         .orderBy("source")
+    )
+
+
+# split_neardup_leakage composes two registered oracles as CTEs (the
+# r4 composition rule): MinHash near-dup pairs x the content-hash
+# split. Augmented twin ids (>= _AUG_ID_BASE) are test scaffolding in
+# the dedup tier and carry no split assignment — excluded, documented.
+_AUG_ID_BASE = 1_000_000
+
+
+@query(
+    "split_neardup_leakage",
+    oracle="""
+    WITH pairs AS (
+      {dedup_minhash}
+    ),
+    sp AS (
+      {train_val_split}
+    )
+    SELECT p.doc_a, p.doc_b,
+           sa.split AS split_a, sb.split AS split_b,
+           sa.split != sb.split AS leaks
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    WHERE p.doc_a < {aug_base} AND p.doc_b < {aug_base}
+    ORDER BY p.doc_a, p.doc_b
+    """.format(
+        dedup_minhash=ORACLE["dedup_minhash"],
+        train_val_split=ORACLE["train_val_split"],
+        aug_base=_AUG_ID_BASE,
+    ),
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination across the train/val boundary —
+    the leakage exact-hash checks miss: a val document that is a
+    MinHash near-dup (Jaccard >= 0.5) of a train document leaks eval
+    signal even though no byte-identical copy crossed the split.
+    split_leakage_check (exact content hash) and this query together
+    are the split-hygiene gate a pretraining pipeline runs before
+    committing a mixture.
+
+    Emits EVERY original-corpus near-dup pair with both split
+    assignments and a `leaks` flag (rather than only offenders), so
+    the result is non-vacuous on any fixture generation and the
+    leak-rate is one filter away.
+
+    Scale shape: reuses the memoized near-dup pair table (banded LSH,
+    never all-pairs) and the map-only split projection; two
+    broadcast-sized joins keyed by doc_id. The augmented mutation
+    twins the dedup tier injects (ids >= 1,000,000) have no split
+    assignment and are excluded."""
+    pairs = dedup_minhash(spark, sf_dir).filter(
+        (F.col("doc_a") < _AUG_ID_BASE) & (F.col("doc_b") < _AUG_ID_BASE)
+    )
+    sp = train_val_split(spark, sf_dir)
+    sa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -44,23 +44,23 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.analytics",  # 19 (→126)
     "programmers_data_spark.queries.subqueries",  # 8 (→134)
     "programmers_data_spark.queries.accuracy_ops",  # 6 (→140)
-    "programmers_data_spark.queries.sampling_ops",  # 6 (→146)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→154)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→157)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→160)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→163)
+    "programmers_data_spark.queries.sampling_ops",  # 7 (→147)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→155)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→158)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→161)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→164)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
 # r3 block + 36 oldest r4-vintage names below, the least-recently-
-# checked tier is the 16 remaining r4-vintage names
-# (bigram_stats, doc_lang_mix, knn_label_vote, adaptive_quality_gate,
+# checked tier is the 17 remaining r4-vintage names
+# (packing_spans, doc_lang_mix, knn_label_vote, adaptive_quality_gate,
 # near_dup_rate_by_source, corpus_shuffle, skew_profile, and the nine
 # streaming_ops queries stream_tumbling_daily, stream_sliding_2d,
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names). 16+49 = 65 — take the r4 block
+# TPC-H/analytics block (49 names). 17+49 = 66 — take the r4 block
 # whole, fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
@@ -85,12 +85,12 @@ ROWS_ONLY = frozenset({
 # verifies this round. Round-7 rotation (VERDICT r6 ask #2, executing
 # the plan the r6 registry comment laid down): the 11 r3-vintage names
 # whole, plus the 36 oldest r4-vintage names in registration order
-# (the r4 transforms/text/dedup tier; the 16 youngest r4 names — the
-# streaming_ops block and seven stragglers — roll to round 8), the 4
+# (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
+# streaming_ops block and eight stragglers — roll to round 8), the 5
 # round-7-registered queries (hard_negatives, rrf_fusion,
-# source_temperature_weights, token_budget_allocation — never
-# driver-checked, which outranks stale refreshes), plus 3 r6-green
-# sentinels: tfidf_shingle_pairs (its plan is being
+# source_temperature_weights, token_budget_allocation,
+# split_neardup_leakage — never driver-checked, which outranks stale
+# refreshes), plus 3 r6-green sentinels: tfidf_shingle_pairs (its plan is being
 # re-optimized this round — the window row proves the hash survived),
 # bpe_contract (marked weak in VERDICT r6 until the suite is green),
 # and dau (summary-tier canary). Every window name has an oracle —
@@ -143,13 +143,13 @@ _WINDOW = (
     "dedup_keep_canonical",
     "minhash_jaccard_estimate",
     "sequence_packing",
-    "packing_spans",
     # round-7 new registrations — never had a driver row, so they
     # outrank further stale-refresh slots (the r6 rotation principle)
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
     "token_budget_allocation",
+    "split_neardup_leakage",
     # r6-green sentinels (canaries)
     "tfidf_shingle_pairs",
     "bpe_contract",

@@ -311,3 +311,29 @@ def test_token_budget_allocation_sums_to_budget(spark, sf_oracle):
     for r in rows:
         exact = weights[r.source] * ALLOCATION_BUDGET
         assert exact - 1 < r.alloc < exact + 1
+
+
+def test_split_neardup_leakage_composes_consistently(spark, sf_oracle):
+    """Every emitted pair is an original-corpus near-dup pair, split
+    labels agree with train_val_split, and `leaks` is their
+    disagreement."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash"](spark, sf_oracle)
+        .filter("doc_a < 1000000 AND doc_b < 1000000")
+        .collect()
+    }
+    split = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["train_val_split"](
+            spark, sf_oracle
+        ).collect()
+    }
+    rows = registry.QUERIES["split_neardup_leakage"](
+        spark, sf_oracle
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == pairs
+    for r in rows:
+        assert r.split_a == split[r.doc_a]
+        assert r.split_b == split[r.doc_b]
+        assert r.leaks == (r.split_a != r.split_b)

@@ -394,3 +394,85 @@ def resize_media(
         ]
     )
     return media.mapInPandas(run, schema=schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def probe_audio(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio metadata probe through the Arrow mapInPandas path. With
+    fake=True (the oracle path) the fields are a deterministic,
+    SQL-expressible function of the payload byte length; with
+    fake=False the pure-stdlib WAV reader (multimodal.wav) parses the
+    real RIFF header — non-WAV payloads raise executor-side, never a
+    silent fake."""
+
+    def _fake_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rates = [8000 + (n % 8) for n in pdf["n_bytes"]]
+        frames = list(pdf["n_bytes"])
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "n_channels": pd.array(
+                    [(n % 2) + 1 for n in pdf["n_bytes"]], dtype="Int32"
+                ),
+                "bit_depth": pd.array([16] * len(pdf), dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int64"),
+                "duration_ms": pd.array(
+                    [f * 1000 // r for f, r in zip(frames, rates)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    def _real_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import wav as _wav
+
+        out = {k: [] for k in (
+            "media_id", "sample_rate", "n_channels", "bit_depth",
+            "n_frames", "duration_ms",
+        )}
+        for media_id, p in zip(pdf["media_id"], pdf["payload"]):
+            out["media_id"].append(media_id)
+            if p is None:
+                for k in list(out)[1:]:
+                    out[k].append(None)
+                continue
+            raw = bytes(p)
+            if not _wav.is_wav(raw):
+                raise NotImplementedError(
+                    "builtin probe only reads WAV; other audio formats "
+                    "need an external decoder (not present)"
+                )
+            rate, ch, depth, frames = _wav.read_header(raw)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(ch)
+            out["bit_depth"].append(depth)
+            out["n_frames"].append(frames)
+            out["duration_ms"].append(frames * 1000 // rate if rate else None)
+        return pd.DataFrame(
+            {
+                "media_id": out["media_id"],
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                "bit_depth": pd.array(out["bit_depth"], dtype="Int32"),
+                "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_batch(pdf) if fake else _real_batch(pdf)
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -33,6 +33,7 @@ PYTHON_TIER = frozenset({
     "lsh_neardup_recall",  # composes both near-dup GEMM kernels
     "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
     "multimodal_decode", "multimodal_features",
+    "multimodal_audio_meta",  # Arrow audio-probe IS the operator
     "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     "near_dup_rate_by_source",  # composes dedup_minhash
     "split_neardup_leakage",  # composes dedup_minhash

@@ -102,3 +102,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import extract_features
 
     return extract_features(media).orderBy("media_id", "feat_idx")
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(8000 + n_bytes % 8 AS INTEGER) AS sample_rate,
+           CAST(n_bytes % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bit_depth,
+           n_bytes AS n_frames,
+           n_bytes * 1000 // (8000 + n_bytes % 8) AS duration_ms
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-probe stage through the real Arrow/mapInPandas path
+    (multimodal.probe_audio, fake codec): deterministic sample-rate /
+    channel / frame metadata whose arithmetic the oracle recomputes —
+    duration uses integer division on both engines (the portable
+    form; float-divide-then-cast rounds differently across engines).
+    The fake=False path parses real RIFF headers via the pure-stdlib
+    WAV reader (multimodal/wav.py), tested without any skipif."""
+    from ..multimodal import probe_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", mime="audio/wav")
+    return probe_audio(media, fake=True).orderBy("media_id")

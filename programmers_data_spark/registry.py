@@ -40,15 +40,15 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.curation_ops",  # 5 (→71)
     "programmers_data_spark.queries.extras",  # 23 (→94)
     "programmers_data_spark.queries.similarity_ops",  # 9 (→103)
-    "programmers_data_spark.queries.multimodal_ops",  # 4 (→107)
-    "programmers_data_spark.queries.analytics",  # 19 (→126)
-    "programmers_data_spark.queries.subqueries",  # 8 (→134)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→140)
-    "programmers_data_spark.queries.sampling_ops",  # 7 (→147)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→155)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→158)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→161)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→164)
+    "programmers_data_spark.queries.multimodal_ops",  # 5 (→108)
+    "programmers_data_spark.queries.analytics",  # 19 (→127)
+    "programmers_data_spark.queries.subqueries",  # 8 (→135)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→141)
+    "programmers_data_spark.queries.sampling_ops",  # 7 (→148)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→156)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→159)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→162)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→165)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the

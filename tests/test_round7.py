@@ -337,3 +337,51 @@ def test_split_neardup_leakage_composes_consistently(spark, sf_oracle):
         assert r.split_a == split[r.doc_a]
         assert r.split_b == split[r.doc_b]
         assert r.leaks == (r.split_a != r.split_b)
+
+
+# ------------------------------------------------ builtin WAV probe
+
+
+def test_wav_roundtrip_and_rejection():
+    from programmers_data_spark.multimodal import wav
+
+    pcm = bytes(range(256)) * 4  # 1024 bytes = 256 frames of 16-bit stereo
+    raw = wav.encode(44100, 2, 16, pcm)
+    assert wav.is_wav(raw)
+    assert wav.read_header(raw) == (44100, 2, 16, 256)
+    # odd-length data chunk must still parse (word-aligned pad byte)
+    raw8 = wav.encode(8000, 1, 8, bytes(33))
+    assert wav.read_header(raw8) == (8000, 1, 8, 33)
+    with pytest.raises(ValueError, match="signature"):
+        wav.read_header(b"OggS" + raw)
+    with pytest.raises(ValueError, match="not a whole number"):
+        wav.encode(8000, 2, 16, bytes(7))
+
+
+def test_builtin_real_audio_probe_through_mapinpandas(spark):
+    """probe_audio(fake=False) parses real RIFF headers through the
+    Arrow path in this sandbox — no external deps, no skipif; non-WAV
+    payloads raise."""
+    from programmers_data_spark.multimodal import (
+        MEDIA_SCHEMA,
+        probe_audio,
+        wav,
+    )
+
+    rows = [
+        (0, wav.encode(16000, 1, 16, bytes(16000 * 2)), "audio/wav", 10),
+        (1, wav.encode(8000, 2, 8, bytes(4000 * 2)), "audio/wav", 10),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in probe_audio(media, fake=False).collect()}
+    assert (got[0].sample_rate, got[0].n_channels, got[0].bit_depth) == (
+        16000, 1, 16,
+    )
+    assert got[0].n_frames == 16000 and got[0].duration_ms == 1000
+    assert (got[1].sample_rate, got[1].n_channels) == (8000, 2)
+    assert got[1].n_frames == 4000 and got[1].duration_ms == 500
+
+    bad = spark.createDataFrame([(2, b"not audio", "text/plain", 9)], MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        probe_audio(bad, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value)

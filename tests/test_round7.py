@@ -385,3 +385,54 @@ def test_builtin_real_audio_probe_through_mapinpandas(spark):
     with pytest.raises(Exception) as ei:
         probe_audio(bad, fake=False).collect()
     assert "NotImplementedError" in str(ei.value)
+
+
+# -------------------------------------- codec property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    """encode∘decode == identity for any size / channel count /
+    pixel content the encoder accepts."""
+    from programmers_data_spark.multimodal import png
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    dw, dh, dch, out = png.decode(png.encode(w, h, px, channels=ch))
+    # palette expansion only applies to color type 3 (never written
+    # by our encoder), so channels always survive the roundtrip
+    assert (dw, dh, dch) == (w, h, ch)
+    assert bytes(out) == px
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192000),
+    chans=st.integers(min_value=1, max_value=8),
+    depth=st.sampled_from([8, 16, 24, 32]),
+    n_frames=st.integers(min_value=0, max_value=64),
+)
+def test_wav_roundtrip_property(rate, chans, depth, n_frames):
+    from programmers_data_spark.multimodal import wav
+
+    pcm = bytes((i * 13) % 256 for i in range(n_frames * chans * depth // 8))
+    assert wav.read_header(wav.encode(rate, chans, depth, pcm)) == (
+        rate, chans, depth, n_frames,
+    )

@@ -366,3 +366,82 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# code-vs-prose gate: symbol density above this fraction of
+# characters flags a document as code-like. The exact value matters
+# less than the rule being cheap, deterministic, and tunable — the
+# same shape real mixes use before routing code to a separate
+# pipeline (symbol-density heuristics are the standard first cut).
+CODE_SYMBOL_THRESHOLD = 0.05
+_CODE_SYMBOLS = "[^;{}=()<>\\[\\]]"
+
+
+@query(
+    "code_fraction_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '{_CODE_SYMBOLS}', '', 'g'))
+                  AS BIGINT) AS n_sym
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN n_chars > 0
+                  AND CAST(n_sym AS DOUBLE) / n_chars
+                      > {CODE_SYMBOL_THRESHOLD}
+                  THEN 1 ELSE 0 END AS is_code
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_code) AS BIGINT) AS n_code,
+           CAST(sum(is_code) AS DOUBLE) / count(*) AS code_rate
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def code_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose mixture profile: flag documents whose
+    code-symbol density (;{{}}=()<>[] per character) exceeds
+    CODE_SYMBOL_THRESHOLD, then report per-source counts and rate —
+    the first cut a pretraining mix makes before routing code to its
+    own dedup/quality pipeline.
+
+    Parity: symbol and char counts are exact integers on both
+    engines (same regex class, 'g'-flag replace); the per-doc density
+    and the per-source rate are each ONE IEEE division of exact
+    integers, so the > comparison and the output double agree
+    bitwise. Scale shape: map-only flagging, one shuffle to the
+    per-source aggregate."""
+    n_sym = F.length(
+        F.regexp_replace(F.col("text"), _CODE_SYMBOLS, "")
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    flagged = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            (n_chars > 0)
+            & (
+                n_sym.cast("double") / n_chars
+                > F.lit(CODE_SYMBOL_THRESHOLD)
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_code"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            (
+                F.sum("is_code").cast("double") / F.count(F.lit(1))
+            ).alias("code_rate"),
+        )
+        .orderBy("source")
+    )

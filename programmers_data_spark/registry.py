@@ -36,19 +36,19 @@ _QUERY_MODULES = (
     #   unconditionally-registered, call-time-gated tws query and its
     #   dependency-free applyInPandasWithState twin (→55)
     "programmers_data_spark.queries.summary",  # 5 (→60)
-    "programmers_data_spark.queries.text_quality_ops",  # 6 (→66)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→71)
-    "programmers_data_spark.queries.extras",  # 23 (→94)
-    "programmers_data_spark.queries.similarity_ops",  # 9 (→103)
-    "programmers_data_spark.queries.multimodal_ops",  # 5 (→108)
-    "programmers_data_spark.queries.analytics",  # 19 (→127)
-    "programmers_data_spark.queries.subqueries",  # 8 (→135)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→141)
-    "programmers_data_spark.queries.sampling_ops",  # 7 (→148)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→156)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→159)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→162)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→165)
+    "programmers_data_spark.queries.text_quality_ops",  # 7 (→67)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→72)
+    "programmers_data_spark.queries.extras",  # 23 (→95)
+    "programmers_data_spark.queries.similarity_ops",  # 9 (→104)
+    "programmers_data_spark.queries.multimodal_ops",  # 5 (→109)
+    "programmers_data_spark.queries.analytics",  # 19 (→128)
+    "programmers_data_spark.queries.subqueries",  # 8 (→136)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→142)
+    "programmers_data_spark.queries.sampling_ops",  # 7 (→149)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→157)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→160)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→163)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→166)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import textfn
-from ..registry import query
+from ..registry import ORACLE, query
 
 from ._oracle_shared import _DUCK_TOKS
 _DUCK_STOPS = "['the','and','of','to','a','in','is','it']"
@@ -669,4 +669,115 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * HH_K > F.col("n"))
         .select("tok", "n_occurrences")
         .orderBy(F.desc("n_occurrences"), "tok")
+    )
+
+
+# winnow-collision pair generation: fingerprints shared by more than
+# this many docs are boilerplate and dropped (the MOSS rule — also
+# what keeps the self-join fan-out SUM(df^2)-bounded, the tfidf
+# candidate-economics argument); pairs need at least MIN_SHARED
+# surviving fingerprints in common.
+_WINNOW_DF_CAP = 10
+_WINNOW_MIN_SHARED = 3
+_WINNOW_CONTAINMENT = 0.2
+
+
+@query(
+    "winnow_collision_pairs",
+    oracle="""
+    WITH fps AS (
+      {winnow}
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(DISTINCT doc_id) <= {df_cap}
+    ),
+    kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+      FROM kept GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared}
+    )
+    SELECT doc_a, doc_b, shared, containment
+    FROM (
+      SELECT p.doc_a, p.doc_b, p.shared,
+             CAST(p.shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+               AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    WHERE containment >= {containment}
+    ORDER BY doc_a, doc_b
+    """.format(
+        winnow=ORACLE["doc_winnow_fingerprint"],
+        df_cap=_WINNOW_DF_CAP,
+        min_shared=_WINNOW_MIN_SHARED,
+        containment=_WINNOW_CONTAINMENT,
+    ),
+)
+def winnow_collision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap near-dup pairs via winnowing-fingerprint
+    collisions (the MOSS detection step): docs sharing >= MIN_SHARED
+    rare fingerprints with containment = shared / min set size at
+    least _WINNOW_CONTAINMENT — catches partial/copied-passage
+    overlap that whole-document shingle Jaccard dilutes away. Completes the dedup family next to
+    exact / MinHash / SimHash / semantic.
+
+    Scale shape: inherits the fingerprint pass (map-only, see
+    doc_winnow_fingerprint incl. its doc_id<200 oracle cap);
+    ubiquitous fingerprints are dropped at _WINNOW_DF_CAP before the
+    self-equi-join, so pair fan-out is SUM(df^2) over rare
+    fingerprints — the same bounded candidate economics as
+    tfidf_shingle_pairs, never all-pairs. Containment is one IEEE
+    division of exact integers (bitwise-portable)."""
+    fps = doc_winnow_fingerprint(spark, sf_dir)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least(F.col("na"), F.col("nb"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(_WINNOW_CONTAINMENT))
+        .orderBy("doc_a", "doc_b")
     )

@@ -29,26 +29,26 @@ ORACLE: dict[str, str] = {}
 _QUERY_MODULES = (
     "programmers_data_spark.queries.loads",  # 6
     "programmers_data_spark.queries.transforms",  # 7 (→13)
-    "programmers_data_spark.queries.text_ops",  # 14 (→27)
-    "programmers_data_spark.queries.dedup_ops",  # 7 (→34)
-    "programmers_data_spark.queries.round3_ops",  # 10 (→44)
+    "programmers_data_spark.queries.text_ops",  # 15 (→28)
+    "programmers_data_spark.queries.dedup_ops",  # 7 (→35)
+    "programmers_data_spark.queries.round3_ops",  # 10 (→45)
     "programmers_data_spark.queries.streaming_ops",  # 11 incl. the
     #   unconditionally-registered, call-time-gated tws query and its
-    #   dependency-free applyInPandasWithState twin (→55)
-    "programmers_data_spark.queries.summary",  # 5 (→60)
-    "programmers_data_spark.queries.text_quality_ops",  # 7 (→67)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→72)
-    "programmers_data_spark.queries.extras",  # 23 (→95)
-    "programmers_data_spark.queries.similarity_ops",  # 9 (→104)
-    "programmers_data_spark.queries.multimodal_ops",  # 5 (→109)
-    "programmers_data_spark.queries.analytics",  # 19 (→128)
-    "programmers_data_spark.queries.subqueries",  # 8 (→136)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→142)
-    "programmers_data_spark.queries.sampling_ops",  # 7 (→149)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→157)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→160)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→163)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→166)
+    #   dependency-free applyInPandasWithState twin (→56)
+    "programmers_data_spark.queries.summary",  # 5 (→61)
+    "programmers_data_spark.queries.text_quality_ops",  # 7 (→68)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→73)
+    "programmers_data_spark.queries.extras",  # 23 (→96)
+    "programmers_data_spark.queries.similarity_ops",  # 9 (→105)
+    "programmers_data_spark.queries.multimodal_ops",  # 5 (→110)
+    "programmers_data_spark.queries.analytics",  # 19 (→129)
+    "programmers_data_spark.queries.subqueries",  # 8 (→137)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→143)
+    "programmers_data_spark.queries.sampling_ops",  # 7 (→150)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→158)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→161)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→164)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→167)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the

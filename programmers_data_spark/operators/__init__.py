@@ -343,9 +343,11 @@ def connected_components(
 
     Scale posture: each iteration is one shuffle join (edges ⋈ labels
     on vertex) + one min-aggregate — both partition on the vertex key,
-    so AQE reuses one exchange layout across iterations; results are
-    persisted per iteration and the previous one unpersisted to keep
-    lineage flat. Iteration count is the graph DIAMETER, which for
+    so AQE reuses one exchange layout across iterations; each
+    iteration's labels are localCheckpoint-ed (persist alone does NOT
+    truncate the logical plan — lineage nests per round and Catalyst
+    planning itself OOMs on high-diameter graphs such as chains).
+    Iteration count is the graph DIAMETER, which for
     dedup graphs (small dense near-dup clusters) is tiny; for
     long-chain graphs swap in the large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14),
@@ -361,7 +363,7 @@ def connected_components(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -369,6 +371,9 @@ def connected_components(
             .groupBy(F.col("b").alias("vertex"))
             .agg(F.min("component").alias("neighbor_component"))
         )
+        # localCheckpoint, NOT persist: each round's plan nests the
+        # previous round's join+agg, so without truncation lineage
+        # depth is exponential in rounds and planning OOMs ~round 8+
         new_labels = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
@@ -377,7 +382,7 @@ def connected_components(
                     "component", F.coalesce("neighbor_component", "component")
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

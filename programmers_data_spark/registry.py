@@ -60,8 +60,10 @@ _QUERY_MODULES = (
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names). 17+49 = 66 — take the r4 block
-# whole, fill with the oldest r5 names (registration order), keep 2-3
+# TPC-H/analytics block (49 names), plus the three names that gave up
+# their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
+# sequence_packing, dau). 17+49+3 = 69 — take the r4 block whole,
+# fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
 # installs disallowed — semantics driver-certified r6 via the
@@ -141,19 +143,23 @@ _WINDOW = (
     "dedup_simhash",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "minhash_jaccard_estimate",
-    "sequence_packing",
     # round-7 new registrations — never had a driver row, so they
-    # outrank further stale-refresh slots (the r6 rotation principle)
+    # outrank further stale-refresh slots (the r6 rotation principle).
+    # minhash_jaccard_estimate / sequence_packing / dau gave up their
+    # slots to the three late-r7 registrations and roll to round 8.
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
     "token_budget_allocation",
     "split_neardup_leakage",
-    # r6-green sentinels (canaries)
+    "multimodal_audio_meta",
+    "code_fraction_by_source",
+    "winnow_collision_pairs",
+    # r6-green sentinels whose code was touched by the round-7 diff
+    # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
+    # the window row proves the driver hash survived the change.
     "tfidf_shingle_pairs",
     "bpe_contract",
-    "dau",
 )
 
 

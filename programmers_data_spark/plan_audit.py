@@ -65,6 +65,8 @@ BOUNDED_CARTESIAN = frozenset({
     "knn_label_vote",          # broadcast bounded query set
     "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
     "skew_profile",            # 1-row total broadcast
+    "source_vocab_divergence",  # |sources| x capped-vocab grid +
+    #                             1-row corpus-total broadcast
     "supplier_value_share",    # Q11 scalar-subquery 1-row broadcast
     "tfidf_shingle_pairs",     # 1-row corpus-size broadcast into idf
     "token_budget_allocation",  # 1-row shortfall broadcast

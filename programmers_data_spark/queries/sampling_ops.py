@@ -509,3 +509,94 @@ def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------- curriculum phases
+
+# number of curriculum phases (length quartiles) and the token-count
+# band width for the distributed rank: band order is monotone in
+# n_tokens, so per-band row_number + band offsets compose to the
+# exact global (n_tokens, doc_id) rank. Band count is bounded by the
+# LONGEST DOCUMENT / band width — a per-doc property independent of
+# corpus size — so the offsets window input stays tiny at any SF.
+CURRICULUM_PHASES = 4
+CURRICULUM_BAND_W = 64
+
+
+@query(
+    "curriculum_phases",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+                  AS BIGINT) - 1 AS r
+      FROM t
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+    SELECT CAST((r.r * {CURRICULUM_PHASES}) // n.n AS INT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM r, n
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment: rank the corpus by
+    (token count, doc_id) and cut it into CURRICULUM_PHASES equal
+    rank quartiles — the short-to-long ordering a curriculum-learning
+    schedule feeds to training, with per-phase doc/token totals as
+    the manifest.
+
+    The oracle is a global row_number; the Spark form is the
+    distributed two-level rank (`corpus_shuffle`'s trick on a VALUE
+    axis instead of a hash axis): band = n_tokens div
+    CURRICULUM_BAND_W is monotone in the sort key, so per-band
+    row_number (partitioned, parallel) + broadcast band-count offsets
+    equals the global rank with no single-partition sort of the
+    corpus. phase = (rank * PHASES) div n is exact integer division
+    on both engines. The corpus count folds in as a 1-row broadcast
+    (allowlisted bounded cartesian).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        textfn.token_count("text").cast("long").alias("n_tokens"),
+    ).withColumn(
+        "band", F.expr(f"n_tokens div {CURRICULUM_BAND_W}")
+    )
+    w_local = Window.partitionBy("band").orderBy("n_tokens", "doc_id")
+    local = docs.withColumn("local_r", F.row_number().over(w_local) - 1)
+    counts = docs.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    w_b = bounded_global_window("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "band", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
+    )
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "n_tokens",
+            F.expr(
+                f"CAST(((off + local_r) * {CURRICULUM_PHASES}) div n AS INT)"
+            ).alias("phase"),
+        )
+    )
+    return (
+        ranked.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("phase")
+    )

@@ -44,11 +44,11 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.analytics",  # 19 (→131)
     "programmers_data_spark.queries.subqueries",  # 8 (→139)
     "programmers_data_spark.queries.accuracy_ops",  # 6 (→145)
-    "programmers_data_spark.queries.sampling_ops",  # 7 (→152)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→160)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→163)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→166)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→169)
+    "programmers_data_spark.queries.sampling_ops",  # 8 (→153)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→161)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→164)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→167)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→170)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
@@ -60,10 +60,10 @@ _QUERY_MODULES = (
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names), plus the five names that gave up
+# TPC-H/analytics block (49 names), plus the six names that gave up
 # their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
-# sequence_packing, dau, dedup_keep_canonical, dedup_clusters).
-# 17+49+5 = 71 — take the r4 block whole,
+# sequence_packing, dau, dedup_keep_canonical, dedup_clusters,
+# dedup_simhash). 17+49+6 = 72 — take the r4 block whole,
 # fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
@@ -89,12 +89,13 @@ ROWS_ONLY = frozenset({
 # the plan the r6 registry comment laid down): the 11 r3-vintage names
 # whole, plus the 36 oldest r4-vintage names in registration order
 # (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
-# streaming_ops block and eight stragglers — roll to round 8), the 10
+# streaming_ops block and eight stragglers — roll to round 8), the 11
 # round-7-registered queries (hard_negatives, rrf_fusion,
 # source_temperature_weights, token_budget_allocation,
 # split_neardup_leakage, multimodal_audio_meta,
 # code_fraction_by_source, winnow_collision_pairs,
-# source_vocab_divergence, label_centroid_drift — never driver-checked, which outranks
+# source_vocab_divergence, label_centroid_drift, curriculum_phases
+# — never driver-checked, which outranks
 # stale refreshes), plus 2 r6-green sentinels whose code the round-7
 # diff touched: tfidf_shingle_pairs (plan re-optimized — the window
 # row proves the hash survived) and bpe_contract (marked weak in
@@ -143,12 +144,11 @@ _WINDOW = (
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard",
-    "dedup_simhash",
     # round-7 new registrations — never had a driver row, so they
     # outrank further stale-refresh slots (the r6 rotation principle).
     # minhash_jaccard_estimate / sequence_packing / dau /
-    # dedup_keep_canonical / dedup_clusters gave up their slots to the
-    # five late-r7 registrations and roll to round 8.
+    # dedup_keep_canonical / dedup_clusters / dedup_simhash gave up
+    # their slots to the six late-r7 registrations and roll to round 8.
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
@@ -159,6 +159,7 @@ _WINDOW = (
     "winnow_collision_pairs",
     "source_vocab_divergence",
     "label_centroid_drift",
+    "curriculum_phases",
     # r6-green sentinels whose code was touched by the round-7 diff
     # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
     # the window row proves the driver hash survived the change.

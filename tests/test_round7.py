@@ -436,3 +436,54 @@ def test_wav_roundtrip_property(rate, chans, depth, n_frames):
     assert wav.read_header(wav.encode(rate, chans, depth, pcm)) == (
         rate, chans, depth, n_frames,
     )
+
+
+def test_source_vocab_divergence_contract(spark, sf_oracle):
+    """TV distance lives in [0, 1]; a single-source corpus restricted
+    to itself would have TV 0, so the weighted-by-tokens average of
+    per-source divergences can never exceed the max single TV; vocab
+    token totals are positive for every source present in the vocab
+    grid with tokens."""
+    rows = registry.QUERIES["source_vocab_divergence"](
+        spark, sf_oracle
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0.0 <= r.tv_divergence <= 1.0
+        assert r.n_vocab_tokens >= 0
+
+
+def test_label_centroid_drift_contract(spark, sf_oracle):
+    """Cosine to the corpus centroid lives in [-1, 1]; every label's
+    vector count is positive and the counts sum to the table size."""
+    from programmers_data_spark.catalog import load_table
+
+    rows = registry.QUERIES["label_centroid_drift"](
+        spark, sf_oracle
+    ).collect()
+    assert len(rows) >= 2
+    total = load_table(spark, sf_oracle, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total
+    for r in rows:
+        assert r.n_vecs > 0
+        assert -1.0 - 1e-12 <= r.cos_to_corpus <= 1.0 + 1e-12
+
+
+def test_curriculum_phases_contract(spark, sf_oracle):
+    """Phases are 0..3, doc counts differ by at most 1 between phases
+    (equal rank quartiles), totals cover the corpus, and min/max
+    token bounds are non-decreasing across phases (short-to-long)."""
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries.sampling_ops import (
+        CURRICULUM_PHASES,
+    )
+
+    rows = registry.QUERIES["curriculum_phases"](spark, sf_oracle).collect()
+    assert [r.phase for r in rows] == list(range(CURRICULUM_PHASES))
+    n = load_table(spark, sf_oracle, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for earlier, later in zip(rows, rows[1:]):
+        assert earlier.min_tokens <= later.min_tokens
+        assert earlier.max_tokens <= later.max_tokens

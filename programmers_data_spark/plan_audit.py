@@ -37,6 +37,7 @@ PYTHON_TIER = frozenset({
     "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     "near_dup_rate_by_source",  # composes dedup_minhash
     "split_neardup_leakage",  # composes dedup_minhash
+    "cross_source_dup_matrix",  # composes dedup_minhash
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
@@ -57,6 +58,7 @@ BOUNDED_CARTESIAN = frozenset({
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
     "curriculum_phases",       # 1-row corpus-count broadcast into
     #                            the phase division
+    "cross_source_dup_matrix",  # 1-row pair-total broadcast
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
     "embedding_topk",          # broadcast bounded query set x corpus
@@ -82,6 +84,7 @@ BOUNDED_CARTESIAN = frozenset({
 BOUNDED_SINGLE_PARTITION = frozenset({
     "adaptive_quality_gate", "ann_recall_at5", "bpe_contract",
     "curriculum_phases",  # 1-row corpus-count agg feeds the broadcast
+    "cross_source_dup_matrix",  # 1-row pair-total agg feeds the share
     "ivf_recall_at5",
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",

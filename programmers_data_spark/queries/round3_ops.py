@@ -698,3 +698,86 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(TOP_KEYS)
     )
+
+
+# ------------------------------------------- cross-source dup matrix
+
+
+def _cross_source_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH pairs_v AS ({ORACLE["dedup_minhash"]}),
+    src AS (
+      SELECT p.doc_a % 1000000 AS a, p.doc_b % 1000000 AS b
+      FROM pairs_v p
+    ),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM src
+      JOIN documents da ON da.doc_id = src.a
+      JOIN documents db ON db.doc_id = src.b
+    ),
+    m AS (
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM labeled GROUP BY source_a, source_b
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM labeled)
+    SELECT source_a, source_b, n_pairs,
+           CAST(n_pairs AS DOUBLE) / total AS pair_share
+    FROM m, t
+    ORDER BY source_a, source_b
+    """
+
+
+@query("cross_source_dup_matrix", oracle=_cross_source_oracle())
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance duplication matrix: verified near-dup pairs rolled
+    up to unordered (source, source) cells — the mirror-site detector
+    corpus engineering runs (two scrapes of the same site show up as
+    an off-diagonal cell; boilerplate floods as a hot diagonal).
+    Composes the dedup_minhash pipeline (signature memo and all), so
+    the pair semantics cannot drift from the registered detector; the
+    oracle wraps the registered dedup_minhash SQL the same way.
+
+    Scale shape: the pair table (bounded by verified near-dups, far
+    smaller than the corpus) joins the doc→source dimension twice on
+    doc_id — both equi-joins AQE can broadcast when pairs are small
+    and shuffle-partition when they are not; the rollup is a
+    |sources|²-bounded aggregate and the share division folds in a
+    1-row total (allowlisted bounded cartesian)."""
+    from .dedup_ops import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.select(
+            (F.col("doc_a") % 1000000).alias("a"),
+            (F.col("doc_b") % 1000000).alias("b"),
+        )
+        .join(docs.select(F.col("doc_id").alias("a"),
+                          F.col("source").alias("sa")), "a")
+        .join(docs.select(F.col("doc_id").alias("b"),
+                          F.col("source").alias("sb")), "b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    m = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    t = labeled.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("n_pairs").cast("double") / F.col("total")).alias(
+                "pair_share"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -487,3 +487,17 @@ def test_curriculum_phases_contract(spark, sf_oracle):
     for earlier, later in zip(rows, rows[1:]):
         assert earlier.min_tokens <= later.min_tokens
         assert earlier.max_tokens <= later.max_tokens
+
+
+def test_cross_source_dup_matrix_contract(spark, sf_oracle):
+    """Cells are unordered (source_a <= source_b), counts are
+    positive, and shares sum to 1 over the matrix (every verified
+    pair lands in exactly one cell)."""
+    rows = registry.QUERIES["cross_source_dup_matrix"](
+        spark, sf_oracle
+    ).collect()
+    assert rows, "fixture corpus has verified near-dup pairs"
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.n_pairs > 0
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-9

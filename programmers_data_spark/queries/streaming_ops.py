@@ -510,3 +510,114 @@ def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg)
     return out.orderBy("source")
+
+
+def _vocab_drift_oracle() -> str:
+    # the batch twin's SQL verbatim, from the shared fragment module
+    # (registry.ORACLE would be cleaner but text_quality_ops registers
+    # AFTER this module — a cross-module import here would reorder
+    # registration; see _oracle_shared's module docstring)
+    from ._oracle_shared import _DUCK_VDIV, VDIV_VOCAB_K
+
+    return _DUCK_VDIV.format(k=VDIV_VOCAB_K)
+
+
+@query("stream_vocab_drift", oracle=_vocab_drift_oracle())
+def stream_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: documents arrive as a
+    file stream, their tokens are semi-joined (broadcast) against the
+    STATIC reference vocabulary — the stream-static enrich pattern —
+    and a complete-mode aggregate maintains running (source, term)
+    counts. The drained state table then folds into each source's
+    total-variation distance from the reference distribution, exactly
+    the live intake dashboard that alarms when a provenance's token
+    mix drifts (a scraper regression, a boilerplate flood) before the
+    batch pipeline would see it.
+
+    Streaming state is BOUNDED at |sources| x VDIV_VOCAB_K rows —
+    the vocab semi-join caps it before the aggregate, so state never
+    grows with stream length (the property that keeps this query
+    alive on an unbounded crawl). The TV fold runs over the bounded
+    state table, term-order-pinned like the batch form.
+
+    At fixture scale the reference distribution IS the streamed
+    corpus, so the result equals batch `source_vocab_divergence` —
+    which is the oracle (composed from the registry so the two can
+    never drift).
+    """
+    from ..catalog import load_table, table_path
+    from ..functions import textfn
+    from ._oracle_shared import VDIV_VOCAB_K
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+    # static reference: top-K vocabulary with corpus counts
+    static_counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(textfn.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    vocab = (
+        static_counts.orderBy(F.col("ct").desc(), "tok")
+        .limit(VDIV_VOCAB_K)
+        .select("tok", F.col("ct").cast("long").alias("ct"))
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    counts = (
+        stream.select(
+            "source", F.explode(textfn.tokenize("text")).alias("tok")
+        )
+        .join(F.broadcast(vocab.select("tok")), "tok")  # caps state
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = run_stream_to_table(counts)
+
+    # TV fold over the bounded drained state — identical shape to the
+    # batch query (1:1 with source_vocab_divergence's tail)
+    corpus_n = vocab.agg(F.sum("ct").cast("long").alias("n"))
+    src_n = st.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct()
+    )
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(st.withColumnRenamed("c", "cs"), ["source", "tok"], "left")
+        .join(F.broadcast(src_n), "source", "left")
+        .crossJoin(F.broadcast(corpus_n))
+    )
+    ns, cs = F.col("ns"), F.coalesce(F.col("cs"), F.lit(0))
+    diff = F.abs(
+        F.when(F.coalesce(ns, F.lit(0)) == 0, F.lit(0.0)).otherwise(
+            cs.cast("double") / ns.cast("double")
+        )
+        - F.col("ct").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        grid.select("source", "tok", F.col("ns"), diff.alias("d"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(F.first("ns"), F.lit(0)).cast("long").alias(
+                "n_vocab_tokens"
+            ),
+            (
+                F.lit(0.5)
+                * F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("tok"), F.col("d")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["d"],
+                )
+            ).alias("tv_divergence"),
+        )
+        .orderBy("source")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import textfn
 from ..registry import query
-from ._oracle_shared import _DUCK_TOKS
+from ._oracle_shared import _DUCK_TOKS, _DUCK_VDIV, VDIV_VOCAB_K
 
 
 @query(
@@ -447,60 +447,11 @@ def code_fraction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# top-K global vocabulary for the divergence profile; capped so the
-# per-source comparison grid (sources x K) stays trivially bounded
-VDIV_VOCAB_K = 150
-
 # memoized result per (applicationId, sf_dir): the query persists its
 # (source, tok) count table for two consuming branches, and the memo
 # keeps repeated calls from stacking a fresh persist each time (the
 # *_CACHE naming contract — bench _reset clears every such dict)
 _VDIV_CACHE: dict = {}
-
-_DUCK_VDIV = f"""
-    WITH tok AS (
-      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
-    ),
-    st AS (
-      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok
-    ),
-    vocab AS (
-      SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
-      FROM st GROUP BY tok
-      ORDER BY SUM(c) DESC, tok
-      LIMIT {{k}}
-    ),
-    corpus_n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vocab),
-    src_n AS (
-      SELECT source, CAST(SUM(c) AS BIGINT) AS ns
-      FROM st JOIN vocab USING (tok)
-      GROUP BY source
-    ),
-    grid AS (
-      SELECT s.source, v.tok, v.ct, coalesce(st.c, 0) AS cs
-      FROM (SELECT DISTINCT source FROM documents) s
-      CROSS JOIN vocab v
-      LEFT JOIN st ON st.source = s.source AND st.tok = v.tok
-    ),
-    diffs AS (
-      SELECT g.source,
-             abs(CASE WHEN sn.ns = 0 THEN 0.0
-                      ELSE CAST(g.cs AS DOUBLE) / CAST(sn.ns AS DOUBLE) END
-                 - CAST(g.ct AS DOUBLE) / CAST(cn.n AS DOUBLE)) AS d,
-             g.tok,
-             sn.ns
-      FROM grid g
-      LEFT JOIN src_n sn USING (source)
-      CROSS JOIN corpus_n cn
-    )
-    SELECT source,
-           CAST(coalesce(any_value(ns), 0) AS BIGINT) AS n_vocab_tokens,
-           0.5 * list_reduce(list(d ORDER BY tok), (acc, x) -> acc + x)
-             AS tv_divergence
-    FROM diffs
-    GROUP BY source
-    ORDER BY source
-"""
 
 
 @query(

@@ -501,3 +501,15 @@ def test_cross_source_dup_matrix_contract(spark, sf_oracle):
         assert r.source_a <= r.source_b
         assert r.n_pairs > 0
     assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-9
+
+
+def test_stream_vocab_drift_equals_batch_twin(spark, sf_oracle):
+    """The streaming drift monitor must reproduce the batch
+    source_vocab_divergence exactly when the stream covers the same
+    corpus as the reference distribution — the composition-honesty
+    invariant behind sharing one oracle."""
+    a = registry.QUERIES["stream_vocab_drift"](spark, sf_oracle).collect()
+    b = registry.QUERIES["source_vocab_divergence"](
+        spark, sf_oracle
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

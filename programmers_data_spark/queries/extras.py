@@ -1090,3 +1090,60 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------- event path mining
+
+PATH_TOP_K = 20
+
+
+@query(
+    "event_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the corpus-wide top {PATH_TOP_K}
+    event-type transition trigrams over per-user time-ordered
+    sequences — the "what do users do next" report product analytics
+    builds funnels from (generalizes the single signup→purchase pair
+    `funnel_signup_purchase` checks).
+
+    Scale shape: ONE shuffle on user_id for the lead() window (ties
+    pinned by event_id, so the sequence is deterministic), trigram
+    assembly map-side from the two lead columns — no per-user
+    collect_list, so a power user costs rows, not driver or executor
+    memory — then a partial-aggregable count and a bounded top-K.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "salted_band_pairs",
     "as_of_join",
     "range_join",
+    "distributed_rank",
     "connected_components",
     "connected_components_two_phase",
 ]
@@ -546,3 +547,40 @@ def connected_components_auto(
         )
     except RuntimeError:
         return connected_components_two_phase(edges, src, dst)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    band: Column,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Exact global 0-based rank by ``order_cols`` without a global
+    sort: ``band`` must be a MONOTONE function of the leading order
+    column (floor-division bucket of a numeric axis, leading hex of a
+    hash key), so per-band row_number (partitioned, parallel) plus
+    broadcast band-count offsets compose to the exact global rank —
+    the two-level trick `corpus_shuffle` / `curriculum_phases` /
+    `sequence_packing` share, factored out.
+
+    The offsets window runs over one row PER BAND; pick the band so
+    its cardinality is bounded by a data property independent of row
+    count (hash-prefix alphabet, max document length / width). Adds
+    ``rank_name`` to ``df``'s columns.
+    """
+    banded = df.withColumn("__band", band)
+    w_local = Window.partitionBy("__band").orderBy(*order_cols)
+    local = banded.withColumn("__local", F.row_number().over(w_local) - 1)
+    counts = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_b = bounded_global_window("__band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__band",
+        F.coalesce(F.sum("__cnt").over(w_b), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__band")
+        .withColumn(rank_name, F.col("__off") + F.col("__local"))
+        .drop("__band", "__local", "__off")
+    )

@@ -68,6 +68,7 @@ BOUNDED_CARTESIAN = frozenset({
     "ingest_freshness",        # 1-row global-max broadcast
     "knn_label_vote",          # broadcast bounded query set
     "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
+    "rfm_segments",            # 1-row now-date + count broadcasts
     "skew_profile",            # 1-row total broadcast
     "source_vocab_divergence",  # |sources| x capped-vocab grid +
     #                             1-row corpus-total broadcast
@@ -89,6 +90,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
+    "rfm_segments",  # 1-row max-date/count aggs feed the broadcasts
     "skew_profile", "small_qty_revenue",
     "source_temperature_weights",  # bounded per-source fold (1 row)
     "token_budget_allocation",     # composes the fold + 1-row agg

@@ -1147,3 +1147,125 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# --------------------------------------------------- RFM segmentation
+
+# quartile-score band widths for the three distributed ranks; each
+# band count is bounded by a per-customer property (date span / 30,
+# max orders per customer / 4, max customer spend / $500), never by
+# customer count
+_RFM_Q = 4
+
+# memoized result per (applicationId, sf_dir): the per-customer base
+# table persists for its three rank passes + final join (*_CACHE
+# contract — bench _reset clears it)
+_RFM_CACHE: dict = {}
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS cust,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_c,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    now_d AS (SELECT max(CAST(o_orderdate AS DATE)) AS now FROM orders),
+    m AS (
+      SELECT cust, frequency, monetary_c,
+             date_diff('day', last_d, now) AS recency_days
+      FROM base, now_d
+    ),
+    ranked AS (
+      SELECT cust, recency_days, frequency, monetary_c,
+             CAST(row_number() OVER (ORDER BY recency_days, cust)
+                  AS BIGINT) - 1 AS r_rank,
+             CAST(row_number() OVER (ORDER BY frequency, cust)
+                  AS BIGINT) - 1 AS f_rank,
+             CAST(row_number() OVER (ORDER BY monetary_c, cust)
+                  AS BIGINT) - 1 AS m_rank
+      FROM m
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT CAST((r_rank * {_RFM_Q}) // n.n AS INT) AS r_q,
+           CAST((f_rank * {_RFM_Q}) // n.n AS INT) AS f_q,
+           CAST((m_rank * {_RFM_Q}) // n.n AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM ranked, n
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the BI classic behind every CRM
+    summary table: each customer scored into recency / frequency /
+    monetary quartiles (0 = most recent / least frequent / lowest
+    spend), reported as segment-cell counts (≤ 4³ rows).
+
+    Exactness: monetary is floor(x*100+0.5) cent-longs (the portable
+    rounding), recency an exact datediff against the 1-row global max
+    date (allowlisted broadcast); each quartile is
+    (rank * 4) div n on the exact global (metric, custkey) rank.
+
+    Scale shape: one shuffle of orders to the per-customer base, then
+    THREE `operators.distributed_rank` passes over the persisted
+    |customers|-row base — each is per-band row_number + broadcast
+    band offsets, no global sort — joined back on custkey, and a
+    64-cell-bounded aggregate. The quartile boundaries adapt to the
+    data; nothing is a hand-tuned threshold.
+    """
+    from ..operators import distributed_rank
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RFM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("monetary_c"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    now_row = orders.agg(F.max(F.to_date("o_orderdate")).alias("now"))
+    m = (
+        base.crossJoin(F.broadcast(now_row))
+        .select(
+            "cust",
+            "frequency",
+            "monetary_c",
+            F.datediff("now", "last_d").cast("long").alias("recency_days"),
+        )
+        .persist()
+    )
+    n_row = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def q(metric: str, band_w: int, out: str) -> DataFrame:
+        ranked = distributed_rank(
+            m.select("cust", metric),
+            [metric, "cust"],
+            F.expr(f"{metric} div {band_w}"),
+            rank_name="__r",
+        )
+        return ranked.crossJoin(F.broadcast(n_row)).select(
+            "cust",
+            F.expr(f"CAST((__r * {_RFM_Q}) div n AS INT)").alias(out),
+        )
+
+    r = q("recency_days", 30, "r_q")
+    f = q("frequency", 4, "f_q")
+    mo = q("monetary_c", 5_000_000, "m_q")
+    result = (
+        r.join(f, "cust").join(mo, "cust")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+    _RFM_CACHE[key] = result
+    return result

@@ -336,3 +336,42 @@ def test_cms_grid_matches_python_replica(spark, docs):
     )
     got = {(r.row, r.pos): r.cell for r in grid.collect()}
     assert got == expect
+
+
+RANK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # metric
+        st.integers(min_value=0, max_value=10_000),  # id
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(rows=RANK_ROWS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_rank_equals_global_row_number(spark, rows):
+    """The two-level banded rank must equal the serial global
+    (metric, id) rank for any data — including empty bands, all rows
+    in one band, ties on the metric, and single-row inputs."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.operators import distributed_rank
+
+    df = spark.createDataFrame(rows, "metric long, id long")
+    got = {
+        (r.id, r.rank)
+        for r in distributed_rank(
+            df, ["metric", "id"], F.expr("metric div 64")
+        ).collect()
+    }
+    expected = {
+        (i, pos)
+        for pos, (m, i) in enumerate(sorted(rows))
+    }
+    assert got == expected

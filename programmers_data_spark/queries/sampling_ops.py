@@ -362,6 +362,12 @@ def source_temperature_weights(
 # fixture generation
 ALLOCATION_BUDGET = 99_991
 
+# memoized result per (applicationId, sf_dir): the bounded per-source
+# frame persists for its two consumers (shortfall aggregate + rank
+# window), so the corpus-count scan runs once per session instead of
+# twice per call (*_CACHE contract — bench _reset clears it)
+_ALLOC_CACHE: dict = {}
+
 
 # the oracle composes source_temperature_weights' registered oracle
 # as a CTE (the r4 rule: composition queries pull sub-oracles from
@@ -409,19 +415,27 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     few-thousand-row frame (one source row each), so the global
     window and the 1-row shortfall aggregate are bounded by the
     source-catalog size, not the corpus."""
+    ckey = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ALLOC_CACHE.get(ckey)
+    if cached is not None:
+        return cached
     w = source_temperature_weights(spark, sf_dir)
     wb = F.col("weight") * F.lit(float(ALLOCATION_BUDGET))
+    # persist: BOTH the shortfall aggregate and the rank window read
+    # fl, and without it each branch re-runs the corpus count scan
+    # (exchange reuse doesn't cross the agg/window constraint split).
+    # The frame is one row per source — trivially cacheable.
     fl = w.select(
         "source",
         "n_docs",
         F.floor(wb).cast("long").alias("base"),
         (wb - F.floor(wb)).alias("frac"),
-    )
+    ).persist()
     short = fl.agg(
         (F.lit(ALLOCATION_BUDGET) - F.sum("base")).cast("long").alias("k")
     )
     rk = bounded_global_window(F.desc("frac"), "source")
-    return (
+    result = (
         fl.withColumn("rk", F.row_number().over(rk))
         .crossJoin(F.broadcast(short))
         .select(
@@ -436,6 +450,8 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    _ALLOC_CACHE[ckey] = result
+    return result
 
 
 # split_neardup_leakage composes two registered oracles as CTEs (the

@@ -38,6 +38,7 @@ PYTHON_TIER = frozenset({
     "near_dup_rate_by_source",  # composes dedup_minhash
     "split_neardup_leakage",  # composes dedup_minhash
     "cross_source_dup_matrix",  # composes dedup_minhash
+    "neardup_incremental",  # composes the Arrow signature store
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels

@@ -400,3 +400,85 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(preds)}, {stack_args}) AS "
         "(stage, docs_surviving, tokens_surviving)"
     )
+
+
+# ------------------------------------------- incremental near-dup index
+
+# deterministic "today's batch": base doc_id % 10 == 7. Augmented
+# twin ids (base + 1_000_000) inherit the same residue, so a new doc
+# and its test-scaffolding twin land on the same side of the split.
+_NEW_BATCH_RESIDUE = 7
+
+
+def _neardup_incremental_oracle() -> str:
+    from ..registry import ORACLE
+
+    return f"""
+    WITH full_pairs AS ({ORACLE["dedup_minhash"]})
+    SELECT doc_a, doc_b, jaccard
+    FROM full_pairs
+    WHERE doc_a % 10 = {_NEW_BATCH_RESIDUE}
+       OR doc_b % 10 = {_NEW_BATCH_RESIDUE}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("neardup_incremental", oracle=_neardup_incremental_oracle())
+def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the near-dup index — the MinHash
+    dual of `dedup_incremental`'s exact-hash check: when a new batch
+    arrives, only NEW x ALL band buckets are joined (the store's
+    signatures are already persisted from previous runs — here the
+    memoized signature table stands in for that store), so each
+    ingest pays candidates proportional to the batch, not the corpus.
+    Emits the verified near-dup pairs touching the new batch.
+
+    The oracle is the FULL rebuild filtered to pairs touching the
+    batch — the incremental ≡ full invariant (`incr_mau_refresh`'s
+    pattern): the hash match proves restricting the candidate join
+    loses nothing, on every fixture generation.
+
+    Scale shape: one band equi-join with the new side filtered BEFORE
+    the shuffle (batch-sized build side — AQE broadcasts it when
+    small); verification joins the signature store on the pair ids.
+    The plain bucket join is used (no skew salting) because the new
+    side of every bucket is batch-bounded.
+    """
+    from .dedup_ops import _band_cols_spark, minhash_signatures
+
+    is_new = (F.col("doc_id") % 10) == _NEW_BATCH_RESIDUE
+    sigs = minhash_signatures(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols_spark())).alias("band_idx", "band"),
+    )
+    a = banded.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band"
+    )
+    b = banded.select(F.col("doc_id").alias("any_id"), "band_idx", "band")
+    pairs = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("new_id") != F.col("any_id"))
+        .select(
+            F.least("new_id", "any_id").alias("doc_a"),
+            F.greatest("new_id", "any_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -37,18 +37,18 @@ _QUERY_MODULES = (
     #   dependency-free applyInPandasWithState twin (→58)
     "programmers_data_spark.queries.summary",  # 5 (→63)
     "programmers_data_spark.queries.text_quality_ops",  # 8 (→71)
-    "programmers_data_spark.queries.curation_ops",  # 5 (→76)
-    "programmers_data_spark.queries.extras",  # 25 (→101)
-    "programmers_data_spark.queries.similarity_ops",  # 10 (→111)
-    "programmers_data_spark.queries.multimodal_ops",  # 5 (→116)
-    "programmers_data_spark.queries.analytics",  # 19 (→135)
-    "programmers_data_spark.queries.subqueries",  # 8 (→143)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→149)
-    "programmers_data_spark.queries.sampling_ops",  # 8 (→157)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→165)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→168)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→171)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→174)
+    "programmers_data_spark.queries.curation_ops",  # 6 (→77)
+    "programmers_data_spark.queries.extras",  # 25 (→102)
+    "programmers_data_spark.queries.similarity_ops",  # 10 (→112)
+    "programmers_data_spark.queries.multimodal_ops",  # 5 (→117)
+    "programmers_data_spark.queries.analytics",  # 19 (→136)
+    "programmers_data_spark.queries.subqueries",  # 8 (→144)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→150)
+    "programmers_data_spark.queries.sampling_ops",  # 8 (→158)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→166)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→169)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→172)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→175)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
@@ -60,11 +60,11 @@ _QUERY_MODULES = (
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names), plus the ten names that gave up
+# TPC-H/analytics block (49 names), plus the eleven names that gave up
 # their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
 # sequence_packing, dau, dedup_keep_canonical, dedup_clusters,
 # dedup_simhash, ngram_jaccard, doc_chunks, top_terms_per_doc,
-# vocab_topk). 17+49+10 = 76 — take the r4 block whole,
+# vocab_topk, pii_redact). 17+49+11 = 77 — take the r4 block whole,
 # fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
@@ -90,14 +90,14 @@ ROWS_ONLY = frozenset({
 # the plan the r6 registry comment laid down): the 11 r3-vintage names
 # whole, plus the 36 oldest r4-vintage names in registration order
 # (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
-# streaming_ops block and eight stragglers — roll to round 8), the 15
+# streaming_ops block and eight stragglers — roll to round 8), the 16
 # round-7-registered queries (hard_negatives, rrf_fusion,
 # source_temperature_weights, token_budget_allocation,
 # split_neardup_leakage, multimodal_audio_meta,
 # code_fraction_by_source, winnow_collision_pairs,
 # source_vocab_divergence, label_centroid_drift, curriculum_phases,
 # cross_source_dup_matrix, stream_vocab_drift, event_path_trigrams,
-# rfm_segments — never driver-checked, which outranks
+# rfm_segments, neardup_incremental — never driver-checked, which outranks
 # stale refreshes), plus 2 r6-green sentinels whose code the round-7
 # diff touched: tfidf_shingle_pairs (plan re-optimized — the window
 # row proves the hash survived) and bpe_contract (marked weak in
@@ -139,16 +139,15 @@ _WINDOW = (
     "doc_winnow_fingerprint",
     "corpus_clean",
     "corpus_sample_hash",
-    "pii_redact",
     "dedup_exact",
     "dedup_minhash",
     # round-7 new registrations — never had a driver row, so they
     # outrank further stale-refresh slots (the r6 rotation principle).
     # minhash_jaccard_estimate / sequence_packing / dau /
     # dedup_keep_canonical / dedup_clusters / dedup_simhash /
-    # ngram_jaccard / doc_chunks / top_terms_per_doc / vocab_topk gave
-    # up their slots to the ten late-r7 registrations and roll to
-    # round 8.
+    # ngram_jaccard / doc_chunks / top_terms_per_doc / vocab_topk /
+    # pii_redact gave up their slots to the eleven late-r7
+    # registrations and roll to round 8.
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
@@ -164,6 +163,7 @@ _WINDOW = (
     "stream_vocab_drift",
     "event_path_trigrams",
     "rfm_segments",
+    "neardup_incremental",
     # r6-green sentinels whose code was touched by the round-7 diff
     # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
     # the window row proves the driver hash survived the change.

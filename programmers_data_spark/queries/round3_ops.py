@@ -629,29 +629,21 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix — hex-prefix bucket order is a prefix of the full key
     order, so the composition equals the global rank at any scale
     with no single-partition sort of the corpus."""
+    from ..operators import distributed_rank
+
     k = F.md5(
         F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string"))
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", k.alias("k")
-    ).withColumn("bucket", F.substring("k", 1, 2))
-    w_local = Window.partitionBy("bucket").orderBy("k", "doc_id")
-    local = docs.withColumn(
-        "local_pos", F.row_number().over(w_local) - 1
     )
-    counts = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    # bounded: exactly 256 hex-prefix bucket rows
-    w_b = bounded_global_window("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "bucket", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
-    )
+    # band = leading 2 hex chars of the key: exactly 256 bounded
+    # buckets, monotone prefix of the (k, doc_id) order
     return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id", (F.col("off") + F.col("local_pos")).alias("shuffle_pos")
+        distributed_rank(
+            docs, ["k", "doc_id"], F.substring("k", 1, 2), "shuffle_pos"
         )
+        .select("doc_id", "shuffle_pos")
         .orderBy("doc_id")
     )
 

@@ -580,29 +580,25 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. The corpus count folds in as a 1-row broadcast
     (allowlisted bounded cartesian).
     """
+    from ..operators import distributed_rank
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         textfn.token_count("text").cast("long").alias("n_tokens"),
-    ).withColumn(
-        "band", F.expr(f"n_tokens div {CURRICULUM_BAND_W}")
-    )
-    w_local = Window.partitionBy("band").orderBy("n_tokens", "doc_id")
-    local = docs.withColumn("local_r", F.row_number().over(w_local) - 1)
-    counts = docs.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
-    w_b = bounded_global_window("band").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "band", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off")
     )
     n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = (
-        local.join(F.broadcast(offsets), "band")
+        distributed_rank(
+            docs,
+            ["n_tokens", "doc_id"],
+            F.expr(f"n_tokens div {CURRICULUM_BAND_W}"),
+            "__r",
+        )
         .crossJoin(F.broadcast(n_row))
         .select(
             "n_tokens",
             F.expr(
-                f"CAST(((off + local_r) * {CURRICULUM_PHASES}) div n AS INT)"
+                f"CAST((__r * {CURRICULUM_PHASES}) div n AS INT)"
             ).alias("phase"),
         )
     )

@@ -375,3 +375,64 @@ def test_distributed_rank_equals_global_row_number(spark, rows):
         for pos, (m, i) in enumerate(sorted(rows))
     }
     assert got == expected
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=20),   # left ts (seconds)
+    ),
+    min_size=1,
+    max_size=15,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=0,
+    max_size=15,
+    unique=True,  # unique (key, ts): payload at a match is unambiguous
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_as_of_join_matches_serial_lookup(spark, left, right):
+    """as_of_join == per-row greatest right_ts <= left_ts within the
+    key (INCLUSIVE at equal timestamps), null when no right row
+    qualifies — for any key/timestamp pattern including exact ties
+    and keys missing on either side."""
+    import datetime as dt
+
+    from programmers_data_spark.operators import as_of_join
+
+    epoch = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "key long, lts timestamp, row_id long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), f"p{k}_{s}") for k, s in right],
+        "key long, rts timestamp, payload string",
+    )
+    out = {
+        r.row_id: (r.asof_rts, r.asof_payload)
+        for r in as_of_join(
+            ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+            right_cols=["payload"],
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, f"p{rk}_{rs}") for rk, rs in right if rk == k and rs <= s]
+        got_ts, got_payload = out[i]
+        if not cands:
+            assert got_ts is None and got_payload is None, (i, out[i])
+        else:
+            exp_s, exp_p = max(cands)
+            assert got_ts == epoch + dt.timedelta(seconds=exp_s)
+            assert got_payload == exp_p

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -291,15 +292,47 @@ def publish_versioned(
 
     ``keep_generations`` bounds history over VALIDATED generations
     (the current one is always kept).
+
+    Concurrent publishers are safe: each claims its generation number
+    atomically (gen-N.claim, O_EXCL) before staging, so two writers
+    can never share a directory; completion order decides the pointer
+    (last-completed-wins) and every completed generation remains
+    retained and readable. Retention never touches a generation whose
+    fresh claim marks a live writer, and re-derives the keep set
+    before sweeping anything validated (a racer may have completed
+    since the snapshot).
     Object-store note: os.replace maps to the atomic
     put-if-generation-matches / rename primitive; data dirs are
     immutable once published, so retention is pure garbage collection.
     """
     os.makedirs(table_dir, exist_ok=True)
-    gens = _versioned_generations(table_dir)
-    nxt = (gens[-1] + 1) if gens else 1
-    gen = _gen_name(nxt)
-    data_dir = os.path.join(table_dir, gen)
+    # claim the generation NUMBER atomically (O_CREAT|O_EXCL on a
+    # gen-N.claim file) so two concurrent publishers can never compute
+    # the same next number and overwrite each other's staged data —
+    # each retries onto the next free number instead. The claim must
+    # be a separate file, not the data directory itself: Spark's
+    # overwrite write momentarily DELETES its target dir, which would
+    # reopen the race mid-write. Completion order then decides the
+    # pointer (last-completed-wins, the documented concurrent-publish
+    # semantics); every completed generation stays retained and
+    # readable either way.
+    while True:
+        taken = set(_versioned_generations(table_dir))
+        for name in os.listdir(table_dir):
+            if name.startswith(_GEN_PREFIX) and name.endswith(".claim"):
+                try:
+                    taken.add(int(name[len(_GEN_PREFIX):-len(".claim")]))
+                except ValueError:
+                    continue
+        nxt = (max(taken) + 1) if taken else 1
+        gen = _gen_name(nxt)
+        data_dir = os.path.join(table_dir, gen)
+        claim_path = data_dir + ".claim"
+        try:
+            os.close(os.open(claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            continue
 
     try:
         writer = df.write.mode("overwrite")
@@ -333,7 +366,24 @@ def publish_versioned(
         os.replace(tmp, os.path.join(table_dir, _CURRENT_POINTER))
     except Exception:
         shutil.rmtree(data_dir, ignore_errors=True)
+        # release the number claim with the data gone — the number may
+        # be reused, and nothing half-written remains under it
+        try:
+            os.remove(claim_path)
+        except OSError:
+            pass
         raise
+    finally:
+        # success: the generation dir itself now holds the number, so
+        # the claim file has done its job. A hard-killed publisher
+        # leaks its claim and that number is simply never reused —
+        # deliberately NOT swept, because a dirless claim is
+        # indistinguishable from a LIVE writer inside Spark's
+        # delete-then-write overwrite window
+        try:
+            os.remove(claim_path)
+        except OSError:
+            pass
 
     # retention: newest keep_generations VALIDATED generations plus
     # the current pointer target (they coincide except right after a
@@ -345,15 +395,49 @@ def publish_versioned(
     keep = set(validated[-max(keep_generations, 1):])
     if cur is not None:
         keep.add(cur)
+    now = time.time()
     for g in _versioned_generations(table_dir):
-        if g not in keep:
-            shutil.rmtree(
-                os.path.join(table_dir, _gen_name(g)), ignore_errors=True
-            )
+        if g in keep:
+            continue
+        # a LIVE concurrent publisher's generation is unvalidated
+        # until its marker lands — indistinguishable from a crash
+        # orphan except by its claim file, which the publisher holds
+        # until AFTER its pointer swap. Skip while a fresh claim
+        # exists; a stale claim (hard-killed publisher) ages past the
+        # guard and its orphan is collected on a later publish.
+        claim = os.path.join(table_dir, _gen_name(g) + ".claim")
+        try:
+            if now - os.path.getmtime(claim) < 60:
+                continue
+        except OSError:
+            pass  # no claim: completed or crashed long ago
+        # a racer that COMPLETED since our keep-set snapshot has a
+        # marker but is missing from the stale snapshot — re-derive
+        # the keep set freshly before touching a validated generation
+        if os.path.exists(
+            os.path.join(table_dir, _gen_name(g), _VALIDATED_MARKER)
+        ):
+            validated2 = _validated_generations(table_dir)
+            keep2 = set(validated2[-max(keep_generations, 1):])
+            cur2 = _versioned_current(table_dir)
+            if cur2 is not None:
+                keep2.add(cur2)
+            if g in keep2:
+                continue
+        shutil.rmtree(
+            os.path.join(table_dir, _gen_name(g)), ignore_errors=True
+        )
+    # sweep pointer temp files from CRASHED swaps only: an age guard
+    # keeps the sweep off a concurrent publisher's live temp, which
+    # exists for milliseconds between creation and os.replace —
+    # sweeping it mid-swap made the racing publish fail spuriously
+    now = time.time()
     for name in os.listdir(table_dir):
         if name.startswith(".ptr-"):
+            p = os.path.join(table_dir, name)
             try:
-                os.remove(os.path.join(table_dir, name))
+                if now - os.path.getmtime(p) > 60:
+                    os.remove(p)
             except OSError:
                 pass
     return n

@@ -757,3 +757,44 @@ def test_compact_parquet_failing_check_leaves_table(spark, sf_smoke, tmp_path):
     kept = spark.read.parquet(path)
     assert kept.count() == 100
     assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 10
+
+
+def test_publish_versioned_concurrent_writers_never_collide(
+    spark, events, tmp_path
+):
+    """Two publishers racing on one table must land in DISTINCT
+    generation directories (the atomic mkdir claim), both validated
+    and retained, with the pointer resolving to a complete
+    generation — the corruption mode being two writers computing the
+    same next number and staging into one directory."""
+    import threading
+
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+        _validated_generations,
+    )
+
+    table = str(tmp_path / "race")
+    a = events.limit(40)
+    b = events.limit(60)
+    errs = []
+
+    def run(df):
+        try:
+            publish_versioned(df, table, keep_generations=4)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(d,)) for d in (a, b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    gens = _validated_generations(table)
+    assert len(gens) == 2, gens
+    # pointer resolves to one COMPLETE generation; both readable
+    assert read_versioned(spark, table).count() in (40, 60)
+    for g in gens:
+        assert read_versioned(spark, table, generation=g).count() in (40, 60)

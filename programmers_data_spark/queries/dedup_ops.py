@@ -252,6 +252,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# dedup_minhash's verified pair set, memoized for its five composers
+_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs from the banded signature table, memoized
@@ -329,7 +332,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join is per-band equi-join on the band hash (LSH
     bucket join) — linear in docs + bucket collisions, never an
     all-pairs product.
+
+    The verified pair set (dozens of rows) is persisted and memoized
+    per (applicationId, sf_dir): five composition queries consume it
+    (near_dup_rate_by_source, cross_source_dup_matrix,
+    split_neardup_leakage, lsh_neardup_recall, dedup cluster twins),
+    several through multi-branch plans that would otherwise re-run
+    the verify join per branch (*_CACHE contract).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VERIFIED_CACHE.get(key)
+    if cached is not None:
+        return cached
     sigs = minhash_signatures(spark, sf_dir)
     pairs = minhash_band_pairs(spark, sf_dir)
 
@@ -340,12 +354,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    result = (
         verified.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+        .persist()
     )
+    _VERIFIED_CACHE[key] = result
+    return result
 
 
 @query(

@@ -62,13 +62,72 @@ def run_sql_checks(
     return results
 
 
-def run_df_checks(df: DataFrame, checks: list[CountCheck]) -> int:
-    """Run count checks against a result DataFrame — reference
-    output_check shape. A single count() action serves all checks."""
+def run_df_checks(df: DataFrame, checks: list) -> int:
+    """Run checks against a result DataFrame — reference output_check
+    shape, extended with DataFrame-level gates: CountChecks share a
+    single count() action; checks exposing ``evaluate_df``
+    (UniqueKeyCheck, SchemaCheck) run their own bounded probes."""
     actual = df.count()
     for check in checks:
-        check.evaluate(actual)
+        if hasattr(check, "evaluate_df"):
+            check.evaluate_df(df)
+        else:
+            check.evaluate(actual)
     return actual
+
+
+@dataclass(frozen=True)
+class UniqueKeyCheck:
+    """No duplicate rows per key — the publish gate behind every
+    keyed table (K6 keep-latest and K7 upsert both PROMISE key
+    uniqueness; this check makes a violated promise abort the publish
+    instead of silently serving duplicates).
+
+    Scale shape: one partial-aggregable groupBy on the key plus a
+    LIMIT 1 existence probe — the scan stops at the first duplicate,
+    nothing is collected."""
+
+    keys: tuple[str, ...]
+    name: str = "unique_key"
+
+    def evaluate_df(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        dup = (
+            df.groupBy(*self.keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise QualityCheckError(
+                f"check {self.name!r} failed: duplicate rows for key "
+                f"{list(self.keys)}"
+            )
+
+
+@dataclass(frozen=True)
+class SchemaCheck:
+    """Published-schema contract: every required (column, type) must
+    be present with exactly that Spark simpleString type — the gate
+    that turns silent upstream schema drift into a failed publish
+    (the reference handles drift by DROP+CREATE; a library consumer
+    needs the refusal instead). Metadata-only, no Spark action."""
+
+    required: tuple[tuple[str, str], ...]
+    name: str = "schema"
+
+    def evaluate_df(self, df: DataFrame) -> None:
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bad = [
+            (c, t, have.get(c)) for c, t in self.required if have.get(c) != t
+        ]
+        if bad:
+            raise QualityCheckError(
+                f"check {self.name!r} failed: column/type mismatches "
+                f"(want, got): {[(c, t, g) for c, t, g in bad]}"
+            )
 
 
 def assert_non_empty(df: DataFrame, context: str = "result") -> int:

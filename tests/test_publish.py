@@ -798,3 +798,40 @@ def test_publish_versioned_concurrent_writers_never_collide(
     assert read_versioned(spark, table).count() in (40, 60)
     for g in gens:
         assert read_versioned(spark, table, generation=g).count() in (40, 60)
+
+
+def test_unique_key_and_schema_checks_gate_publish(spark, events, tmp_path):
+    """A duplicate-key batch or a drifted schema must abort the
+    versioned publish and leave the previous generation serving."""
+    import pytest
+
+    from programmers_data_spark.publish import (
+        publish_versioned,
+        read_versioned,
+    )
+    from programmers_data_spark.quality import (
+        QualityCheckError,
+        SchemaCheck,
+        UniqueKeyCheck,
+    )
+
+    table = str(tmp_path / "gated")
+    good = events.limit(50)
+    checks = [
+        UniqueKeyCheck(keys=("event_id",)),
+        SchemaCheck(required=(("event_id", "bigint"), ("value", "double"))),
+    ]
+    publish_versioned(good, table, checks=checks)
+    assert read_versioned(spark, table).count() == 50
+
+    dup = good.unionAll(good.limit(5))
+    with pytest.raises(QualityCheckError, match="unique_key"):
+        publish_versioned(dup, table, checks=checks)
+    assert read_versioned(spark, table).count() == 50  # old gen serves
+
+    from pyspark.sql import functions as F
+
+    drifted = good.withColumn("value", F.col("value").cast("string"))
+    with pytest.raises(QualityCheckError, match="schema"):
+        publish_versioned(drifted, table, checks=checks)
+    assert read_versioned(spark, table).count() == 50

@@ -436,3 +436,51 @@ def test_as_of_join_matches_serial_lookup(spark, left, right):
             exp_s, exp_p = max(cands)
             assert got_ts == epoch + dt.timedelta(seconds=exp_s)
             assert got_payload == exp_p
+
+
+RANGE_POINTS = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=20
+)
+RANGE_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=30),  # length (0 = empty)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(points=RANGE_POINTS, intervals=RANGE_INTERVALS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_naive_on_adversarial_axes(
+    spark, points, intervals
+):
+    """Binned range join == naive inequality join for any axis
+    pattern: negative coordinates (floor-division banding must not
+    break), zero-length intervals (match nothing), and points landing
+    exactly on interval and bucket boundaries (half-open [lo, hi))."""
+    from programmers_data_spark.operators import range_join
+
+    ldf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, x double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(ldf, rdf, "x", "lo", "hi", bucket_width=7.0).collect()
+    }
+    expected = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= p < s + ln
+    }
+    assert got == expected

@@ -612,3 +612,49 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# --------------------------------------------------- training manifest
+
+
+def _manifest_oracle() -> str:
+    return f"""
+    WITH sp AS ({ORACLE["train_val_split"]}),
+    pk AS ({ORACLE["sequence_packing"]})
+    SELECT d.doc_id, d.source, sp.split,
+           pk.n_tokens, pk.bin_id, pk.bin_offset
+    FROM documents d
+    JOIN sp ON sp.doc_id = d.doc_id
+    JOIN pk ON pk.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("training_manifest", oracle=_manifest_oracle())
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the assembly pipeline: one row per document
+    with everything a training data-loader reads — provenance, split
+    assignment, token count, and packed-bin coordinates. Composes the
+    registered `train_val_split` and `sequence_packing` (oracle wraps
+    the same registered SQL, so the manifest can never drift from its
+    parts).
+
+    Scale shape: split is a map-only column; packing arrives from the
+    distributed prefix sum; the three-way join keys on doc_id — at
+    100 TB bucket the corpus by doc_id once and every stage including
+    this join is co-partitioned. The manifest is the table
+    `pipelines.curate_corpus` persists for the loader.
+    """
+    from .round3_ops import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sp = train_val_split(spark, sf_dir)
+    pk = sequence_packing(spark, sf_dir)
+    return (
+        docs.join(sp, "doc_id")
+        .join(pk, "doc_id")
+        .select(
+            "doc_id", "source", "split", "n_tokens", "bin_id", "bin_offset"
+        )
+        .orderBy("doc_id")
+    )

@@ -44,11 +44,11 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.analytics",  # 19 (→136)
     "programmers_data_spark.queries.subqueries",  # 8 (→144)
     "programmers_data_spark.queries.accuracy_ops",  # 6 (→150)
-    "programmers_data_spark.queries.sampling_ops",  # 8 (→158)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→166)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→169)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→172)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→175)
+    "programmers_data_spark.queries.sampling_ops",  # 9 (→159)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→167)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→170)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→173)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→176)
 )
 
 # ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
@@ -60,11 +60,11 @@ _QUERY_MODULES = (
 # stream_dedup, sessionization, stream_session_window,
 # stream_stateful_counts, stream_enrich_segment,
 # stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names), plus the eleven names that gave up
+# TPC-H/analytics block (49 names), plus the twelve names that gave up
 # their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
 # sequence_packing, dau, dedup_keep_canonical, dedup_clusters,
 # dedup_simhash, ngram_jaccard, doc_chunks, top_terms_per_doc,
-# vocab_topk, pii_redact). 17+49+11 = 77 — take the r4 block whole,
+# vocab_topk, pii_redact, corpus_sample_hash). 17+49+12 = 78 — take the r4 block whole,
 # fill with the oldest r5 names (registration order), keep 2-3
 # r7-green sentinels as canaries, and keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
@@ -90,14 +90,15 @@ ROWS_ONLY = frozenset({
 # the plan the r6 registry comment laid down): the 11 r3-vintage names
 # whole, plus the 36 oldest r4-vintage names in registration order
 # (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
-# streaming_ops block and eight stragglers — roll to round 8), the 16
+# streaming_ops block and eight stragglers — roll to round 8), the 17
 # round-7-registered queries (hard_negatives, rrf_fusion,
 # source_temperature_weights, token_budget_allocation,
 # split_neardup_leakage, multimodal_audio_meta,
 # code_fraction_by_source, winnow_collision_pairs,
 # source_vocab_divergence, label_centroid_drift, curriculum_phases,
 # cross_source_dup_matrix, stream_vocab_drift, event_path_trigrams,
-# rfm_segments, neardup_incremental — never driver-checked, which outranks
+# rfm_segments, neardup_incremental, training_manifest — never
+# driver-checked, which outranks
 # stale refreshes), plus 2 r6-green sentinels whose code the round-7
 # diff touched: tfidf_shingle_pairs (plan re-optimized — the window
 # row proves the hash survived) and bpe_contract (marked weak in
@@ -138,7 +139,6 @@ _WINDOW = (
     "bpe_token_count",
     "doc_winnow_fingerprint",
     "corpus_clean",
-    "corpus_sample_hash",
     "dedup_exact",
     "dedup_minhash",
     # round-7 new registrations — never had a driver row, so they
@@ -146,8 +146,8 @@ _WINDOW = (
     # minhash_jaccard_estimate / sequence_packing / dau /
     # dedup_keep_canonical / dedup_clusters / dedup_simhash /
     # ngram_jaccard / doc_chunks / top_terms_per_doc / vocab_topk /
-    # pii_redact gave up their slots to the eleven late-r7
-    # registrations and roll to round 8.
+    # pii_redact / corpus_sample_hash gave up their slots to the
+    # twelve late-r7 registrations and roll to round 8.
     "hard_negatives",
     "rrf_fusion",
     "source_temperature_weights",
@@ -164,6 +164,7 @@ _WINDOW = (
     "event_path_trigrams",
     "rfm_segments",
     "neardup_incremental",
+    "training_manifest",
     # r6-green sentinels whose code was touched by the round-7 diff
     # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
     # the window row proves the driver hash survived the change.

@@ -544,3 +544,39 @@ def test_topk_windows_keep_group_limit_pushdown(spark, sf_smoke):
             .toString()
         )
         assert "WindowGroupLimit" in plan, f"{name} lost rank pushdown"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
+    """Spark's runtime Bloom-filter join pruning: a selective filter
+    on the build side injects a might_contain() predicate onto the
+    probe-side scan, so at 100 TB the big fact table drops non-joining
+    rows before the shuffle. Local fixture sizes sit under the
+    default application-side threshold, so the test lowers it to
+    exercise the path the production defaults take at scale — and
+    pins that the pruned join returns exactly the plain join's rows."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_totalprice") > 300000
+        )
+        lineitem = load_table(spark, sf_smoke, "lineitem")
+        pruned = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        plan = _plan(pruned)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        n = pruned.count()
+        assert n > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    assert plain.count() == n

@@ -37,6 +37,30 @@ __all__ = [
 ]
 
 
+def _free_blocks(df: DataFrame) -> None:
+    """Release a retired iteration frame's executor storage NOW.
+
+    Dataset.unpersist only drops CacheManager entries (persist()),
+    while localCheckpoint stores its RDD blocks OUTSIDE the cache
+    manager — so for a checkpointed frame the Dataset call is a no-op
+    and blocks would otherwise accumulate one generation per round,
+    freed only when the ContextCleaner happens to GC the dropped RDD
+    (non-deterministic storage growth on high-iteration graphs). We
+    therefore also reach the checkpointed RDD through the plan's
+    LogicalRDD node and unpersist it directly, non-blocking. Callers
+    must invoke this only on frames no downstream plan will read
+    again: a locally-checkpointed RDD's lineage is truncated, so its
+    blocks are unrecoverable once dropped. Best-effort by design —
+    a merely-persisted frame (no LogicalRDD) or an internal-API shape
+    change just falls back to Dataset.unpersist + eventual GC.
+    """
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def equi_join(
     left: DataFrame, right: DataFrame, on: str | list[str], how: str = "inner"
 ) -> DataFrame:
@@ -347,7 +371,14 @@ def connected_components(
     so AQE reuses one exchange layout across iterations; each
     iteration's labels are localCheckpoint-ed (persist alone does NOT
     truncate the logical plan — lineage nests per round and Catalyst
-    planning itself OOMs on high-diameter graphs such as chains).
+    planning itself OOMs on high-diameter graphs such as chains), and
+    each retired round's checkpoint blocks are freed eagerly via
+    _free_blocks so storage stays one-generation-deep. localCheckpoint
+    is non-reliable by definition: its blocks live on executors and
+    lineage is truncated, so losing an executor mid-run fails the job
+    (restart-and-rerun) — the accepted tradeoff for not writing
+    per-round state to reliable storage; use Dataset.checkpoint with a
+    checkpoint dir if executor churn is expected.
     Iteration count is the graph DIAMETER, which for
     dedup graphs (small dense near-dup clusters) is tiny; for
     long-chain graphs swap in the large-star/small-star variant
@@ -391,7 +422,14 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
+        # new_labels is eagerly materialized and `changed` computed, so
+        # the previous round's checkpoint blocks are dead — free them
+        # immediately (Dataset.unpersist alone would leak them; see
+        # _free_blocks). Executor-loss note: local (non-reliable)
+        # checkpoints die with their executor anyway — a lost executor
+        # fails the job regardless of this early free, the accepted
+        # tradeoff for not writing per-round state to reliable storage.
+        _free_blocks(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -401,7 +439,7 @@ def connected_components(
         # component ids — returning them silently would present an
         # unconverged partition as a correct result
         sym.unpersist()
-        labels.unpersist()
+        _free_blocks(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing); the graph's "
@@ -493,7 +531,10 @@ def connected_components_two_phase(
             nxt.count() == cur.count()
             and nxt.subtract(cur).limit(1).count() == 0
         )
-        cur.unpersist()
+        # nxt is eagerly checkpointed and `same` computed — the retired
+        # round's blocks (persist on round 1, localCheckpoint after)
+        # are dead; free both kinds via _free_blocks
+        _free_blocks(cur)
         cur = nxt
         if same:
             break

@@ -298,7 +298,10 @@ def publish_versioned(
     can never share a directory; completion order decides the pointer
     (last-completed-wins) and every completed generation remains
     retained and readable. Retention never touches a generation whose
-    fresh claim marks a live writer, and re-derives the keep set
+    claim file still exists — any claim is presumed live (a routine
+    multi-hour Spark write must never age into sweepability), so
+    hard-killed publishers' orphans are collected only by the explicit
+    ``vacuum_versioned``; retention also re-derives the keep set
     before sweeping anything validated (a racer may have completed
     since the snapshot).
     Object-store note: os.replace maps to the atomic
@@ -339,6 +342,11 @@ def publish_versioned(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        # heartbeat: refresh the claim after the (possibly hours-long)
+        # Spark write and again after validation, so vacuum's age guard
+        # measures publisher INACTIVITY, not claim creation time — a
+        # long write can never age a live claim past any threshold
+        os.utime(claim_path)
 
         spark = df.sparkSession
         staged = spark.read.parquet(data_dir)
@@ -354,6 +362,7 @@ def publish_versioned(
                 for dc in drift_checks:
                     dc.evaluate(staged, baseline)
 
+        os.utime(claim_path)  # second heartbeat: validation done
         # validation passed: mark the generation as servable BEFORE it
         # can become current — rollback/time-travel trust this marker
         with open(
@@ -376,10 +385,11 @@ def publish_versioned(
     finally:
         # success: the generation dir itself now holds the number, so
         # the claim file has done its job. A hard-killed publisher
-        # leaks its claim and that number is simply never reused —
-        # deliberately NOT swept, because a dirless claim is
-        # indistinguishable from a LIVE writer inside Spark's
-        # delete-then-write overwrite window
+        # leaks its claim and that number is simply never reused by
+        # routine publishes — a dirless claim is indistinguishable
+        # from a LIVE writer inside Spark's delete-then-write
+        # overwrite window, so only vacuum_versioned's long-inactivity
+        # threshold may sweep it
         try:
             os.remove(claim_path)
         except OSError:
@@ -395,22 +405,23 @@ def publish_versioned(
     keep = set(validated[-max(keep_generations, 1):])
     if cur is not None:
         keep.add(cur)
-    now = time.time()
     for g in _versioned_generations(table_dir):
         if g in keep:
             continue
         # a LIVE concurrent publisher's generation is unvalidated
         # until its marker lands — indistinguishable from a crash
         # orphan except by its claim file, which the publisher holds
-        # until AFTER its pointer swap. Skip while a fresh claim
-        # exists; a stale claim (hard-killed publisher) ages past the
-        # guard and its orphan is collected on a later publish.
+        # until AFTER its pointer swap. ANY existing claim is treated
+        # as live: an age guard here would let a routine >guard-length
+        # Spark write age past it and get rmtree'd MID-WRITE, whose
+        # surviving part-file subset could pass count-only validation
+        # downstream. Hard-killed publishers' orphan claims are
+        # collected only by the explicit vacuum_versioned(), whose
+        # much larger threshold measures heartbeat-refreshed
+        # inactivity, not creation age.
         claim = os.path.join(table_dir, _gen_name(g) + ".claim")
-        try:
-            if now - os.path.getmtime(claim) < 60:
-                continue
-        except OSError:
-            pass  # no claim: completed or crashed long ago
+        if os.path.exists(claim):
+            continue
         # a racer that COMPLETED since our keep-set snapshot has a
         # marker but is missing from the stale snapshot — re-derive
         # the keep set freshly before touching a validated generation
@@ -441,6 +452,60 @@ def publish_versioned(
             except OSError:
                 pass
     return n
+
+
+def vacuum_versioned(
+    table_dir: str, min_claim_age_s: float = 24 * 3600
+) -> list[str]:
+    """Collect hard-killed publishers' leftovers that routine
+    retention deliberately refuses to touch.
+
+    Routine retention (end of ``publish_versioned``) treats ANY
+    existing ``gen-N.claim`` as a live writer, because a claim's age
+    cannot distinguish a crash from a long Spark write — sweeping on
+    an age guard once destroyed live staging directories mid-write.
+    This explicit vacuum closes the loop for true orphans: a claim is
+    collected only when it has been INACTIVE for ``min_claim_age_s``
+    (default 24h). publish_versioned heartbeats the claim mtime after
+    its Spark write and after validation, so inactivity here means the
+    publisher stopped making progress, not that it started long ago.
+
+    For each sufficiently stale claim:
+    - unvalidated staged data under it is removed (crash orphan);
+    - validated data is LEFT IN PLACE (the publisher completed and
+      died between pointer swap and claim cleanup — the data is
+      history, retention policy owns it) and only the claim is swept.
+
+    Returns the removed paths. Callers choose the threshold to exceed
+    their longest plausible write stall (executor-loss recovery,
+    object-store throttling) — this is an operator-invoked or
+    scheduled maintenance op, never part of the publish hot path.
+    """
+    removed: list[str] = []
+    if not os.path.isdir(table_dir):
+        return removed
+    now = time.time()
+    for name in sorted(os.listdir(table_dir)):
+        if not (name.startswith(_GEN_PREFIX) and name.endswith(".claim")):
+            continue
+        claim = os.path.join(table_dir, name)
+        try:
+            if now - os.path.getmtime(claim) < min_claim_age_s:
+                continue
+        except OSError:
+            continue  # raced with its publisher's own cleanup
+        gen_dir = os.path.join(table_dir, name[: -len(".claim")])
+        if os.path.isdir(gen_dir) and not os.path.exists(
+            os.path.join(gen_dir, _VALIDATED_MARKER)
+        ):
+            shutil.rmtree(gen_dir, ignore_errors=True)
+            removed.append(gen_dir)
+        try:
+            os.remove(claim)
+            removed.append(claim)
+        except OSError:
+            pass
+    return removed
 
 
 def read_versioned(

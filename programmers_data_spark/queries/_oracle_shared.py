@@ -57,7 +57,7 @@ _DUCK_VDIV = f"""
     ),
     diffs AS (
       SELECT g.source,
-             abs(CASE WHEN sn.ns = 0 THEN 0.0
+             abs(CASE WHEN coalesce(sn.ns, 0) = 0 THEN 0.0
                       ELSE CAST(g.cs AS DOUBLE) / CAST(sn.ns AS DOUBLE) END
                  - CAST(g.ct AS DOUBLE) / CAST(cn.n AS DOUBLE)) AS d,
              g.tok,

@@ -324,9 +324,10 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_source)
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
-           CAST(total_tokens AS DOUBLE) / (
-             (SELECT count(*) FROM per_source) * n_tokens
-           ) AS uniform_upweight
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(total_tokens AS DOUBLE) / (
+                  (SELECT count(*) FROM per_source) * n_tokens
+                ) END AS uniform_upweight
     FROM per_source, tot
     ORDER BY source
     """,
@@ -335,7 +336,10 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing pass: per-source token counts, corpus share, and
     the per-doc upweight that would equalize source contributions
     (share_target / share_actual with a uniform target) — the numbers
-    a pretraining data recipe starts from.
+    a pretraining data recipe starts from. A source with ZERO tokens
+    has no defined upweight: both engines emit NULL there explicitly
+    (ANSI Spark would otherwise raise DIVIDE_BY_ZERO — caught by the
+    zero-token source in the adversarial edge fixture).
 
     Scale shape: one partial-aggregable groupBy on source; the totals
     join is a 1-row broadcast. The upweight keeps integer operands
@@ -359,10 +363,12 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
                 "token_share"
             ),
-            (
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.col("total_tokens").cast("double")
                 / (F.col("n_sources") * F.col("n_tokens"))
-            ).alias("uniform_upweight"),
+            )
+            .alias("uniform_upweight"),
         )
         .orderBy("source")
     )

@@ -43,6 +43,13 @@ _EDGE_DOCS = [
     (13, "가나다 라마바 사아자", "ko", "src0"),
     (14, "mixed CASE Words And SOME lower case filler tokens", "en", "src1"),
     (15, "the quick brown fox jumps over the lazy dog again and again", "en", "src2"),
+    # src3 contributes ZERO tokens (empty + whitespace-only docs): its
+    # per-source vocab count is NULL after the left join, the edge
+    # where source_vocab_divergence's oracle used to fold tv to NULL
+    # while Spark emitted a finite value (r7 ADVICE) — both engines
+    # must now define the empty source identically
+    (16, "", "en", "src3"),
+    (17, "\t \n", "en", "src3"),
 ]
 
 

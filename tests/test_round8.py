@@ -1,0 +1,191 @@
+"""Round-8 regression tests: the r7 ADVICE fixes.
+
+- publish retention must treat ANY live claim file as a live writer
+  (the 60s age guard could sweep a >60s Spark write mid-flight), with
+  hard-kill orphans collected only by the explicit vacuum_versioned;
+- iterative operators must actually free retired localCheckpoint
+  blocks (Dataset.unpersist is a no-op for them).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from programmers_data_spark.catalog import load_table
+
+
+@pytest.fixture()
+def events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events")
+
+
+def _storage_blocks(spark):
+    return [
+        (i.name(), i.numCachedPartitions())
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+
+
+def test_retention_never_sweeps_aged_live_claim(spark, events, tmp_path):
+    """A staging generation whose claim is OLDER than the former 60s
+    guard must survive a concurrent publish's retention: claim age
+    says nothing about liveness (a routine long Spark write ages past
+    any guard while still writing)."""
+    from programmers_data_spark.publish import (
+        _VALIDATED_MARKER,
+        publish_versioned,
+        read_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    publish_versioned(events.limit(10), table, keep_generations=1)
+
+    # simulate a live concurrent publisher mid-write: claimed number,
+    # unvalidated partial data, claim mtime aged far past 60s
+    stage = os.path.join(table, "gen-000099")
+    os.makedirs(stage)
+    part = os.path.join(stage, "part-00000-live.parquet")
+    with open(part, "wb") as f:
+        f.write(b"partial")
+    claim = stage + ".claim"
+    with open(claim, "w", encoding="utf-8"):
+        pass
+    old = time.time() - 3600
+    os.utime(claim, (old, old))
+
+    publish_versioned(events.limit(20), table, keep_generations=1)
+
+    assert os.path.exists(part), "retention swept a live writer's staging dir"
+    assert os.path.exists(claim), "retention removed a live claim"
+    assert read_versioned(spark, table).count() == 20
+    # the fake generation never validated, so it serves nothing
+    assert not os.path.exists(os.path.join(stage, _VALIDATED_MARKER))
+
+
+def test_publish_heartbeats_claim_during_write(
+    events, tmp_path, monkeypatch
+):
+    """publish_versioned must refresh the claim mtime after the Spark
+    write (the heartbeat vacuum_versioned's inactivity guard relies
+    on), so a long write never presents a stale claim."""
+    import programmers_data_spark.publish as pub
+
+    table = str(tmp_path / "hb")
+    seen = []
+    real_utime = os.utime
+
+    def spy(path, *a, **k):
+        if str(path).endswith(".claim"):
+            seen.append(os.path.basename(str(path)))
+        return real_utime(path, *a, **k)
+
+    monkeypatch.setattr(pub.os, "utime", spy)
+    pub.publish_versioned(events.limit(5), table)
+    assert len(seen) >= 2, f"expected write+validation heartbeats, got {seen}"
+
+
+def test_vacuum_collects_only_inactive_orphans(spark, events, tmp_path):
+    """vacuum_versioned removes a long-inactive claim's unvalidated
+    orphan, leaves fresh claims alone, and leaves validated data in
+    place (sweeping only the claim)."""
+    from programmers_data_spark.publish import (
+        _VALIDATED_MARKER,
+        publish_versioned,
+        read_versioned,
+        vacuum_versioned,
+    )
+
+    table = str(tmp_path / "v")
+    publish_versioned(events.limit(10), table, keep_generations=2)
+
+    old = time.time() - 7200
+
+    # stale claim + unvalidated dir: true crash orphan → both removed
+    orphan = os.path.join(table, "gen-000050")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    with open(orphan + ".claim", "w", encoding="utf-8"):
+        pass
+    os.utime(orphan + ".claim", (old, old))
+
+    # fresh claim + unvalidated dir: live writer → untouched
+    live = os.path.join(table, "gen-000060")
+    os.makedirs(live)
+    with open(live + ".claim", "w", encoding="utf-8"):
+        pass
+
+    # stale claim over VALIDATED data (died between swap and claim
+    # cleanup): data kept, claim swept
+    done = os.path.join(table, "gen-000070")
+    os.makedirs(done)
+    with open(os.path.join(done, _VALIDATED_MARKER), "w", encoding="utf-8") as f:
+        f.write("ok")
+    with open(done + ".claim", "w", encoding="utf-8"):
+        pass
+    os.utime(done + ".claim", (old, old))
+
+    removed = vacuum_versioned(table, min_claim_age_s=3600)
+
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan + ".claim")
+    assert os.path.isdir(live) and os.path.exists(live + ".claim")
+    assert os.path.isdir(done)
+    assert not os.path.exists(done + ".claim")
+    assert orphan in removed and orphan + ".claim" in removed
+    assert read_versioned(spark, table).count() == 10
+
+
+def test_connected_components_frees_checkpoint_blocks(spark):
+    """After connected_components returns, executor storage must hold
+    at most the RESULT's generation of checkpoint blocks — retired
+    rounds' blocks freed eagerly, not left to ContextCleaner GC
+    (Dataset.unpersist alone is a no-op for localCheckpoint blocks)."""
+    from programmers_data_spark.operators import (
+        _free_blocks,
+        connected_components,
+    )
+
+    spark.sparkContext._jsc.sc().getRDDStorageInfo()  # touch API early
+    # a 12-vertex path graph forces ~12 label-propagation rounds —
+    # the leak under test was one orphaned block-set per round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src int, dst int"
+    )
+    before = len(_storage_blocks(spark))
+    labels = connected_components(edges, max_iterations=20)
+    rows = labels.collect()
+    assert {r.component for r in rows} == {0}
+    after = _storage_blocks(spark)
+    # sym is unpersisted; only the returned labels' single checkpoint
+    # generation may remain
+    assert len(after) <= before + 1, f"leaked blocks: {after}"
+    _free_blocks(labels)
+    assert len(_storage_blocks(spark)) <= before
+
+
+def test_free_blocks_drops_local_checkpoint_storage(spark):
+    """_free_blocks must actually remove a localCheckpoint's blocks
+    from executor storage (the thing Dataset.unpersist cannot do) and
+    be harmless on a merely-persisted frame."""
+    from programmers_data_spark.operators import _free_blocks
+
+    before = len(_storage_blocks(spark))
+    df = (
+        spark.range(10000)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    assert len(_storage_blocks(spark)) == before + 1
+    _free_blocks(df)
+    assert len(_storage_blocks(spark)) == before
+
+    p = spark.range(1000).persist()
+    p.count()
+    assert len(_storage_blocks(spark)) == before + 1
+    _free_blocks(p)  # falls back to Dataset.unpersist, no raise
+    assert len(_storage_blocks(spark)) == before

@@ -34,6 +34,7 @@ PYTHON_TIER = frozenset({
     "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
     "multimodal_decode", "multimodal_features",
     "multimodal_audio_meta",  # Arrow audio-probe IS the operator
+    "multimodal_png_roundtrip",  # Arrow PNG encode+decode roundtrip
     "minhash_jaccard_estimate",  # reuses the Arrow signature pass
     "near_dup_rate_by_source",  # composes dedup_minhash
     "split_neardup_leakage",  # composes dedup_minhash

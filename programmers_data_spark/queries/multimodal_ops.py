@@ -135,3 +135,96 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", mime="audio/wav")
     return probe_audio(media, fake=True).orderBy("media_id")
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n,
+             md5(text) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id,
+             n % 9 + 2 AS w,
+             (n // 9) % 7 + 2 AS h,
+             n % 4 + 1 AS ch,
+             hx
+      FROM m
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ch AS INTEGER) AS channels,
+           md5(substr(repeat(hx, CAST(w * h * ch // 32 + 1 AS INTEGER)),
+                      1, CAST(w * h * ch AS INTEGER))) AS pixel_md5
+    FROM dims
+    ORDER BY media_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec driver certification (round-7 verdict ask #3): per
+    document, build a deterministic pixel buffer (the doc md5 hex
+    repeated to width·height·channels ASCII bytes, dims derived from
+    the byte length, cycling all four supported color types), ENCODE
+    it as a PNG with multimodal/png.py's pure-stdlib writer, DECODE it
+    back with the same module's reader inside the Arrow mapInPandas
+    batch path, and emit the decoded dims + the md5 of the decoded
+    pixel bytes. Roundtrip identity makes the output SQL-expressible:
+    the oracle recomputes the PRE-encode buffer's md5, so a green hash
+    proves signature/CRC/zlib/filter handling and the palette-free
+    decode path end-to-end — not just in pytest.
+
+    Scale shape: map-only (one Arrow pass, no shuffle before the
+    final presentation sort); images are bounded (≤ 320 samples), so
+    the per-batch Python cost is codec-bound, not data-bound."""
+    import pyspark.sql.functions as F
+
+    from ..multimodal.png import decode as png_decode
+    from ..multimodal.png import encode as png_encode
+
+    def roundtrip(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
+            ids, ws, hs, chs, digests = [], [], [], [], []
+            for media_id, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                w, h, ch = n % 9 + 2, (n // 9) % 7 + 2, n % 4 + 1
+                npix = w * h * ch
+                hx = hashlib.md5(data).hexdigest()
+                pixels = (hx * (npix // 32 + 1))[:npix].encode("ascii")
+                png = png_encode(w, h, pixels, channels=ch)
+                dw, dh, dch, px = png_decode(png)
+                ids.append(media_id)
+                ws.append(dw)
+                hs.append(dh)
+                chs.append(dch)
+                digests.append(hashlib.md5(bytes(px)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": chs,
+                    "pixel_md5": digests,
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        roundtrip,
+        schema="media_id long, width int, height int, channels int,"
+        " pixel_md5 string",
+    ).orderBy("media_id")

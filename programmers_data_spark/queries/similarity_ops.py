@@ -5,10 +5,15 @@
 - embedding_neardup: all-pairs cosine ≥ threshold (bounded corpus) —
                      embedding-space near-dup detection.
 - ann_lsh_topk:      multi-table random-hyperplane LSH ANN — the
-                     data-oblivious scale path (rows-only:
-                     signed-projection hashing isn't portable SQL).
+                     data-oblivious scale path (full hash parity:
+                     md5-derived integer planes + fixed-point
+                     components make signatures exact on both
+                     engines — see _SIG_SCALE).
 - ivf_topk:          IVF (k-means coarse quantizer + probe-list scan)
-                     ANN — the data-adaptive scale path (rows-only).
+                     ANN — the data-adaptive scale path (rows-only:
+                     Lloyd's float centroid means are summation-order
+                     -defined, not portable SQL; accuracy contracted
+                     by ivf_recall_at5).
 
 Determinism: dot products run as a left-fold over array<double>
 (functions/vectors.py) — the same serial summation DuckDB's
@@ -216,42 +221,80 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_TABLES = 8  # L hash tables ...
 _N_BITS = 6  # ... of k sign-bits each: P(candidate) = 1-(1-cos_sim^k)^L
 
+# Fixed-point scale for the signature dot products: embedding
+# components are |x| < ~0.6 floats, so floor(x * 2^10 + 0.5) is an
+# exact small integer on BOTH engines (power-of-two scaling of a
+# float32-mantissa double never rounds; the +0.5/floor is one
+# deterministic IEEE op each). Plane weights are md5-derived 16-bit
+# integers, so every signed projection is an EXACT integer sum
+# (≤ 64 · 2^10 · 2^15 = 2^31) — order-independent, hence identical
+# under numpy GEMM and DuckDB's SUM, which is what upgrades the LSH
+# tier from rows-only to full hash parity (the dedup_simhash trick,
+# dedup_ops.py — md5-derived randomness both engines can recompute).
+_SIG_SCALE = 1024
+_ANN_SALT = "lshq"  # ann_lsh_topk's plane family
+_ND_SALT = "lshnd"  # embedding_neardup_lsh's plane family
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from a simple
-    LCG (no numpy at plan build; same plane every run)."""
-    vals = []
-    state = (plane * 2654435761 + 12345) & 0xFFFFFFFF
-    for _ in range(dim):
-        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
-        vals.append((state / 0x7FFFFFFF) * 2 - 1)
-    return vals
 
+def _md5_plane_weights(salt: str, n_planes: int, dim: int = 64):
+    """(dim × n_planes) int64 hyperplane weights in [-2^15, 2^15):
+    weight(p, d) = first 16 md5 bits of "{salt}_{p}_{d}" − 32768.
+    hashlib.md5 here ≡ DuckDB md5(concat(...)) in the oracles."""
+    import hashlib
 
-@query("ann_lsh_topk")  # rows-only: signed random projections aren't ANSI SQL
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table random-hyperplane LSH (8 tables × 6 sign
-    bits). A single fine signature leaves every vector in a singleton
-    bucket at moderate N — the classic recall failure — so, exactly as
-    MinHash-LSH bands do, each table uses a SHORT signature and a
-    vector is a candidate if it collides with the query in ANY table.
-    Long-form (table_idx, bucket) rows → one equi-join against the
-    broadcast query set → distinct → rank by exact cosine. Work per
-    query ≈ L × N/2^k candidates — linear scan economics, tunable via
-    (L, k) for the recall/cost point, never N²."""
     import numpy as np
 
-    emb = load_vectors(spark, sf_dir)
-    dim = 64
-    n_planes = _N_TABLES * _N_BITS
-    planes = np.array(
-        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
-    ).T  # (dim, L*k)
-    powers = np.array([2**p for p in range(_N_BITS)], dtype=np.int64)
+    w = np.empty((dim, n_planes), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            hx = hashlib.md5(f"{salt}_{p}_{d}".encode()).hexdigest()
+            w[d, p] = int(hx[:4], 16) - 32768
+    return w
 
-    # one numpy pass computes all 48 sign bits per vector — as Column
-    # expressions this is 48 literal-array dot products whose codegen
-    # dwarfs the actual work; here it's a single (batch × dim × 48) GEMM
+
+def _duck_sig_ctes(salt: str, n_planes: int, n_bits: int) -> str:
+    """Oracle CTE chain computing the SAME (vec_id, tbl, bucket)
+    signatures as the Spark kernel, from a CTE ``e(vec_id, emb)``:
+    fixed-point components ⋈ md5-derived plane weights → exact
+    integer signed projections → per-table bucket ids."""
+    return f"""
+    comp AS (
+      SELECT vec_id,
+             unnest(list_transform(
+               emb, x -> CAST(floor(x * {_SIG_SCALE}.0 + 0.5) AS BIGINT)
+             )) AS qx,
+             unnest(range(0, len(emb))) AS d
+      FROM e
+    ),
+    planes AS (
+      SELECT p.p AS p, d.d AS d,
+             CAST(CAST(('0x' || substr(
+               md5(concat('{salt}_', p.p, '_', d.d)), 1, 4
+             )) AS UBIGINT) AS BIGINT) - 32768 AS w
+      FROM range({n_planes}) p(p), range(64) d(d)
+    ),
+    bits AS (
+      SELECT c.vec_id, pl.p,
+             CASE WHEN SUM(c.qx * pl.w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM comp c JOIN planes pl ON c.d = pl.d
+      GROUP BY c.vec_id, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id, CAST(p // {n_bits} AS INTEGER) AS tbl,
+             CAST(SUM(bit << (p % {n_bits})) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, p // {n_bits}
+    )"""
+
+
+def _signature_kernel(salt: str, n_tables: int, n_bits: int):
+    """mapInPandas generator emitting (vec_id, emb, tbl, bucket) rows
+    — n_tables rows per vector — via one integer GEMM per Arrow batch
+    over the md5-derived planes (exact arithmetic; see _SIG_SCALE)."""
+    import numpy as np
+
+    planes = _md5_plane_weights(salt, n_tables * n_bits)
+    powers = np.array([2**p for p in range(n_bits)], dtype=np.int64)
+
     def signatures(batches):
         import pandas as pd
 
@@ -259,10 +302,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:  # empty Arrow batches are legal
                 continue
             x = np.array(list(pdf["emb"]), dtype=np.float64)
-            bits = (x @ planes) > 0  # (n, L*k)
+            q = np.floor(x * float(_SIG_SCALE) + 0.5).astype(np.int64)
+            bits = (q @ planes) > 0  # exact int64 GEMM, (n, L*k)
             out = []
-            for t in range(_N_TABLES):
-                chunk = bits[:, t * _N_BITS : (t + 1) * _N_BITS]
+            for t in range(n_tables):
+                chunk = bits[:, t * n_bits : (t + 1) * n_bits]
                 out.append(
                     pd.DataFrame(
                         {
@@ -275,8 +319,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out)
 
+    return signatures
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
+    ),
+    {_duck_sig_ctes(_ANN_SALT, _N_TABLES * _N_BITS, _N_BITS)},
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket
+       AND c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT cands.query_id, cands.neighbor_id, {_DUCK_COS} AS cos
+      FROM cands
+      JOIN e a ON a.vec_id = cands.query_id
+      JOIN e b ON b.vec_id = cands.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH (8 tables × 6 sign
+    bits). A single fine signature leaves every vector in a singleton
+    bucket at moderate N — the classic recall failure — so, exactly as
+    MinHash-LSH bands do, each table uses a SHORT signature and a
+    vector is a candidate if it collides with the query in ANY table.
+    Long-form (table_idx, bucket) rows → one equi-join against the
+    broadcast query set → distinct → rank by exact cosine. Work per
+    query ≈ L × N/2^k candidates — linear scan economics, tunable via
+    (L, k) for the recall/cost point, never N².
+
+    Full hash parity (upgraded from rows-only): plane weights are
+    md5-derived integers and components are fixed-point-quantized, so
+    the signed projections are exact integer sums both engines compute
+    identically (see _SIG_SCALE); the re-rank cosine is the serial
+    left-fold that matches DuckDB's list_dot_product bitwise, and the
+    output carries ids + rank only."""
+    emb = load_vectors(spark, sf_dir)
+    # one numpy pass computes all 48 sign bits per vector — as Column
+    # expressions this is 48 dot products whose codegen dwarfs the
+    # actual work; here it's a single (batch × dim × 48) integer GEMM
     bucketed = emb.mapInPandas(
-        signatures, schema="vec_id long, emb array<double>, tbl int, bucket long"
+        _signature_kernel(_ANN_SALT, _N_TABLES, _N_BITS),
+        schema="vec_id long, emb array<double>, tbl int, bucket long",
     )
 
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
@@ -410,7 +512,35 @@ _ND_TABLES = 8  # L tables of k=4 sign bits: recall ≈ 1-(1-p^4)^8,
 _ND_BITS = 4  # p = 1 - acos(cos)/π — ~0.77 at cos 0.42, ~1 near 1.0
 
 
-@query("embedding_neardup_lsh")  # rows-only: approximate (recall < 1)
+# numpy's normalized-GEMM cosine and the serial-fold cosine differ by
+# ulps, so the in-bucket GEMM prefilters with this guard band and the
+# FINAL threshold comparison runs on the fold-based cosine both
+# engines share bitwise — boundary pairs land identically.
+_ND_GUARD_BAND = 1e-6
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
+    ),
+    {_duck_sig_ctes(_ND_SALT, _ND_TABLES * _ND_BITS, _ND_BITS)},
+    cand AS (
+      SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+      FROM sigs sa JOIN sigs sb
+        ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket
+       AND sa.vec_id < sb.vec_id
+    )
+    SELECT vec_a, vec_b
+    FROM cand
+    JOIN e a ON a.vec_id = cand.vec_a
+    JOIN e b ON b.vec_id = cand.vec_b
+    WHERE {_DUCK_COS} >= {NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for N×N embedding near-dup: LSH-bucket both
     sides, GEMM within buckets — no broadcast of the whole corpus, no
@@ -420,49 +550,26 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Short hyperplane signatures (k=4 bits) over L=8 tables: every
     vector lands in L buckets; candidate pairs share a bucket in ANY
     table. Each (table, bucket) group runs one pairwise float64 GEMM
-    over its members and emits pairs ≥ threshold (exact re-check, so
-    precision is 1.0 by construction; recall is the LSH collision
-    probability). Bucket count 2^k caps group size ~N/2^k — the
-    applyInPandas groups stay bounded, and a skewed bucket splits by
-    raising k. dropDuplicates collapses pairs found in several tables.
+    over its members and emits candidates near/above threshold;
+    precision is 1.0 by construction (exact re-check), recall is the
+    LSH collision probability. Bucket count 2^k caps group size
+    ~N/2^k — the applyInPandas groups stay bounded, and a skewed
+    bucket splits by raising k. dropDuplicates collapses pairs found
+    in several tables.
 
-    Recall vs the exact pair set is asserted in tests
-    (test_scale.py::test_neardup_lsh_recall)."""
+    Full hash parity (upgraded from rows-only): signatures use the
+    md5-derived exact-integer scheme (_SIG_SCALE), so both engines
+    bucket identically; the GEMM only PREFILTERS with a guard band
+    and the decisive threshold comparison is the fold-based cosine
+    that matches DuckDB bitwise. Recall vs the exact pair set is
+    asserted in tests (test_scale.py::test_neardup_lsh_recall) and
+    driver-contracted by lsh_neardup_recall."""
     import numpy as np
 
     emb = load_vectors(spark, sf_dir)
-    dim = 64
-    n_planes = _ND_TABLES * _ND_BITS
-    planes = np.array(
-        [_hyperplane(dim, 1000 + p) for p in range(n_planes)], dtype=np.float64
-    ).T
-    powers = np.array([2**p for p in range(_ND_BITS)], dtype=np.int64)
-
-    def signatures(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:  # empty Arrow batches are legal
-                continue
-            x = np.array(list(pdf["emb"]), dtype=np.float64)
-            bits = (x @ planes) > 0
-            out = []
-            for t in range(_ND_TABLES):
-                chunk = bits[:, t * _ND_BITS : (t + 1) * _ND_BITS]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"],
-                            "emb": pdf["emb"],
-                            "tbl": t,
-                            "bucket": chunk @ powers,
-                        }
-                    )
-                )
-            yield pd.concat(out)
-
     bucketed = emb.mapInPandas(
-        signatures, schema="vec_id long, emb array<double>, tbl int, bucket long"
+        _signature_kernel(_ND_SALT, _ND_TABLES, _ND_BITS),
+        schema="vec_id long, emb array<double>, tbl int, bucket long",
     )
 
     def pairwise(pdf):
@@ -474,15 +581,26 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array(list(pdf["emb"]), dtype=np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         sims = x @ x.T
-        ai, bi = np.nonzero(sims >= NEARDUP_THRESHOLD)
+        ai, bi = np.nonzero(sims >= NEARDUP_THRESHOLD - _ND_GUARD_BAND)
         a, b = ids[ai], ids[bi]
         keep = a < b
         return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
 
-    return (
+    cand = (
         bucketed.groupBy("tbl", "bucket")
         .applyInPandas(pairwise, schema="vec_a long, vec_b long")
         .dropDuplicates()
+    )
+    # exact re-check on the fold cosine: the candidate set is
+    # pair-count-sized (the guard band admits only ulp-boundary
+    # extras), so the two id joins are broadcast-cheap
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
+        .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
 

@@ -71,17 +71,21 @@ _QUERY_MODULES = (
 # installs disallowed — semantics driver-certified r6 via the
 # applyInPandasWithState twin).
 
-# Queries registered WITHOUT an oracle, by design (seeded-RNG ANN
-# paths not reproducible in SQL, BPE merge iteration, HLL sketch
-# internals). Each has a hash-checkable accuracy-contract twin that
-# IS oracle-checked (ann_recall_at5, ivf_recall_at5, pq_recall_at5,
-# lsh_neardup_recall, semantic_dedup_recall, bpe_contract,
-# mau_approx_error). tests/test_round5.py derives the window's
-# expected rows-only set from this list — keep it in sync with
-# registration (test_registry_hygiene asserts equality).
+# Queries registered WITHOUT an oracle, by design (k-means float
+# centroid training isn't summation-order-portable SQL, BPE merge
+# iteration, HLL sketch internals). Each has a hash-checkable
+# accuracy-contract twin that IS oracle-checked (ivf_recall_at5,
+# pq_recall_at5, semantic_dedup_recall, bpe_contract,
+# mau_approx_error). Round 8 removed ann_lsh_topk and
+# embedding_neardup_lsh from this set: md5-derived integer plane
+# weights + fixed-point components (similarity_ops._SIG_SCALE) made
+# their signatures exactly reproducible in DuckDB — the same trick
+# that upgraded dedup_simhash in r4. tests/test_round5.py derives the
+# window's expected rows-only set from this list — keep it in sync
+# with registration (test_registry_hygiene asserts equality).
 ROWS_ONLY = frozenset({
-    "ann_lsh_topk", "bpe_encoded_counts", "bpe_merges",
-    "dedup_semantic", "embedding_neardup_lsh", "ivf_topk",
+    "bpe_encoded_counts", "bpe_merges",
+    "dedup_semantic", "ivf_topk",
     "mau_approx", "pq_topk",
 })
 

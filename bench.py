@@ -68,6 +68,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Fresh published-artifact store per bench run: the dedup_minhash
+    # composition family reads the verified pair set through a
+    # publish/read seam (dedup_ops.verified_pair_store) — production
+    # materializes that table once per curation run, so the bench lets
+    # the FIRST materialization happen inside this run (warmup of the
+    # first consumer) and charges each composer its marginal read-side
+    # work. A lingering store from a previous run would hide the build
+    # cost entirely; an isolated temp dir keeps the accounting honest.
+    import tempfile
+
+    from programmers_data_spark.queries.dedup_ops import PAIR_STORE_ENV
+
+    os.environ[PAIR_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_pairs_")
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

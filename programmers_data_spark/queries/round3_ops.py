@@ -575,9 +575,9 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature reuse and all) and rolls pairs up to original doc ids
     (augmented twins map back via mod); the per-source rollup is one
     small groupBy over the doc dimension with the dup set broadcast."""
-    from .dedup_ops import dedup_minhash
+    from .dedup_ops import verified_pair_store
 
-    pairs = dedup_minhash(spark, sf_dir)
+    pairs = verified_pair_store(spark, sf_dir)
     dup_docs = (
         pairs.select((F.col("doc_a") % 1000000).alias("doc_id"))
         .unionByName(pairs.select((F.col("doc_b") % 1000000).alias("doc_id")))
@@ -739,9 +739,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffle-partition when they are not; the rollup is a
     |sources|²-bounded aggregate and the share division folds in a
     1-row total (allowlisted bounded cartesian)."""
-    from .dedup_ops import dedup_minhash
+    from .dedup_ops import verified_pair_store
 
-    pairs = dedup_minhash(spark, sf_dir)
+    pairs = verified_pair_store(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         pairs.select(

@@ -18,7 +18,7 @@ from ..functions import textfn
 from ..operators import bounded_global_window
 from ..registry import ORACLE, query
 from ._oracle_shared import _DUCK_TOKS
-from .dedup_ops import dedup_minhash
+from .dedup_ops import verified_pair_store
 from .round3_ops import SHUFFLE_SALT
 
 # train/val boundary on the first hex byte of the content hash:
@@ -503,7 +503,7 @@ def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized joins keyed by doc_id. The augmented mutation
     twins the dedup tier injects (ids >= 1,000,000) have no split
     assignment and are excluded."""
-    pairs = dedup_minhash(spark, sf_dir).filter(
+    pairs = verified_pair_store(spark, sf_dir).filter(
         (F.col("doc_a") < _AUG_ID_BASE) & (F.col("doc_b") < _AUG_ID_BASE)
     )
     sp = train_val_split(spark, sf_dir)

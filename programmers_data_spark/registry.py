@@ -40,36 +40,40 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.curation_ops",  # 6 (→77)
     "programmers_data_spark.queries.extras",  # 25 (→102)
     "programmers_data_spark.queries.similarity_ops",  # 10 (→112)
-    "programmers_data_spark.queries.multimodal_ops",  # 5 (→117)
-    "programmers_data_spark.queries.analytics",  # 19 (→136)
-    "programmers_data_spark.queries.subqueries",  # 8 (→144)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→150)
-    "programmers_data_spark.queries.sampling_ops",  # 9 (→159)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→167)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→170)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→173)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→176)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→118)
+    "programmers_data_spark.queries.analytics",  # 19 (→137)
+    "programmers_data_spark.queries.subqueries",  # 8 (→145)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→151)
+    "programmers_data_spark.queries.sampling_ops",  # 9 (→160)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→168)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→171)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→174)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→177)
 )
 
-# ROUND-8 ROTATION PLAN (for the next session): after r7 verifies the
-# r3 block + 36 oldest r4-vintage names below, the least-recently-
-# checked tier is the 17 remaining r4-vintage names
-# (packing_spans, doc_lang_mix, knn_label_vote, adaptive_quality_gate,
-# near_dup_rate_by_source, corpus_shuffle, skew_profile, and the nine
-# streaming_ops queries stream_tumbling_daily, stream_sliding_2d,
-# stream_dedup, sessionization, stream_session_window,
-# stream_stateful_counts, stream_enrich_segment,
-# stream_join_attribution, stream_corpus_quality) plus the r5-vintage
-# TPC-H/analytics block (49 names), plus the twelve names that gave up
-# their r7 slots to late-r7 registrations (minhash_jaccard_estimate,
-# sequence_packing, dau, dedup_keep_canonical, dedup_clusters,
-# dedup_simhash, ngram_jaccard, doc_chunks, top_terms_per_doc,
-# vocab_topk, pii_redact, corpus_sample_hash). 17+49+12 = 78 — take the r4 block whole,
-# fill with the oldest r5 names (registration order), keep 2-3
-# r7-green sentinels as canaries, and keep stream_tws_value_stats
-# OUTSIDE the window (honestly gated: google.protobuf absent,
-# installs disallowed — semantics driver-certified r6 via the
-# applyInPandasWithState twin).
+# ROUND-9 ROTATION PLAN (for the next session). After r8 verifies the
+# full 28-name r4-stale tier plus 13 r5 names, the stale backlog is —
+# counted from the CORRECTNESS_r0*.json record itself this time (the
+# r7 comment's hand count was wrong, r7 ADVICE #3):
+# - 34 r5-vintage names: post_purchase_clicks, acctbal_quartiles,
+#   grouping_sets_revenue, event_type_unpivot, salted_segment_revenue,
+#   cohort_retention, pricing_summary, region_revenue, top_customers,
+#   order_priority, top3_per_segment, nation_customer_stats,
+#   brand_revenue, daily_revenue, shipping_priority,
+#   promo_revenue_share, nation_trade_volume, returned_item_customers,
+#   order_count_distribution, top_supplier, large_orders,
+#   discounted_revenue, forecast_revenue_change, market_share,
+#   product_type_profit, cheapest_supplier_per_part,
+#   supplier_value_share, priority_line_counts, supplier_cnt_by_part,
+#   small_qty_revenue, waiting_suppliers, idle_rich_customers,
+#   bulk_suppliers_for_parts, mau_approx_error
+# - then the 45-name r6 tier (48 r6 rows minus ann_lsh_topk,
+#   embedding_neardup_lsh, lsh_neardup_recall, refreshed in r8).
+# Take the r5 block (34) + the 13-14 oldest r6 names by registration
+# order, keep 2-3 r8-green sentinels for any code the r9 diff touches,
+# and keep stream_tws_value_stats OUTSIDE the window (honestly gated:
+# google.protobuf absent, installs disallowed — semantics
+# driver-certified r6 via the applyInPandasWithState twin).
 
 # Queries registered WITHOUT an oracle, by design (k-means float
 # centroid training isn't summation-order-portable SQL, BPE merge
@@ -90,90 +94,80 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the driver
-# verifies this round. Round-7 rotation (VERDICT r6 ask #2, executing
-# the plan the r6 registry comment laid down): the 11 r3-vintage names
-# whole, plus the 36 oldest r4-vintage names in registration order
-# (the r4 transforms/text/dedup tier; the 17 youngest r4 names — the
-# streaming_ops block and eight stragglers — roll to round 8), the 17
-# round-7-registered queries (hard_negatives, rrf_fusion,
-# source_temperature_weights, token_budget_allocation,
-# split_neardup_leakage, multimodal_audio_meta,
-# code_fraction_by_source, winnow_collision_pairs,
-# source_vocab_divergence, label_centroid_drift, curriculum_phases,
-# cross_source_dup_matrix, stream_vocab_drift, event_path_trigrams,
-# rfm_segments, neardup_incremental, training_manifest — never
-# driver-checked, which outranks
-# stale refreshes), plus 2 r6-green sentinels whose code the round-7
-# diff touched: tfidf_shingle_pairs (plan re-optimized — the window
-# row proves the hash survived) and bpe_contract (marked weak in
-# VERDICT r6 until the suite is green). Every window name has an oracle —
-# zero rows-only slots this round. Everything outside the window was
-# driver-green in r5/r6 and stays locally verified every run by
-# tests/test_oracle_parity.py, which hash-checks ALL registered
-# oracles.
+# verifies this round. Round-8 rotation (VERDICT r7 ask #1, counts
+# re-derived from the CORRECTNESS_r0*.json record per r7 ADVICE #3):
+# the ENTIRE 28-name r4-stale tier (every query whose latest driver
+# row predates r5 — nothing older remains after this round), plus the
+# round-8 new/changed queries (multimodal_png_roundtrip is a new
+# registration; ann_lsh_topk / embedding_neardup_lsh upgraded from
+# rows-only to full md5-derived-signature oracles; ann_recall_at5 /
+# lsh_neardup_recall compose those changed paths;
+# corpus_mixture_weights gained the zero-token-source NULL contract;
+# source_vocab_divergence / stream_vocab_drift share the fixed vdiv
+# oracle; cross_source_dup_matrix / split_neardup_leakage now read
+# the published pair-store seam — each needs a fresh row proving the
+# hash survived), plus the 12 oldest r5-vintage names in registration
+# order. Every window name has an oracle — zero rows-only slots.
+# Everything outside the window was driver-green in r5-r7 and stays
+# locally verified every run by tests/test_oracle_parity.py, which
+# hash-checks ALL registered oracles.
 _WINDOW = (
-    # r3-vintage block, whole (stalest driver rows in the fleet)
-    "repetition_profile",
-    "gopher_quality_flags",
-    "dedup_prefix",
-    "stratified_sample",
-    "shingle_novelty",
+    # r4-stale tier, whole (28 — the only pre-r5 driver rows left)
+    "corpus_sample_hash",
+    "pii_redact",
+    "vocab_topk",
+    "top_terms_per_doc",
+    "doc_chunks",
+    "ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "minhash_jaccard_estimate",
+    "sequence_packing",
+    "packing_spans",
+    "bigram_stats",
+    "doc_lang_mix",
+    "knn_label_vote",
+    "adaptive_quality_gate",
+    "near_dup_rate_by_source",
+    "corpus_shuffle",
+    "skew_profile",
+    "stream_tumbling_daily",
+    "stream_sliding_2d",
+    "stream_dedup",
+    "sessionization",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_enrich_segment",
+    "stream_join_attribution",
+    "stream_corpus_quality",
+    # round-8 new/changed (never checked, or code/oracle touched this
+    # round — fresh rows prove the hashes survived the diff)
+    "multimodal_png_roundtrip",
+    "ann_lsh_topk",
+    "embedding_neardup_lsh",
+    "ann_recall_at5",
+    "lsh_neardup_recall",
     "corpus_mixture_weights",
-    "decontam_overlap",
-    "doc_commonness",
-    "dedup_incremental",
-    "table_profile",
-    "curation_funnel",
-    # r4-vintage, oldest 36 by registration order
-    "dedup_keep_latest",
-    "upsert_keyed",
-    "distinct_rows",
-    "csv_parse_project",
-    "json_nested_project",
-    "epoch_to_date",
-    "ts_format",
-    "daily_filter",
-    "clean_currency",
-    "null_fill",
-    "token_count",
-    "text_stats",
-    "doc_fingerprint",
-    "quality_score",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "doc_winnow_fingerprint",
-    "corpus_clean",
-    "dedup_exact",
-    "dedup_minhash",
-    # round-7 new registrations — never had a driver row, so they
-    # outrank further stale-refresh slots (the r6 rotation principle).
-    # minhash_jaccard_estimate / sequence_packing / dau /
-    # dedup_keep_canonical / dedup_clusters / dedup_simhash /
-    # ngram_jaccard / doc_chunks / top_terms_per_doc / vocab_topk /
-    # pii_redact / corpus_sample_hash gave up their slots to the
-    # twelve late-r7 registrations and roll to round 8.
-    "hard_negatives",
-    "rrf_fusion",
-    "source_temperature_weights",
-    "token_budget_allocation",
-    "split_neardup_leakage",
-    "multimodal_audio_meta",
-    "code_fraction_by_source",
-    "winnow_collision_pairs",
     "source_vocab_divergence",
-    "label_centroid_drift",
-    "curriculum_phases",
-    "cross_source_dup_matrix",
     "stream_vocab_drift",
-    "event_path_trigrams",
-    "rfm_segments",
-    "neardup_incremental",
-    "training_manifest",
-    # r6-green sentinels whose code was touched by the round-7 diff
-    # (tfidf plan rewrite; bpe_contract degenerate-corpus guard) —
-    # the window row proves the driver hash survived the change.
-    "tfidf_shingle_pairs",
-    "bpe_contract",
+    "cross_source_dup_matrix",
+    "split_neardup_leakage",
+    # oldest r5-vintage names by registration order (stale-refresh
+    # fill; the remaining 34 r5 names roll to round 9 — see the plan
+    # comment above)
+    "incr_distinct",
+    "mau",
+    "customers_with_orders",
+    "customers_without_orders",
+    "rollup_revenue",
+    "returning_customers",
+    "churned_customers",
+    "cube_order_stats",
+    "running_revenue",
+    "asof_last_order",
+    "value_histogram",
+    "event_type_pivot",
 )
 
 

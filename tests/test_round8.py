@@ -168,6 +168,53 @@ def test_connected_components_frees_checkpoint_blocks(spark):
     assert len(_storage_blocks(spark)) <= before
 
 
+def test_verified_pair_store_publishes_then_serves(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """The published pair-set seam: first use computes dedup_minhash's
+    verified pairs and publishes them through the versioned layer;
+    after a memo-cache wipe (bench isolation), the same rows come back
+    from the published parquet — bit-identical, without re-running the
+    signature pass (the store handle cache is cold AND the artifact
+    exists, so the read path must serve)."""
+    import glob
+
+    from programmers_data_spark.memo import clear_memo_caches
+    from programmers_data_spark.queries import dedup_ops
+
+    store = str(tmp_path / "pairstore")
+    monkeypatch.setenv(dedup_ops.PAIR_STORE_ENV, store)
+    clear_memo_caches()
+
+    first = dedup_ops.verified_pair_store(spark, sf_smoke).collect()
+    assert len(first) > 0
+    gens = glob.glob(store + "/*/minhash_pairs/gen-*")
+    assert len(gens) == 1, gens
+
+    clear_memo_caches()
+    spark.catalog.clearCache()
+    second = dedup_ops.verified_pair_store(spark, sf_smoke)
+    # served from the artifact: the plan reads parquet, no Python
+    # signature stage
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert second.collect() == first
+    # still exactly the producer's rows
+    assert dedup_ops.dedup_minhash(spark, sf_smoke).collect() == first
+    clear_memo_caches()
+
+
+def test_pair_store_keys_on_fixture_identity(spark, sf_smoke, tmp_path):
+    """The artifact is content-addressed: a different fixture dir (or
+    a regenerated documents.parquet) maps to a different store table,
+    so stale pairs can never serve a new corpus."""
+    from programmers_data_spark.queries.dedup_ops import _pair_store_table
+
+    a = _pair_store_table(sf_smoke)
+    b = _pair_store_table(str(tmp_path))
+    assert a != b
+
+
 def test_free_blocks_drops_local_checkpoint_storage(spark):
     """_free_blocks must actually remove a localCheckpoint's blocks
     from executor storage (the thing Dataset.unpersist cannot do) and

@@ -57,7 +57,9 @@ BOUNDED_CARTESIAN = frozenset({
     "bpe_contract",            # crossJoins two 1-row corpus aggregates
     "ivf_recall_at5",          # same, via ivf_topk
     "pq_recall_at5",           # same, via embedding_topk baseline
+    "contrastive_training_pairs",  # broadcast bounded query set
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
+    "dsir_importance_proxy",   # 1-row target-source + totals broadcasts
     "curriculum_phases",       # 1-row corpus-count broadcast into
     #                            the phase division
     "cross_source_dup_matrix",  # 1-row pair-total broadcast
@@ -86,6 +88,7 @@ BOUNDED_CARTESIAN = frozenset({
 # final single-row result.
 BOUNDED_SINGLE_PARTITION = frozenset({
     "adaptive_quality_gate", "ann_recall_at5", "bpe_contract",
+    "dsir_importance_proxy",  # 1-row distribution-totals aggregate
     "curriculum_phases",  # 1-row corpus-count agg feeds the broadcast
     "cross_source_dup_matrix",  # 1-row pair-total agg feeds the share
     "ivf_recall_at5",

@@ -658,3 +658,175 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# memoized result per (applicationId, sf_dir): the query persists its
+# (doc, bucket) count table for the distribution and scoring branches,
+# and the memo keeps repeated calls from stacking a fresh persist each
+# time (the *_CACHE contract — bench _reset clears every such dict)
+_DSIR_CACHE: dict = {}
+
+# DSIR hashed-feature space: unigrams hashed into this many buckets.
+# 1024 keeps the weight table broadcast-trivial while leaving bucket
+# collisions rare on the fixture vocab (the method is defined ON a
+# hashed space — collisions are part of the estimator, not a bug).
+DSIR_BUCKETS = 1024
+# fixed-point scale for the per-bucket probability-difference weights:
+# |p_t - p_r| <= 1, so scaled weights are exact ±2^20-bounded longs
+DSIR_FP_SCALE = 1 << 20
+
+
+@query(
+    "dsir_importance_proxy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM tok
+    ),
+    doc_b AS (
+      SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY doc_id, source, bucket
+    ),
+    t AS (SELECT min(source) AS t_src FROM documents),
+    dist AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN source = (SELECT t_src FROM t)
+                           THEN c ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN source != (SELECT t_src FROM t)
+                           THEN c ELSE 0 END) AS BIGINT) AS cr
+      FROM doc_b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+             CAST(SUM(cr) AS BIGINT) AS tr
+      FROM dist
+    ),
+    w AS (
+      SELECT bucket,
+             CASE WHEN tt = 0 OR tr = 0 THEN 0
+                  ELSE CAST(floor((CAST(ct AS DOUBLE) / tt
+                                   - CAST(cr AS DOUBLE) / tr)
+                                  * {DSIR_FP_SCALE} + 0.5) AS BIGINT)
+             END AS w
+      FROM dist, tot
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(SUM(w.w * doc_b.c) AS BIGINT) AS dsir_score,
+             CAST(SUM(doc_b.c) AS BIGINT) AS n_tokens
+      FROM doc_b JOIN w USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.dsir_score, 0) AS BIGINT) AS dsir_score
+    FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dsir_importance_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, linearized: score
+    every document by how much its hashed-unigram profile leans toward
+    a TARGET domain versus the raw corpus — the selection signal DSIR
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023 — public method) computes with hashed
+    n-gram bag likelihood ratios. The target domain here is the
+    lexicographically first source (a deterministic stand-in for "the
+    domain you want more of"); features are md5-hashed unigram buckets
+    (the method is DEFINED on a hashed feature space).
+
+    Linearization for engine parity: the canonical score is
+    Σ_f c_f · log(p_t(f)/p_r(f)), but libm log differs by ulps across
+    engines (verify-skill learning), so the weight is the fixed-point
+    FIRST-ORDER signal w_f = floor((p_t(f) − p_r(f)) · 2^20 + 0.5) —
+    each p a single IEEE division of exact integers, the difference
+    one exact-operand subtraction, the scaling a power of two — and
+    the doc score Σ_f w_f · c_f is an exact, order-independent
+    integer sum. Same ranking intent (over-represented-in-target
+    features pull positive), bitwise-portable arithmetic.
+
+    Scale shape: one shuffle to (doc, bucket) counts with map-side
+    combine; the bucket distribution is a DSIR_BUCKETS-row broadcast
+    (built from the same counts — no second corpus pass; its totals
+    fold in one 1-row broadcast, allowlisted); scoring is a broadcast
+    join + a per-doc aggregate. Linear in corpus tokens at 100 TB,
+    and the weight table is reusable across incoming batches the way
+    production DSIR reuses its trained importance estimator."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DSIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(textfn.tokenize("text")).alias("tok")
+    )
+    doc_b = (
+        tok.select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    t_src = docs.agg(F.min("source").alias("t_src"))
+    tagged = doc_b.crossJoin(F.broadcast(t_src))
+    dist = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == F.col("t_src"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("source") != F.col("t_src"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+    )
+    tot = dist.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cr").cast("long").alias("tr"),
+    )
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.when((F.col("tt") == 0) | (F.col("tr") == 0), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (
+                    F.col("ct").cast("double") / F.col("tt")
+                    - F.col("cr").cast("double") / F.col("tr")
+                )
+                * F.lit(float(DSIR_FP_SCALE))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("w"),
+    )
+    scores = (
+        doc_b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("dsir_score"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    result = (
+        docs.select("doc_id", "source")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("dsir_score", F.lit(0))
+            .cast("long")
+            .alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+    _DSIR_CACHE[key] = result
+    return result

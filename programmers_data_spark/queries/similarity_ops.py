@@ -959,6 +959,91 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contrastive_training_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE {_DUCK_NONZERO}
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             (a.label = b.label) AS same_label, {_DUCK_COS} AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, same_label,
+             row_number() OVER (
+               PARTITION BY query_id, same_label
+               ORDER BY cos DESC, neighbor_id
+             ) AS r
+      FROM scored
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id
+      FROM ranked WHERE same_label AND r = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS neg_id, CAST(r AS INTEGER) AS neg_rank
+      FROM ranked WHERE NOT same_label AND r <= {HARDK}
+    )
+    SELECT n.query_id, p.pos_id, n.neg_id, n.neg_rank
+    FROM neg n LEFT JOIN pos p ON n.query_id = p.query_id
+    ORDER BY n.query_id, n.neg_rank
+    """,
+)
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive-training export: for each query vector, the
+    (anchor, positive, negative) triplets a contrastive trainer
+    consumes — positive = nearest SAME-label neighbor, negatives = the
+    HARDK nearest DIFFERENT-label neighbors (the hard_negatives cut),
+    one row per negative with its rank. A query whose label has no
+    other member emits NULL pos_id (anchor-only triplets are the
+    caller's policy decision, not silently dropped rows).
+
+    One scored pass serves both sides: rank within (query, same-label)
+    partitions, slice rank 1 of the same-label class and ranks ≤ HARDK
+    of the complement — no second corpus scan, no join between two
+    retrieval systems. Scale shape: broadcast bounded query set ×
+    corpus scan (allowlisted), one shuffle on the query key shared by
+    the window and both slices; the pos⋈neg join is N_QUERIES-sized."""
+    emb = load_vectors(spark, sf_dir, "label")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = (
+        load_vectors(spark, sf_dir, "label")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("q_label")).alias("same_label"),
+            cosine("q_emb", "emb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    pos = ranked.filter(F.col("same_label") & (F.col("r") == 1)).select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    neg = ranked.filter(~F.col("same_label") & (F.col("r") <= HARDK)).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("r").cast("int").alias("neg_rank"),
+    )
+    return (
+        neg.join(pos, "query_id", "left")
+        .select("query_id", "pos_id", "neg_id", "neg_rank")
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 # fixed-point scale for the centroid-drift quantization: components
 # are unit-ish floats, so 2^20 keeps every scaled value an exact
 # 21-bit integer and per-(label, dim) sums far below long overflow

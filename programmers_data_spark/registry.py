@@ -39,23 +39,24 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_quality_ops",  # 8 (→71)
     "programmers_data_spark.queries.curation_ops",  # 6 (→77)
     "programmers_data_spark.queries.extras",  # 25 (→102)
-    "programmers_data_spark.queries.similarity_ops",  # 10 (→112)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→118)
-    "programmers_data_spark.queries.analytics",  # 19 (→137)
-    "programmers_data_spark.queries.subqueries",  # 8 (→145)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→151)
-    "programmers_data_spark.queries.sampling_ops",  # 9 (→160)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→168)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→171)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→174)
-    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→177)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→113)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→119)
+    "programmers_data_spark.queries.analytics",  # 19 (→138)
+    "programmers_data_spark.queries.subqueries",  # 8 (→146)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→152)
+    "programmers_data_spark.queries.sampling_ops",  # 10 (→162)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→170)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→173)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→176)
+    "programmers_data_spark.queries.tokenizer_ops",  # 3 (→179)
 )
 
 # ROUND-9 ROTATION PLAN (for the next session). After r8 verifies the
 # full 28-name r4-stale tier plus 13 r5 names, the stale backlog is —
 # counted from the CORRECTNESS_r0*.json record itself this time (the
 # r7 comment's hand count was wrong, r7 ADVICE #3):
-# - 34 r5-vintage names: post_purchase_clicks, acctbal_quartiles,
+# - 36 r5-vintage names: value_histogram, event_type_pivot,
+#   post_purchase_clicks, acctbal_quartiles,
 #   grouping_sets_revenue, event_type_unpivot, salted_segment_revenue,
 #   cohort_retention, pricing_summary, region_revenue, top_customers,
 #   order_priority, top3_per_segment, nation_customer_stats,
@@ -153,9 +154,13 @@ _WINDOW = (
     "stream_vocab_drift",
     "cross_source_dup_matrix",
     "split_neardup_leakage",
+    # round-8 NEW registrations (never driver-checked — outrank
+    # stale refreshes, the standing rotation principle)
+    "dsir_importance_proxy",
+    "contrastive_training_pairs",
     # oldest r5-vintage names by registration order (stale-refresh
-    # fill; the remaining 34 r5 names roll to round 9 — see the plan
-    # comment above)
+    # fill; the remaining 36 r5 names — from value_histogram onward —
+    # roll to round 9; see the plan comment above)
     "incr_distinct",
     "mau",
     "customers_with_orders",
@@ -166,8 +171,6 @@ _WINDOW = (
     "cube_order_stats",
     "running_revenue",
     "asof_last_order",
-    "value_histogram",
-    "event_type_pivot",
 )
 
 

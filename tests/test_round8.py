@@ -215,6 +215,64 @@ def test_pair_store_keys_on_fixture_identity(spark, sf_smoke, tmp_path):
     assert a != b
 
 
+def test_dsir_scores_separate_target_from_rest(spark, sf_smoke):
+    """The linearized DSIR signal must actually SELECT: documents from
+    the target domain (min source) should average a strictly higher
+    importance score than the rest — a broken weight sign, a transposed
+    distribution, or a dead bucket join all collapse this separation."""
+    from programmers_data_spark.queries.sampling_ops import (
+        dsir_importance_proxy,
+    )
+
+    d = dsir_importance_proxy(spark, sf_smoke)
+    t_src = d.agg(F.min("source")).collect()[0][0]
+    rows = (
+        d.groupBy((F.col("source") == t_src).alias("is_t"))
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    )
+    means = {r.is_t: r.m for r in rows}
+    assert means[True] > means[False], means
+    assert means[True] > 0, means
+
+
+def test_contrastive_pairs_label_semantics(spark, sf_smoke):
+    """Triplet invariants: every positive shares the query's label,
+    every negative differs, ranks are 1..HARDK dense per query, and a
+    query never appears as its own positive or negative."""
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries.similarity_ops import (
+        HARDK,
+        contrastive_training_pairs,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "label")
+    t = contrastive_training_pairs(spark, sf_smoke)
+    labeled = (
+        t.join(emb.withColumnRenamed("vec_id", "query_id")
+               .withColumnRenamed("label", "q_label"), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "pos_id")
+              .withColumnRenamed("label", "p_label"), "pos_id", "left")
+        .join(emb.withColumnRenamed("vec_id", "neg_id")
+              .withColumnRenamed("label", "n_label"), "neg_id")
+    )
+    assert labeled.filter(F.col("p_label") != F.col("q_label")).count() == 0
+    assert labeled.filter(F.col("n_label") == F.col("q_label")).count() == 0
+    assert t.filter(
+        (F.col("query_id") == F.col("pos_id"))
+        | (F.col("query_id") == F.col("neg_id"))
+    ).count() == 0
+    per_q = t.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("neg_rank").alias("lo"),
+        F.max("neg_rank").alias("hi"),
+    )
+    bad = per_q.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n")) | (F.col("n") > HARDK)
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_free_blocks_drops_local_checkpoint_storage(spark):
     """_free_blocks must actually remove a localCheckpoint's blocks
     from executor storage (the thing Dataset.unpersist cannot do) and

@@ -50,6 +50,7 @@ __all__ = [
     "compact_parquet",
     "save_bucketed",
     "load_bucketed",
+    "write_jsonl_shards",
     "export_rows",
     "notify_on_failure",
 ]
@@ -337,3 +338,55 @@ def load_bucketed(spark: Any, name: str) -> DataFrame:
     ``spark.read.parquet(path)`` of the same files loses the bucket
     spec and re-shuffles on the next join)."""
     return spark.table(name)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_key: str,
+    n_shards: int = 8,
+    compression: str = "gzip",
+) -> list[tuple[int, int]]:
+    """Export a corpus as DETERMINISTIC gzip JSONL shards — the
+    interchange layout training data-loaders consume (one JSON object
+    per line, `_shard=K/` directories, stable shard membership).
+
+    Shard assignment is content-addressed, not partition-addressed:
+    shard = md5(shard_key) % n_shards, so the same row lands in the
+    same shard on every run and across cluster sizes — re-exports
+    diff cleanly, loaders can resume per shard, and a per-shard hash
+    check (the K8 validation idea) pins the export. A repartition ON
+    the shard column aligns task and shard boundaries (one file per
+    shard dir); gzip members are non-splittable, so the shard count
+    IS the downstream read parallelism — size n_shards so each shard
+    is a few hundred MB at target scale.
+
+    Returns the (shard, row_count) manifest, computed from the same
+    tagged frame the writer consumed (one extra metadata-sized
+    aggregate, not a re-read of the written files)."""
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(shard_key).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    tagged = df.withColumn("_shard", shard).persist()
+    try:
+        (
+            tagged.repartition(n_shards, "_shard")
+            .write.mode("overwrite")
+            .partitionBy("_shard")
+            .option("compression", compression)
+            .json(path)
+        )
+        manifest = sorted(
+            (r._shard, r.n)
+            for r in tagged.groupBy("_shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        tagged.unpersist()
+    return manifest

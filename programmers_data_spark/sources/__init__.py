@@ -43,6 +43,8 @@ __all__ = [
     "read_jdbc",
     "read_sheet",
     "read_sql",
+    "read_jsonl",
+    "parse_jsonl_with_rejects",
 ]
 
 
@@ -279,5 +281,69 @@ def parse_with_rejects(
     rejects = parsed.filter(is_bad).select(
         F.col(value_col).alias("raw_line"),
         F.lit("malformed: arity or type mismatch").alias("reason"),
+    )
+    return good, rejects
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines corpus scan — the de-facto interchange format for
+    training-document corpora (one JSON object per line, typically
+    gzip shards). Spark's JSON datasource IS line-delimited by
+    default, so this wrapper's value is the contract: an explicit
+    schema keeps the read single-pass (no inference job over 100 TB
+    of text) and split-planned; gzip shards are non-splittable, so
+    parallelism = shard count — pair with write_jsonl_shards, which
+    bounds and balances the shards deterministically."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def parse_jsonl_with_rejects(
+    ds: DataFrame,
+    schema: StructType | str,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-line quarantine for JSONL ingestion — the JSON twin
+    of parse_with_rejects, same contract: (good, rejects) from a
+    one-column raw-text Dataset, one codegen pass, no silent drops,
+    no job aborts. A crawled JSONL corpus at scale ALWAYS carries
+    truncated lines, stray non-JSON, and schema drift; good rows
+    parse to the full typed schema, everything else keeps its raw
+    line + reason in the reject table (volume_anomaly_days monitors
+    it; repaired rows re-enter through the incremental path)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    aug = StructType(schema.fields + [StructField("_corrupt", StringType())])
+    parsed = ds.withColumn(
+        "_p",
+        F.from_json(
+            F.col(value_col),
+            aug,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+            },
+        ),
+    )
+    # from_json yields NULL for unparseable input and tags partial
+    # parses in the corrupt column — either way the raw line is bad
+    is_bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    good = parsed.filter(~is_bad).select(
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(is_bad).select(
+        F.col(value_col).alias("raw_line"),
+        F.lit("malformed: not a JSON object or type mismatch").alias(
+            "reason"
+        ),
     )
     return good, rejects

@@ -273,6 +273,69 @@ def test_contrastive_pairs_label_semantics(spark, sf_smoke):
     assert bad.count() == 0, bad.collect()
 
 
+def test_jsonl_shard_export_roundtrips_and_is_deterministic(
+    spark, sf_smoke, tmp_path
+):
+    """write_jsonl_shards → read_jsonl roundtrip: same rows back,
+    content-addressed shard membership (identical across runs and
+    independent of input partitioning), manifest counts match."""
+    from programmers_data_spark.sinks import write_jsonl_shards
+    from programmers_data_spark.sources import read_jsonl
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_jsonl_shards(docs, p1, shard_key="doc_id", n_shards=4)
+    m2 = write_jsonl_shards(
+        docs.repartition(13), p2, shard_key="doc_id", n_shards=4
+    )
+    assert m1 == m2, (m1, m2)
+    assert sum(n for _, n in m1) == docs.count()
+
+    back = read_jsonl(
+        spark, p1, schema="doc_id long, source string, text string"
+    )
+    assert back.count() == docs.count()
+    a = docs.orderBy("doc_id").collect()
+    b = back.select("doc_id", "source", "text").orderBy("doc_id").collect()
+    assert a == b
+    # same row → same shard across both exports
+    s1 = read_jsonl(spark, p1).select("doc_id", "_shard")
+    s2 = read_jsonl(spark, p2).select(
+        F.col("doc_id").alias("d2"), F.col("_shard").alias("sh2")
+    )
+    moved = s1.join(s2, s1["doc_id"] == s2["d2"]).filter(
+        F.col("_shard") != F.col("sh2")
+    )
+    assert moved.count() == 0
+
+
+def test_jsonl_quarantine_splits_good_and_bad_lines(spark):
+    """parse_jsonl_with_rejects: valid objects parse to the typed
+    schema; truncated JSON, non-objects, and type mismatches land in
+    the reject table with their raw line — nothing dropped, no abort."""
+    from programmers_data_spark.sources import parse_jsonl_with_rejects
+
+    lines = [
+        '{"doc_id": 1, "text": "hello world"}',
+        '{"doc_id": 2, "text": "ok"}',
+        '{"doc_id": "notanint", "text": "bad type"}',
+        '{"doc_id": 3, "text": "truncated',
+        "plain garbage",
+        '{"doc_id": 4, "text": "fine"}',
+    ]
+    ds = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    good, rejects = parse_jsonl_with_rejects(
+        ds, "doc_id long, text string"
+    )
+    got = {r.doc_id for r in good.collect()}
+    assert got == {1, 2, 4}, got
+    bad = [r.raw_line for r in rejects.collect()]
+    assert len(bad) + len(got) == len(lines)
+    assert "plain garbage" in bad
+
+
 def test_free_blocks_drops_local_checkpoint_storage(spark):
     """_free_blocks must actually remove a localCheckpoint's blocks
     from executor storage (the thing Dataset.unpersist cannot do) and

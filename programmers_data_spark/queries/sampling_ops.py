@@ -830,3 +830,135 @@ def dsir_importance_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _DSIR_CACHE[key] = result
     return result
+
+
+# span-corruption planning (T5/UL2 denoising objective prep): corrupt
+# ~SPAN_CORRUPT_RATE of tokens in spans of SPAN_CORRUPT_LEN
+SPAN_CORRUPT_RATE_PCT = 15  # percent, kept integer for exact parity
+SPAN_CORRUPT_LEN = 3
+
+
+@query(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens * {SPAN_CORRUPT_RATE_PCT} // 100
+                  // {SPAN_CORRUPT_LEN} AS BIGINT) AS num_spans
+      FROM n
+    ),
+    idx AS (
+      SELECT doc_id, n_tokens, num_spans,
+             unnest(range(0, num_spans)) AS span_idx
+      FROM spans WHERE num_spans > 0
+    ),
+    seg AS (
+      SELECT doc_id, n_tokens, span_idx,
+             n_tokens * span_idx // num_spans AS seg_start,
+             n_tokens * (span_idx + 1) // num_spans AS seg_end
+      FROM idx
+    )
+    SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
+           CAST(seg_start
+                + CAST(CAST(('0x' || substr(
+                      md5(concat('span_', doc_id, '_', span_idx)), 1, 8
+                    )) AS UBIGINT)
+                  % (seg_end - seg_start - {SPAN_CORRUPT_LEN} + 1)
+                  AS BIGINT) AS BIGINT) AS start_tok,
+           CAST({SPAN_CORRUPT_LEN} AS INTEGER) AS span_len,
+           n_tokens
+    FROM seg
+    WHERE seg_end - seg_start >= {SPAN_CORRUPT_LEN}
+    ORDER BY doc_id, span_idx
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective prep (T5/UL2 span corruption — public
+    recipe): plan which token spans of each document get masked,
+    corrupting ~15% of tokens in length-3 spans. Real trainers sample
+    spans with an RNG; for a REPRODUCIBLE data pipeline (and a
+    hash-checkable oracle) the plan derives from md5(doc_id,
+    span_idx): the document is cut into num_spans equal segments
+    (non-overlap by construction — no rejection sampling loop to
+    replicate) and each span's start is the md5 residue inside its
+    segment. All integer arithmetic — floor divisions and a hex-slice
+    residue — so both engines emit the identical plan.
+
+    Scale shape: map-only (token count → per-doc span list via one
+    generator expression); no shuffle before the presentation sort.
+    The plan table joins `sequence_packing`'s bins by doc_id for the
+    actual masking pass, which stays co-partitioned if the corpus is
+    bucketed by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", textfn.token_count("text").cast("long").alias("n_tokens")
+    )
+    # INTEGER division throughout (SQL `div`), mirroring the oracle's
+    # `//`: float-divide-then-cast truncates in Spark but rounds in
+    # DuckDB, and a double quotient can cross an integer boundary a
+    # true rational quotient sits below (verify-skill learning)
+    spans = n.withColumn(
+        "num_spans",
+        F.expr(
+            f"(n_tokens * {SPAN_CORRUPT_RATE_PCT}) div 100"
+            f" div {SPAN_CORRUPT_LEN}"
+        ),
+    )
+    idx = (
+        spans.filter(F.col("num_spans") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "num_spans",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("num_spans") - 1)
+            ).alias("span_idx"),
+        )
+    )
+    seg_start = F.expr("(n_tokens * span_idx) div num_spans")
+    seg_end = F.expr("(n_tokens * (span_idx + 1)) div num_spans")
+    residue = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("span_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("span_idx").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        idx.select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            seg_start.alias("seg_start"),
+            seg_end.alias("seg_end"),
+            residue.alias("h"),
+            "n_tokens",
+        )
+        .filter(F.col("seg_end") - F.col("seg_start") >= SPAN_CORRUPT_LEN)
+        .select(
+            "doc_id",
+            "span_idx",
+            (
+                F.col("seg_start")
+                + F.col("h")
+                % (F.col("seg_end") - F.col("seg_start") - SPAN_CORRUPT_LEN + 1)
+            )
+            .cast("long")
+            .alias("start_tok"),
+            F.lit(SPAN_CORRUPT_LEN).cast("int").alias("span_len"),
+            "n_tokens",
+        )
+        .orderBy("doc_id", "span_idx")
+    )

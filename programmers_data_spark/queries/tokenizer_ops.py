@@ -303,3 +303,76 @@ def bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tokenizer_fertility_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(
+               text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]'
+             )) AS BIGINT) AS bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CASE WHEN SUM(ws) = 0 THEN NULL
+                ELSE CAST(SUM(bpe) AS DOUBLE) / SUM(ws) END AS fertility
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-health profile: per source, subword-proxy tokens per
+    whitespace word (FERTILITY — the standard metric for how hard a
+    tokenizer fragments a domain; code and non-Latin text run hot,
+    and a source whose fertility jumps between crawls signals a
+    scraper or encoding regression). Uses the same portable
+    RE2/Java-compatible BPE-proxy regex as `bpe_token_count`; a
+    source with ZERO whitespace tokens has undefined fertility and
+    emits NULL on both engines (the zero-token-source edge the
+    adversarial fixture pins).
+
+    Scale shape: map-only token counting into one partial-aggregable
+    groupBy(source); the ratio is a single IEEE division of exact
+    integer sums — bitwise parity, any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        textfn.token_count("text").cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("bpe"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.when(F.col("ws_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens")
+            )
+            .alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -1,18 +1,23 @@
 """Accuracy-delta queries: hash-checkable bounds for the approximate
 tier (VERDICT r4 ask #4).
 
-The approximate operators (`mau_approx` HLL sketch, `ann_lsh_topk`
-hyperplane LSH, `ivf_topk` k-means IVF, `embedding_neardup_lsh`
-bucketed near-dup) are rows-only by nature — a sketch estimate or a
-seeded-RNG candidate set is engine-specific, so no ANSI-SQL oracle
-can reproduce the value. What IS oracle-checkable is the *accuracy
-contract*: every month's HLL estimate within its error bound, each
-ANN path's recall against the brute-force baseline above a floor,
-the LSH near-dup pair set covering the exact pair set. These queries emit the full keyed row set with a boolean
-verdict column; the oracle computes the same keys exactly (DuckDB
-side) with the verdict constantly TRUE. Any bound violation flips a
-Spark-side boolean → value-hash mismatch → red driver row. That turns
-"trust the local test" into a per-round driver-verified signal.
+Some approximate operators (`mau_approx` HLL sketch, `ivf_topk`
+k-means IVF, `pq_topk`) are rows-only by nature — a sketch estimate
+or a float-mean-trained quantizer is engine-specific, so no ANSI-SQL
+oracle can reproduce the value (`ann_lsh_topk` and
+`embedding_neardup_lsh` GRADUATED to full hash parity in round 8 via
+md5-derived integer signatures; their recall contracts here remain as
+accuracy documentation — recall < 1 is inherent to LSH even when the
+candidate set is exactly reproducible). What IS oracle-checkable for
+the rest is the *accuracy contract*: every month's HLL estimate
+within its error bound, each ANN path's recall against the
+brute-force baseline above a floor, the LSH near-dup pair set
+covering the exact pair set. These queries emit the full keyed row
+set with a boolean verdict column; the oracle computes the same keys
+exactly (DuckDB side) with the verdict constantly TRUE. Any bound
+violation flips a Spark-side boolean → value-hash mismatch → red
+driver row. That turns "trust the local test" into a per-round
+driver-verified signal.
 
 Reference anchor: the exact MAU the bound is measured against is
 SURVEY §2 A1 (mau_summary.py:4-10's COUNT DISTINCT); the ANN floor is

@@ -482,3 +482,85 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_line_dedup",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(0, len(string_split(text, chr(10))))) AS pos
+      FROM documents
+    ),
+    firsts AS (
+      SELECT doc_id, line, CAST(min(pos) AS BIGINT) AS pos
+      FROM l GROUP BY doc_id, line
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(coalesce(
+               array_to_string(list(line ORDER BY pos), chr(10)), ''
+             )) AS cleaned_md5
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           r.n_kept,
+           r.cleaned_md5
+    FROM documents d JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal — the C4/CCNet curation
+    step whole-document dedup never touches (boilerplate navigation,
+    repeated headers, cookie banners repeat INSIDE a page): keep each
+    distinct line's FIRST occurrence in original order, drop the
+    rest. Emits per doc the original and surviving line counts plus
+    the md5 of the cleaned text, so the transform itself (not just
+    the counts) is hash-verified — both engines must rebuild the
+    identical cleaned document.
+
+    Order-preserving dedup without a window: explode with positions,
+    min(pos) per (doc, line), re-assemble sorted by kept position
+    (array_sort over (pos, line) structs here, list(... ORDER BY pos)
+    in the oracle — same sequence by construction since kept
+    positions are distinct).
+
+    Scale shape: one shuffle keyed (doc_id, line) with map-side
+    combine, one per-doc re-aggregate — both partial-aggregable; the
+    n_lines join is doc_id-keyed (co-partitioned under corpus
+    bucketing). Linear in corpus lines at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("doc_id", "line").agg(
+        F.min("pos").cast("long").alias("pos")
+    )
+    rebuilt = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
+        )
+        .join(rebuilt, "doc_id")
+        .select("doc_id", "n_lines", "n_kept", "cleaned_md5")
+        .orderBy("doc_id")
+    )

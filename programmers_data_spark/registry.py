@@ -37,25 +37,26 @@ _QUERY_MODULES = (
     #   dependency-free applyInPandasWithState twin (→58)
     "programmers_data_spark.queries.summary",  # 5 (→63)
     "programmers_data_spark.queries.text_quality_ops",  # 8 (→71)
-    "programmers_data_spark.queries.curation_ops",  # 6 (→77)
-    "programmers_data_spark.queries.extras",  # 25 (→102)
-    "programmers_data_spark.queries.similarity_ops",  # 11 (→113)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→119)
-    "programmers_data_spark.queries.analytics",  # 19 (→138)
-    "programmers_data_spark.queries.subqueries",  # 8 (→146)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→152)
-    "programmers_data_spark.queries.sampling_ops",  # 11 (→163)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→171)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→174)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→177)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→181)
+    "programmers_data_spark.queries.curation_ops",  # 7 (→78)
+    "programmers_data_spark.queries.extras",  # 25 (→103)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→114)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→120)
+    "programmers_data_spark.queries.analytics",  # 19 (→139)
+    "programmers_data_spark.queries.subqueries",  # 8 (→147)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→153)
+    "programmers_data_spark.queries.sampling_ops",  # 11 (→164)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→172)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→175)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→178)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→182)
 )
 
 # ROUND-9 ROTATION PLAN (for the next session). After r8 verifies the
-# full 28-name r4-stale tier plus 8 r5 names, the stale backlog is —
+# full 28-name r4-stale tier plus 7 r5 names, the stale backlog is —
 # counted from the CORRECTNESS_r0*.json record itself this time (the
 # r7 comment's hand count was wrong, r7 ADVICE #3):
-# - 38 r5-vintage names: running_revenue, asof_last_order, value_histogram, event_type_pivot,
+# - 39 r5-vintage names: cube_order_stats, running_revenue, asof_last_order,
+#   value_histogram, event_type_pivot,
 #   post_purchase_clicks, acctbal_quartiles,
 #   grouping_sets_revenue, event_type_unpivot, salted_segment_revenue,
 #   cohort_retention, pricing_summary, region_revenue, top_customers,
@@ -70,7 +71,7 @@ _QUERY_MODULES = (
 #   bulk_suppliers_for_parts, mau_approx_error
 # - then the 45-name r6 tier (48 r6 rows minus ann_lsh_topk,
 #   embedding_neardup_lsh, lsh_neardup_recall, refreshed in r8).
-# Take the r5 block (38) + the 9-10 oldest r6 names by registration
+# Take the r5 block (39) + the 8-9 oldest r6 names by registration
 # order, keep 2-3 r8-green sentinels for any code the r9 diff touches,
 # and keep stream_tws_value_stats OUTSIDE the window (honestly gated:
 # google.protobuf absent, installs disallowed — semantics
@@ -107,7 +108,7 @@ ROWS_ONLY = frozenset({
 # source_vocab_divergence / stream_vocab_drift share the fixed vdiv
 # oracle; cross_source_dup_matrix / split_neardup_leakage now read
 # the published pair-store seam — each needs a fresh row proving the
-# hash survived), the four round-8 NEW registrations, and the 8
+# hash survived), the five round-8 NEW registrations, and the 7
 # oldest r5-vintage names in registration order. Every window name has an oracle — zero rows-only slots.
 # Everything outside the window was driver-green in r5-r7 and stays
 # locally verified every run by tests/test_oracle_parity.py, which
@@ -160,8 +161,9 @@ _WINDOW = (
     "contrastive_training_pairs",
     "span_corruption_plan",
     "tokenizer_fertility_by_source",
+    "doc_line_dedup",
     # oldest r5-vintage names by registration order (stale-refresh
-    # fill; the remaining 38 r5 names — from running_revenue onward —
+    # fill; the remaining 39 r5 names — from cube_order_stats onward —
     # roll to round 9; see the plan comment above)
     "incr_distinct",
     "mau",
@@ -170,7 +172,6 @@ _WINDOW = (
     "rollup_revenue",
     "returning_customers",
     "churned_customers",
-    "cube_order_stats",
 )
 
 

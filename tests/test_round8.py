@@ -336,6 +336,56 @@ def test_jsonl_quarantine_splits_good_and_bad_lines(spark):
     assert "plain garbage" in bad
 
 
+def test_doc_line_dedup_matches_python_reference(spark, tmp_path):
+    """Property: the distributed order-preserving line dedup must
+    equal the obvious sequential reference (dict.fromkeys over lines)
+    on adversarial documents — duplicate lines far apart, empty
+    lines, trailing newlines, \r remnants, unicode."""
+    import hashlib
+
+    import pandas as pd
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    QUERIES = registry.QUERIES
+
+    docs = [
+        (0, ""),
+        (1, "\n"),
+        (2, "a\na\na"),
+        (3, "x\ny\nx\nz\ny\nx"),
+        (4, "only one line"),
+        (5, "dup\n\ndup\n\ndup\n"),
+        (6, "héllo\nwörld\nhéllo"),
+        (7, "tab\there\ntab\there"),
+        (8, "cr\r\ncr\r\nplain cr"),
+        (9, "trail\n\n\n"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for i, t in docs
+        ]
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    got = {
+        r.doc_id: r
+        for r in QUERIES["doc_line_dedup"](spark, str(d)).collect()
+    }
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = list(dict.fromkeys(lines))
+        exp_md5 = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        r = got[i]
+        assert r.n_lines == len(lines), (i, r)
+        assert r.n_kept == len(kept), (i, r)
+        assert r.cleaned_md5 == exp_md5, (i, t, kept)
+
+
 def test_free_blocks_drops_local_checkpoint_storage(spark):
     """_free_blocks must actually remove a localCheckpoint's blocks
     from executor storage (the thing Dataset.unpersist cannot do) and

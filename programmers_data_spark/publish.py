@@ -32,8 +32,10 @@ CDC case — so the target table never shuffles.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -221,6 +223,41 @@ _CURRENT_POINTER = "_CURRENT"
 _GEN_PREFIX = "gen-"
 _VALIDATED_MARKER = "_VALIDATED"
 
+# Claim-heartbeat cadence while a publish's Spark write / validation
+# is in flight. vacuum_versioned's inactivity guard is only sound if
+# a LIVE publisher keeps its claim mtime fresh THROUGHOUT the write —
+# a single multi-hour writer.parquet() call with no mid-flight
+# refresh would age exactly like a crash orphan (the failure mode the
+# removed 60s retention guard had, at a larger threshold). Choose
+# vacuum's min_claim_age_s >> this interval, not >> the longest write.
+HEARTBEAT_INTERVAL_S = 60.0
+
+
+@contextlib.contextmanager
+def _claim_heartbeat(claim_path: str):
+    """Refresh ``claim_path``'s mtime every HEARTBEAT_INTERVAL_S from a
+    daemon thread for the duration of the ``with`` block, so a claim's
+    age measures publisher INACTIVITY even while a blocking Spark
+    write is in flight. A vanished claim (raced with its own cleanup)
+    ends the beat quietly — there is nothing left to keep alive."""
+    stop = threading.Event()
+    interval = HEARTBEAT_INTERVAL_S
+
+    def _beat() -> None:
+        while not stop.wait(interval):
+            try:
+                os.utime(claim_path)
+            except OSError:
+                return
+
+    t = threading.Thread(target=_beat, name="claim-heartbeat", daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join()
+
 
 def _versioned_generations(table_dir: str) -> list[int]:
     """Existing generation numbers, ascending (orphans included)."""
@@ -338,31 +375,37 @@ def publish_versioned(
             continue
 
     try:
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
-        # heartbeat: refresh the claim after the (possibly hours-long)
-        # Spark write and again after validation, so vacuum's age guard
-        # measures publisher INACTIVITY, not claim creation time — a
-        # long write can never age a live claim past any threshold
-        os.utime(claim_path)
+        # heartbeat: a daemon thread refreshes the claim mtime every
+        # HEARTBEAT_INTERVAL_S for the whole write+validation span —
+        # the blocking (possibly hours-long) writer.parquet() call
+        # would otherwise leave the claim untouched in flight and
+        # vacuum's inactivity guard would degrade to age-since-write-
+        # start. Explicit refreshes after the write and after
+        # validation remain as progress floor markers.
+        with _claim_heartbeat(claim_path):
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
+            os.utime(claim_path)  # progress marker: write finished
 
-        spark = df.sparkSession
-        staged = spark.read.parquet(data_dir)
-        n = assert_non_empty(staged, context=f"staged write for {table_dir}")
-        if checks:
-            run_df_checks(staged, checks)
-        if drift_checks:
-            cur = _versioned_current(table_dir)
-            if cur is not None:  # first publish: no baseline, vacuous
-                baseline = spark.read.parquet(
-                    os.path.join(table_dir, _gen_name(cur))
-                )
-                for dc in drift_checks:
-                    dc.evaluate(staged, baseline)
+            spark = df.sparkSession
+            staged = spark.read.parquet(data_dir)
+            n = assert_non_empty(
+                staged, context=f"staged write for {table_dir}"
+            )
+            if checks:
+                run_df_checks(staged, checks)
+            if drift_checks:
+                cur = _versioned_current(table_dir)
+                if cur is not None:  # first publish: no baseline
+                    baseline = spark.read.parquet(
+                        os.path.join(table_dir, _gen_name(cur))
+                    )
+                    for dc in drift_checks:
+                        dc.evaluate(staged, baseline)
 
-        os.utime(claim_path)  # second heartbeat: validation done
+            os.utime(claim_path)  # progress marker: validation done
         # validation passed: mark the generation as servable BEFORE it
         # can become current — rollback/time-travel trust this marker
         with open(
@@ -466,9 +509,13 @@ def vacuum_versioned(
     an age guard once destroyed live staging directories mid-write.
     This explicit vacuum closes the loop for true orphans: a claim is
     collected only when it has been INACTIVE for ``min_claim_age_s``
-    (default 24h). publish_versioned heartbeats the claim mtime after
-    its Spark write and after validation, so inactivity here means the
-    publisher stopped making progress, not that it started long ago.
+    (default 24h). publish_versioned heartbeats the claim mtime from a
+    background thread every ``HEARTBEAT_INTERVAL_S`` for the entire
+    write+validation span (plus explicit refreshes after each step),
+    so inactivity here means the publisher stopped making progress —
+    even mid-write — not that it started long ago. Choose the
+    threshold >> HEARTBEAT_INTERVAL_S; it need NOT exceed the longest
+    single write.
 
     For each sufficiently stale claim:
     - unvalidated staged data under it is removed (crash orphan);
@@ -477,9 +524,10 @@ def vacuum_versioned(
       history, retention policy owns it) and only the claim is swept.
 
     Returns the removed paths. Callers choose the threshold to exceed
-    their longest plausible write stall (executor-loss recovery,
-    object-store throttling) — this is an operator-invoked or
-    scheduled maintenance op, never part of the publish hot path.
+    their longest plausible HEARTBEAT stall (driver GC pause, NFS
+    hiccup) — a few missed 60s beats, not the length of a write —
+    this is an operator-invoked or scheduled maintenance op, never
+    part of the publish hot path.
     """
     removed: list[str] = []
     if not os.path.isdir(table_dir):

@@ -444,7 +444,11 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plain bucket join is used (no skew salting) because the new
     side of every bucket is batch-bounded.
     """
-    from .dedup_ops import _band_cols_spark, minhash_signatures
+    from .dedup_ops import (
+        JACCARD_THRESHOLD,
+        _band_cols_spark,
+        minhash_signatures,
+    )
 
     is_new = (F.col("doc_id") % 10) == _NEW_BATCH_RESIDUE
     sigs = minhash_signatures(spark, sf_dir)
@@ -478,7 +482,7 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )

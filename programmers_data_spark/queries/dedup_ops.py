@@ -41,6 +41,13 @@ from ..registry import query
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands × rows of 2 → catches jaccard ≳ 0.5
+# Verify-stage Jaccard cutoff. The pair-store content address
+# interpolates THIS constant (r8 ADVICE: a hand-written literal there
+# would let a future threshold change silently serve stale published
+# pairs to every composition query). The registered oracle SQL strings
+# embed the value as a literal by necessity — test_round9 asserts they
+# stay in sync with the constant.
+JACCARD_THRESHOLD = 0.5
 # ASCII flag: Java regex / RE2 \s is ASCII-only; Python's default
 # would also split on unicode whitespace and diverge from the oracle.
 _WS = re.compile(r"\s+", re.ASCII)
@@ -321,7 +328,7 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            floor(jaccard * 10000 + 0.5) / 10000 AS jaccard
     FROM verified
-    WHERE jaccard >= 0.5
+    WHERE jaccard >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -356,7 +363,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = (
         verified.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
         .persist()
@@ -379,15 +386,18 @@ _STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _pair_store_table(sf_dir: str) -> str:
     """Content-addressed location for sf_dir's published pair set:
     keyed by the documents fixture's (path, size, mtime) plus the
-    algorithm version, so a regenerated fixture or a parameter change
-    can never serve a stale artifact."""
+    algorithm version AND the live algorithm parameters (interpolated
+    from the constants dedup_minhash actually uses, never hand-written
+    literals — r8 ADVICE: a stale literal would defeat the guarantee
+    this docstring states). The default base is per-uid under 0700
+    (storeutil.store_base) so another user on a shared host cannot
+    pre-plant an artifact at a predictable path."""
     import hashlib
     import os
-    import tempfile
 
-    base = os.environ.get(PAIR_STORE_ENV) or os.path.join(
-        tempfile.gettempdir(), "spark_graft_pair_store"
-    )
+    from ..storeutil import store_base
+
+    base = store_base(PAIR_STORE_ENV, "spark_graft_pair_store")
     doc = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     try:
         st = os.stat(doc)
@@ -395,7 +405,8 @@ def _pair_store_table(sf_dir: str) -> str:
     except OSError:
         ident = f"{doc}|missing"
     fp = hashlib.md5(
-        f"{ident}|minhash|{N_HASHES}|{BAND_SIZE}|j0.5|v1".encode()
+        f"{ident}|minhash|{N_HASHES}|{BAND_SIZE}"
+        f"|j{JACCARD_THRESHOLD}|v1".encode()
     ).hexdigest()[:16]
     return os.path.join(base, fp, "minhash_pairs")
 
@@ -592,7 +603,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
       WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / len(list_distinct(a.shingles || b.shingles)) * 10000 + 0.5)
-              / 10000 >= 0.5
+              / 10000 >= {JACCARD_THRESHOLD}
     ),
     reach(src, dst) AS (
       SELECT doc_id, doc_id FROM shingled
@@ -681,7 +692,7 @@ def _clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
       WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / len(list_distinct(a.shingles || b.shingles)) * 10000 + 0.5)
-              / 10000 >= 0.5
+              / 10000 >= {JACCARD_THRESHOLD}
     ),
     reach(src, dst) AS (
       SELECT doc_id, doc_id FROM shingled

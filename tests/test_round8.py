@@ -66,12 +66,14 @@ def test_retention_never_sweeps_aged_live_claim(spark, events, tmp_path):
     assert not os.path.exists(os.path.join(stage, _VALIDATED_MARKER))
 
 
-def test_publish_heartbeats_claim_during_write(
+def test_publish_heartbeats_claim_after_write_and_validation(
     events, tmp_path, monkeypatch
 ):
     """publish_versioned must refresh the claim mtime after the Spark
-    write (the heartbeat vacuum_versioned's inactivity guard relies
-    on), so a long write never presents a stale claim."""
+    write and again after validation (progress floor markers). The
+    stronger DURING-the-write guarantee is the background heartbeat
+    thread, covered by tests/test_round9.py (r8 ADVICE: this test's
+    old name certified a property the r8 code did not have)."""
     import programmers_data_spark.publish as pub
 
     table = str(tmp_path / "hb")

@@ -1,0 +1,156 @@
+"""Round-9 regression tests: the r8 ADVICE fixes.
+
+- the publish claim must be heartbeat-refreshed DURING the (possibly
+  hours-long) blocking Spark write, not just after it — otherwise
+  vacuum_versioned's inactivity guard degrades to age-since-write-
+  start and a single write longer than min_claim_age_s can be
+  rmtree'd mid-write (the exact failure mode the removed 60s
+  retention guard had, at a larger threshold);
+- the pair-store content address must interpolate the live algorithm
+  parameters (a hand-written 'j0.5' literal would silently serve
+  stale published pairs after a threshold change);
+- the default shared-artifact store base must be per-uid and refuse
+  a planted world-writable directory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from programmers_data_spark.catalog import load_table
+
+
+@pytest.fixture()
+def events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events")
+
+
+def test_claim_heartbeat_refreshes_mtime_mid_block(tmp_path, monkeypatch):
+    """The heartbeat context manager itself: the claim mtime must
+    advance WHILE the body is still executing (no reliance on any
+    post-body refresh)."""
+    import programmers_data_spark.publish as pub
+
+    claim = tmp_path / "gen-000001.claim"
+    claim.write_text("")
+    old = time.time() - 300
+    os.utime(claim, (old, old))
+
+    monkeypatch.setattr(pub, "HEARTBEAT_INTERVAL_S", 0.02)
+    with pub._claim_heartbeat(str(claim)):
+        deadline = time.time() + 5
+        while os.path.getmtime(claim) < time.time() - 60:
+            assert time.time() < deadline, (
+                "claim mtime never refreshed during the with block"
+            )
+            time.sleep(0.01)
+        mid_block_mtime = os.path.getmtime(claim)
+    assert mid_block_mtime >= old + 200  # refreshed to ~now, mid-block
+
+
+def test_claim_heartbeat_survives_vanished_claim(tmp_path, monkeypatch):
+    """A claim removed mid-flight (raced with its publisher's own
+    cleanup) must end the beat quietly, not raise on the thread."""
+    import programmers_data_spark.publish as pub
+
+    claim = tmp_path / "gen-000002.claim"
+    claim.write_text("")
+    monkeypatch.setattr(pub, "HEARTBEAT_INTERVAL_S", 0.01)
+    with pub._claim_heartbeat(str(claim)):
+        os.remove(claim)
+        time.sleep(0.05)  # several beats against the missing file
+    # exiting cleanly (join without exception) is the assertion
+
+
+def test_publish_heartbeats_claim_while_write_in_flight(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end: during a deliberately slow Spark write, the claim
+    receives strictly more utime refreshes than the two explicit
+    post-write/post-validation markers — i.e. the background thread
+    beat while writer.parquet() was blocking."""
+    import programmers_data_spark.publish as pub
+
+    monkeypatch.setattr(pub, "HEARTBEAT_INTERVAL_S", 0.05)
+
+    def slow(batches):
+        import time as _t
+
+        for b in batches:
+            _t.sleep(1.0)  # stretch the write's job ~1s
+            yield b
+
+    df = spark.range(0, 8, 1, 1).mapInPandas(slow, schema="id long")
+
+    seen: list[float] = []
+    real_utime = os.utime
+
+    def spy(path, *a, **k):
+        if str(path).endswith(".claim"):
+            seen.append(time.time())
+        return real_utime(path, *a, **k)
+
+    monkeypatch.setattr(pub.os, "utime", spy)
+    table = str(tmp_path / "hb9")
+    pub.publish_versioned(df, table)
+    assert len(seen) > 2, (
+        f"only {len(seen)} claim refreshes — the two explicit markers; "
+        "no heartbeat fired during the ~1s write"
+    )
+
+
+def test_pair_store_fingerprint_tracks_threshold(monkeypatch, tmp_path):
+    """_pair_store_table must derive its fingerprint from the LIVE
+    JACCARD_THRESHOLD constant: changing the constant must change the
+    store path (a stale hand-written literal would keep serving the
+    old published pairs)."""
+    import programmers_data_spark.queries.dedup_ops as dd
+
+    monkeypatch.setenv(dd.PAIR_STORE_ENV, str(tmp_path))
+    p1 = dd._pair_store_table("/root/testdata/sf0.001")
+    monkeypatch.setattr(dd, "JACCARD_THRESHOLD", 0.7)
+    p2 = dd._pair_store_table("/root/testdata/sf0.001")
+    assert p1 != p2
+
+
+def test_dedup_minhash_spark_and_oracle_share_threshold():
+    """The registered oracle SQL strings necessarily embed the
+    threshold as a literal — assert they interpolated the constant's
+    current value so code and oracle cannot drift apart."""
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.dedup_ops import JACCARD_THRESHOLD
+
+    registry.load_all()
+    assert f">= {JACCARD_THRESHOLD}" in registry.ORACLE["dedup_minhash"]
+    assert f">= {JACCARD_THRESHOLD}" in registry.ORACLE["dedup_clusters"]
+
+
+def test_store_base_is_per_uid_and_refuses_planted_dir(
+    tmp_path, monkeypatch
+):
+    import programmers_data_spark.storeutil as su
+
+    monkeypatch.delenv("PDS_TEST_STORE", raising=False)
+    monkeypatch.setattr(su.tempfile, "gettempdir", lambda: str(tmp_path))
+    base = su.store_base("PDS_TEST_STORE", "pds_store")
+    assert base.endswith(f"_u{os.getuid()}")
+    st = os.stat(base)
+    assert st.st_mode & 0o077 == 0  # 0700
+
+    # second resolve of the same healthy base succeeds
+    assert su.store_base("PDS_TEST_STORE", "pds_store") == base
+
+    # a planted group/other-writable dir at the default path is refused
+    os.chmod(base, 0o777)
+    with pytest.raises(PermissionError):
+        su.store_base("PDS_TEST_STORE", "pds_store")
+    os.chmod(base, 0o700)
+
+    # explicit env override is trusted as given
+    monkeypatch.setenv("PDS_TEST_STORE", str(tmp_path / "explicit"))
+    assert su.store_base("PDS_TEST_STORE", "pds_store") == str(
+        tmp_path / "explicit"
+    )

@@ -568,3 +568,156 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_lines", "n_kept", "cleaned_md5")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------- exact-substring span dedup
+
+# Shingle length in TOKENS for dup_span_mine. Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better") uses
+# 50-token substrings on web-scale corpora; the synthetic fixture's
+# documents are dozens of tokens long, so the operator ships with a
+# proportionally shorter minimum span — the algorithm is identical and
+# the constant is interpolated into BOTH engines' code paths.
+DUP_SPAN_K = 8
+
+
+def _dup_span_oracle() -> str:
+    from .dedup_ops import _AUG_SQL
+
+    K = DUP_SPAN_K
+    return f"""
+    WITH aug AS ({_AUG_SQL}),
+    toklists AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tl FROM aug
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(range(1, len(tl) - {K} + 2)) AS start_tok,
+             unnest(list_transform(
+               range(1, len(tl) - {K} + 2),
+               i -> md5(array_to_string(tl[i:i+{K - 1}], ' '))
+             )) AS key
+      FROM toklists
+    ),
+    dup AS (
+      SELECT key, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM shingled GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT s.doc_id, s.start_tok, d.nd
+      FROM shingled s JOIN dup d USING (key)
+    ),
+    marked AS (
+      SELECT doc_id, start_tok, nd,
+             CASE WHEN start_tok - lag(start_tok) OVER (
+                    PARTITION BY doc_id ORDER BY start_tok) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, start_tok, nd,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start_tok)
+               AS span_id
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(min(start_tok) AS BIGINT) AS start_tok,
+           CAST(max(start_tok) + {K} - 1 AS BIGINT) AS end_tok,
+           CAST(max(start_tok) - min(start_tok) + {K} AS BIGINT)
+             AS span_tokens,
+           CAST(max(nd) AS BIGINT) AS max_dup_docs
+    FROM grp GROUP BY doc_id, span_id
+    ORDER BY doc_id, start_tok
+    """
+
+
+@query("dup_span_mine", oracle=_dup_span_oracle())
+def dup_span_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document exact-substring duplicate spans — the dedup
+    family Lee et al. 2022 showed whole-document MinHash misses:
+    repeated >= K-token PASSAGES shared across otherwise-distinct
+    documents (licence boilerplate, quoted articles, templated
+    intros). Whole-doc dedup (dedup_exact/dedup_minhash) scores the
+    document; winnowing samples fingerprints; doc_line_dedup is
+    within-doc — this operator emits the exact maximal token ranges
+    duplicated ACROSS documents, the input a span-removal rewrite
+    step consumes.
+
+    Spark-native approximation of the paper's suffix array: every
+    K-token shingle is keyed by md5; a shingle is duplicated when it
+    appears in >= 2 DISTINCT documents; per document, runs of
+    consecutive duplicated shingle starts merge into maximal spans
+    via the lag-window gap-and-island pattern (a span of S
+    consecutive duplicated K-shingles is an S+K-1-token duplicated
+    substring). Emits (doc_id, start_tok, end_tok, span_tokens,
+    max_dup_docs) over the same augmented corpus the MinHash tier
+    uses, with max_dup_docs = the widest sharing of any shingle in
+    the span.
+
+    Scale shape, all linear in corpus tokens: one per-doc window pass
+    builds shingles from (doc_id, pos, token) rows via K-1 lead()s —
+    no token-array duplication per position; one groupBy on the md5
+    key (partial-aggregable count-distinct over a 128-bit key space
+    — no hot keys); one key-equi-join back; one per-doc window for
+    the island merge. Nothing all-pairs: two documents sharing a
+    passage meet only through the shingle KEY's group, exactly like
+    a suffix-array bucket. At 100 TB the dup-key side is a small
+    fraction of shingles and AQE broadcast-joins it back.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup_ops import _augmented_docs
+
+    K = DUP_SPAN_K
+    aug = _augmented_docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    tok_rows = aug.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, K)
+    ]
+    shingled = (
+        tok_rows.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("start_tok"),
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("tok", K - 1).over(w).alias("_last"),
+        )
+        # a full K-token shingle exists only where the (K-1)-ahead
+        # token does — concat_ws would silently shorten tail shingles
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "start_tok", F.md5("sh").alias("key"))
+    )
+    dup = (
+        shingled.groupBy("key")
+        .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    hits = shingled.join(dup, "key").select("doc_id", "start_tok", "nd")
+    w2 = Window.partitionBy("doc_id").orderBy("start_tok")
+    marked = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("start_tok") - F.lag("start_tok").over(w2) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    grp = marked.withColumn("span_id", F.sum("brk").over(w2))
+    return (
+        grp.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start_tok").cast("long").alias("start_tok"),
+            (F.max("start_tok") + K - 1).cast("long").alias("end_tok"),
+            (F.max("start_tok") - F.min("start_tok") + K)
+            .cast("long")
+            .alias("span_tokens"),
+            F.max("nd").cast("long").alias("max_dup_docs"),
+        )
+        .select(
+            "doc_id", "start_tok", "end_tok", "span_tokens", "max_dup_docs"
+        )
+        .orderBy("doc_id", "start_tok")
+    )

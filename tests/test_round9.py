@@ -154,3 +154,118 @@ def test_store_base_is_per_uid_and_refuses_planted_dir(
     assert su.store_base("PDS_TEST_STORE", "pds_store") == str(
         tmp_path / "explicit"
     )
+
+
+# --------------------------------------------------------- dup_span_mine
+
+
+def _serial_dup_spans(docs, K):
+    """Sequential reference for dup_span_mine: literal shingle dict +
+    island merge over the SAME augmented corpus the query builds."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def toks(t):
+        return [x for x in ws.split(t.strip()) if x]
+
+    corpus = {i: toks(t) for i, t in docs}
+    for i, t in docs:
+        if i % 20 == 0:
+            corpus[i + 1_000_000] = toks(t)[8:]
+
+    where = {}  # shingle tuple -> set of doc_ids
+    for i, tl in corpus.items():
+        for s in range(len(tl) - K + 1):
+            where.setdefault(tuple(tl[s : s + K]), set()).add(i)
+
+    out = []
+    for i, tl in sorted(corpus.items()):
+        starts = [
+            (s + 1, len(where[tuple(tl[s : s + K])]))
+            for s in range(len(tl) - K + 1)
+            if len(where[tuple(tl[s : s + K])]) >= 2
+        ]
+        run = []
+        for s, nd in starts:
+            if run and s == run[-1][0] + 1:
+                run.append((s, nd))
+            else:
+                if run:
+                    out.append(_span_row(i, run, K))
+                run = [(s, nd)]
+        if run:
+            out.append(_span_row(i, run, K))
+    return out
+
+
+def _span_row(doc_id, run, K):
+    first, last = run[0][0], run[-1][0]
+    return (
+        doc_id,
+        first,
+        last + K - 1,
+        last - first + K,
+        max(nd for _, nd in run),
+    )
+
+
+def test_dup_span_mine_matches_python_reference(spark, tmp_path):
+    """Property: the distributed shingle-island span miner must equal
+    the obvious sequential reference on an adversarial corpus —
+    shared prefixes/suffixes, a passage quoted by 3 docs, a doc
+    shorter than K, within-doc-only repetition (must NOT count: the
+    contract is cross-document), and a tiny vocabulary that forces
+    natural collisions."""
+    import random
+
+    import pandas as pd
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.curation_ops import DUP_SPAN_K
+
+    registry.load_all()
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rng = random.Random(909)
+    vocab = ["aa", "bb", "cc"]
+    docs = [
+        (0, "intro words here " + quote + " and a unique tail zero"),
+        (1, quote + " immediately then other text follows afterwards"),
+        (2, "ending with the shared passage " + quote),
+        (3, "too short for any span"),
+        # within-doc repetition only: the 8-gram repeats INSIDE doc 4
+        # but appears in no other document
+        (4, ("w1 w2 w3 w4 w5 w6 w7 w8 " * 3).strip()),
+        (5, ""),
+        # tiny-vocab soup: natural cross-doc collisions
+        *[
+            (6 + j, " ".join(rng.choice(vocab) for _ in range(40)))
+            for j in range(6)
+        ],
+        # %20 == 0 twin for the augmentation path beyond doc 0
+        (20, "p q r s t u v w " + quote + " x y z final words"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for i, t in docs
+        ]
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["dup_span_mine"](spark, str(d)).collect()
+    )
+    exp = sorted(_serial_dup_spans(docs, DUP_SPAN_K))
+    assert got == exp, (got, exp)
+    # the contract details the fixture must actually exercise:
+    doc_ids_with_spans = {r[0] for r in got}
+    assert {0, 1, 2}.issubset(doc_ids_with_spans)  # 3-way quote found
+    assert 3 not in doc_ids_with_spans  # shorter than K
+    assert 4 not in doc_ids_with_spans  # within-doc only: excluded
+    assert any(i >= 1_000_000 for i in doc_ids_with_spans)  # aug twins
+    assert any(r[4] >= 3 for r in got)  # a >=3-document span exists

@@ -79,8 +79,14 @@ def main() -> None:
     import tempfile
 
     from programmers_data_spark.queries.dedup_ops import PAIR_STORE_ENV
+    from programmers_data_spark.queries.interchange_ops import (
+        JSONL_STORE_ENV,
+    )
 
     os.environ[PAIR_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_pairs_")
+    # same per-run isolation for the JSONL roundtrip's written shard
+    # trees (each timed run re-writes — the query IS the roundtrip)
+    os.environ[JSONL_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_jsonl_")
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

@@ -37,18 +37,19 @@ _QUERY_MODULES = (
     #   dependency-free applyInPandasWithState twin (→58)
     "programmers_data_spark.queries.summary",  # 5 (→63)
     "programmers_data_spark.queries.text_quality_ops",  # 8 (→71)
-    "programmers_data_spark.queries.curation_ops",  # 7 (→78)
-    "programmers_data_spark.queries.extras",  # 25 (→103)
-    "programmers_data_spark.queries.similarity_ops",  # 11 (→114)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→120)
-    "programmers_data_spark.queries.analytics",  # 19 (→139)
-    "programmers_data_spark.queries.subqueries",  # 8 (→147)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→153)
-    "programmers_data_spark.queries.sampling_ops",  # 11 (→164)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→172)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→175)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→178)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→182)
+    "programmers_data_spark.queries.curation_ops",  # 8 (→79)
+    "programmers_data_spark.queries.extras",  # 25 (→104)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→115)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→121)
+    "programmers_data_spark.queries.analytics",  # 19 (→140)
+    "programmers_data_spark.queries.subqueries",  # 8 (→148)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→154)
+    "programmers_data_spark.queries.sampling_ops",  # 11 (→165)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→173)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→176)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→179)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→183)
+    "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
 )
 
 # ROUND-9 ROTATION PLAN (for the next session). After r8 verifies the

@@ -311,6 +311,7 @@ def parse_jsonl_with_rejects(
     ds: DataFrame,
     schema: StructType | str,
     value_col: str = "value",
+    keep_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Malformed-line quarantine for JSONL ingestion — the JSON twin
     of parse_with_rejects, same contract: (good, rejects) from a
@@ -319,9 +320,15 @@ def parse_jsonl_with_rejects(
     truncated lines, stray non-JSON, and schema drift; good rows
     parse to the full typed schema, everything else keeps its raw
     line + reason in the reject table (volume_anomaly_days monitors
-    it; repaired rows re-enter through the incremental path)."""
+    it; repaired rows re-enter through the incremental path).
+
+    ``keep_cols`` names provenance columns of ``ds`` (shard id,
+    source file, ingest batch) threaded through to BOTH outputs —
+    quarantined lines are only actionable if they still say where
+    they came from."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    keep = [F.col(c) for c in (keep_cols or [])]
     aug = StructType(schema.fields + [StructField("_corrupt", StringType())])
     parsed = ds.withColumn(
         "_p",
@@ -338,9 +345,11 @@ def parse_jsonl_with_rejects(
     # parses in the corrupt column — either way the raw line is bad
     is_bad = F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
     good = parsed.filter(~is_bad).select(
-        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+        *keep,
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields],
     )
     rejects = parsed.filter(is_bad).select(
+        *keep,
         F.col(value_col).alias("raw_line"),
         F.lit("malformed: not a JSON object or type mismatch").alias(
             "reason"

@@ -269,3 +269,92 @@ def test_dup_span_mine_matches_python_reference(spark, tmp_path):
     assert 4 not in doc_ids_with_spans  # within-doc only: excluded
     assert any(i >= 1_000_000 for i in doc_ids_with_spans)  # aug twins
     assert any(r[4] >= 3 for r in got)  # a >=3-document span exists
+
+
+# ------------------------------------------------- jsonl_shard_roundtrip
+
+
+def test_parse_jsonl_keep_cols_threads_provenance(spark):
+    """keep_cols must surface on BOTH outputs so quarantined lines
+    stay actionable (which shard/file they came from)."""
+    from programmers_data_spark.sources import parse_jsonl_with_rejects
+
+    ds = spark.createDataFrame(
+        [(3, '{"doc_id": 1}'), (5, "junk")], "shard long, value string"
+    )
+    good, rejects = parse_jsonl_with_rejects(
+        ds, "doc_id long", keep_cols=["shard"]
+    )
+    assert [tuple(r) for r in good.collect()] == [(3, 1)]
+    rr = rejects.collect()
+    assert len(rr) == 1 and rr[0].shard == 5 and rr[0].raw_line == "junk"
+
+
+def test_jsonl_roundtrip_detects_row_loss(spark, tmp_path, monkeypatch):
+    """The certification must actually certify: drop one written line
+    from one shard file and the per-shard hash/count must diverge
+    from a fresh roundtrip of the intact corpus."""
+    import glob
+    import gzip
+
+    import programmers_data_spark.queries.interchange_ops as io9
+
+    monkeypatch.setenv(io9.JSONL_STORE_ENV, str(tmp_path / "a"))
+    sf = "/root/testdata/sf0.001"
+    io9._JSONL_CACHE.clear()
+    intact = {
+        r.shard: (r.n_rows, r.content_md5)
+        for r in io9.jsonl_shard_roundtrip(spark, sf).collect()
+    }
+
+    # corrupt: rewrite one shard file minus its first line, then force
+    # a fresh roundtrip read over the SAME written tree
+    store = glob.glob(str(tmp_path / "a" / "jsonl_rt_*" / "docs"))[0]
+    victim = sorted(glob.glob(f"{store}/_shard=*/part-*"))[0]
+    with gzip.open(victim, "rt", encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    with gzip.open(victim, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines[1:]) + ("\n" if len(lines) > 1 else ""))
+    # Hadoop's local FS wrote a .crc sidecar for the original bytes —
+    # drop it so the corrupted file is readable (we're simulating row
+    # loss in transit, not bit rot the checksum layer would catch)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    import pyspark.sql.functions as F
+    from programmers_data_spark.sources import parse_jsonl_with_rejects
+
+    # the session's FileStatusCache remembers the pre-corruption file
+    # length — invalidate it so the re-read sees the rewritten file
+    spark.catalog.refreshByPath(store)
+    raw = spark.read.text(f"{store}/_shard=*/part-*").select(
+        F.regexp_extract(F.input_file_name(), r"_shard=(\d+)", 1)
+        .cast("long")
+        .alias("shard"),
+        "value",
+    )
+    good, _ = parse_jsonl_with_rejects(
+        raw,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        keep_cols=["shard"],
+    )
+    redone = {
+        r.shard: (r.n_rows, r.content_md5)
+        for r in good.select("shard", io9._digest_spark().alias("d"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("d"))))
+            .alias("content_md5"),
+        )
+        .collect()
+    }
+    diverged = [
+        s for s in redone
+        if redone[s] != intact.get(s, (None, None))
+    ]
+    assert len(diverged) == 1, (intact, redone)
+    io9._JSONL_CACHE.clear()

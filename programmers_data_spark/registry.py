@@ -52,31 +52,26 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
 )
 
-# ROUND-9 ROTATION PLAN (for the next session). After r8 verifies the
-# full 28-name r4-stale tier plus 7 r5 names, the stale backlog is —
-# counted from the CORRECTNESS_r0*.json record itself this time (the
-# r7 comment's hand count was wrong, r7 ADVICE #3):
-# - 39 r5-vintage names: cube_order_stats, running_revenue, asof_last_order,
-#   value_histogram, event_type_pivot,
-#   post_purchase_clicks, acctbal_quartiles,
-#   grouping_sets_revenue, event_type_unpivot, salted_segment_revenue,
-#   cohort_retention, pricing_summary, region_revenue, top_customers,
-#   order_priority, top3_per_segment, nation_customer_stats,
-#   brand_revenue, daily_revenue, shipping_priority,
-#   promo_revenue_share, nation_trade_volume, returned_item_customers,
-#   order_count_distribution, top_supplier, large_orders,
-#   discounted_revenue, forecast_revenue_change, market_share,
-#   product_type_profit, cheapest_supplier_per_part,
-#   supplier_value_share, priority_line_counts, supplier_cnt_by_part,
-#   small_qty_revenue, waiting_suppliers, idle_rich_customers,
-#   bulk_suppliers_for_parts, mau_approx_error
-# - then the 45-name r6 tier (48 r6 rows minus ann_lsh_topk,
-#   embedding_neardup_lsh, lsh_neardup_recall, refreshed in r8).
-# Take the r5 block (39) + the 8-9 oldest r6 names by registration
-# order, keep 2-3 r8-green sentinels for any code the r9 diff touches,
-# and keep stream_tws_value_stats OUTSIDE the window (honestly gated:
-# google.protobuf absent, installs disallowed — semantics
-# driver-certified r6 via the applyInPandasWithState twin).
+# ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
+# from the CORRECTNESS_r0*.json record (r8 VERDICT #1 bookkeeping
+# defect: the hand-kept r9 plan omitted value_percentiles from the r5
+# tier — 40 names, not 39 — and called the r6 tier 45 when only 40
+# rows-only-free names were rotatable; tests/test_round9.py::
+# test_rotation_backlog_arithmetic now asserts this comment's counts
+# against the record so the error class cannot recur). After r9
+# refreshes the full 40-name r5 tier + 6 oldest r6 names + 2 new
+# registrations + 2 pair-store sentinels, the stale backlog is:
+# - 34 remaining r6-vintage names (the 40-name r6 green tier minus
+#   scd2_intervals, incr_mau_refresh, token_heavy_hitters,
+#   fuzzy_match_pairs, stream_stateful_value_stats, dau refreshed
+#   in r9) — from channel_firstlast onward in registration order;
+# - then the 45-name r7 tier.
+# Take the 34 r6 names + any round-10 NEW registrations (they outrank
+# stale refreshes) + the oldest r7 names by registration order to
+# fill, keeping 2-3 r9-green sentinels for whatever the r10 diff
+# touches, and keep stream_tws_value_stats OUTSIDE the window
+# (honestly gated: google.protobuf absent, installs disallowed —
+# semantics driver-certified r6 via the applyInPandasWithState twin).
 
 # Queries registered WITHOUT an oracle, by design (k-means float
 # centroid training isn't summation-order-portable SQL, BPE merge
@@ -97,82 +92,81 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the driver
-# verifies this round. Round-8 rotation (VERDICT r7 ask #1, counts
-# re-derived from the CORRECTNESS_r0*.json record per r7 ADVICE #3):
-# the ENTIRE 28-name r4-stale tier (every query whose latest driver
-# row predates r5 — nothing older remains after this round), plus the
-# round-8 new/changed queries (multimodal_png_roundtrip is a new
-# registration; ann_lsh_topk / embedding_neardup_lsh upgraded from
-# rows-only to full md5-derived-signature oracles; ann_recall_at5 /
-# lsh_neardup_recall compose those changed paths;
-# corpus_mixture_weights gained the zero-token-source NULL contract;
-# source_vocab_divergence / stream_vocab_drift share the fixed vdiv
-# oracle; cross_source_dup_matrix / split_neardup_leakage now read
-# the published pair-store seam — each needs a fresh row proving the
-# hash survived), the five round-8 NEW registrations, and the 7
-# oldest r5-vintage names in registration order. Every window name has an oracle — zero rows-only slots.
-# Everything outside the window was driver-green in r5-r7 and stays
-# locally verified every run by tests/test_oracle_parity.py, which
-# hash-checks ALL registered oracles.
+# verifies this round. Round-9 rotation (r8 VERDICT ask #2, counts
+# derived by script from the CORRECTNESS_r0*.json record — see
+# tests/test_round9.py::test_rotation_backlog_arithmetic): the ENTIRE
+# 40-name r5-vintage tier (every query whose latest green driver row
+# is r5 — including value_percentiles, which the r8 plan comment had
+# omitted; nothing older remains), the two round-9 NEW registrations
+# (dup_span_mine, jsonl_shard_roundtrip — never-driver-checked
+# outranks stale refreshes, the standing rotation principle), the 6
+# oldest r6-vintage names by registration order, and 2 r8-green
+# sentinels for the code the r9 diff touches (cross_source_dup_matrix
+# / split_neardup_leakage read the pair store through the publish
+# layer, exercising the heartbeat-thread, threshold-fingerprint, and
+# per-uid store-base changes). Every window name has an oracle — zero
+# rows-only slots. Everything outside the window was driver-green in
+# r6-r8 and stays locally verified every run by
+# tests/test_oracle_parity.py, which hash-checks ALL registered
+# oracles.
 _WINDOW = (
-    # r4-stale tier, whole (28 — the only pre-r5 driver rows left)
-    "corpus_sample_hash",
-    "pii_redact",
-    "vocab_topk",
-    "top_terms_per_doc",
-    "doc_chunks",
-    "ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "minhash_jaccard_estimate",
-    "sequence_packing",
-    "packing_spans",
-    "bigram_stats",
-    "doc_lang_mix",
-    "knn_label_vote",
-    "adaptive_quality_gate",
-    "near_dup_rate_by_source",
-    "corpus_shuffle",
-    "skew_profile",
-    "stream_tumbling_daily",
-    "stream_sliding_2d",
-    "stream_dedup",
-    "sessionization",
-    "stream_session_window",
-    "stream_stateful_counts",
-    "stream_enrich_segment",
-    "stream_join_attribution",
-    "stream_corpus_quality",
-    # round-8 new/changed (never checked, or code/oracle touched this
-    # round — fresh rows prove the hashes survived the diff)
-    "multimodal_png_roundtrip",
-    "ann_lsh_topk",
-    "embedding_neardup_lsh",
-    "ann_recall_at5",
-    "lsh_neardup_recall",
-    "corpus_mixture_weights",
-    "source_vocab_divergence",
-    "stream_vocab_drift",
+    # r5-vintage tier, whole (40 — the only pre-r6 driver rows left)
+    "cube_order_stats",
+    "running_revenue",
+    "asof_last_order",
+    "value_histogram",
+    "event_type_pivot",
+    "value_percentiles",
+    "post_purchase_clicks",
+    "acctbal_quartiles",
+    "grouping_sets_revenue",
+    "event_type_unpivot",
+    "salted_segment_revenue",
+    "cohort_retention",
+    "pricing_summary",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "top3_per_segment",
+    "nation_customer_stats",
+    "brand_revenue",
+    "daily_revenue",
+    "shipping_priority",
+    "promo_revenue_share",
+    "nation_trade_volume",
+    "returned_item_customers",
+    "order_count_distribution",
+    "top_supplier",
+    "large_orders",
+    "discounted_revenue",
+    "forecast_revenue_change",
+    "market_share",
+    "product_type_profit",
+    "cheapest_supplier_per_part",
+    "supplier_value_share",
+    "priority_line_counts",
+    "supplier_cnt_by_part",
+    "small_qty_revenue",
+    "waiting_suppliers",
+    "idle_rich_customers",
+    "bulk_suppliers_for_parts",
+    "mau_approx_error",
+    # round-9 NEW registrations (never driver-checked)
+    "dup_span_mine",
+    "jsonl_shard_roundtrip",
+    # oldest r6-vintage names by registration order (stale-refresh
+    # fill; the remaining 34 r6 names — from channel_firstlast onward
+    # — roll to round 10; see the plan comment above)
+    "scd2_intervals",
+    "incr_mau_refresh",
+    "token_heavy_hitters",
+    "fuzzy_match_pairs",
+    "stream_stateful_value_stats",
+    "dau",
+    # r8-green sentinels covering the round-9 diff (pair-store
+    # fingerprint/base + publish heartbeat path)
     "cross_source_dup_matrix",
     "split_neardup_leakage",
-    # round-8 NEW registrations (never driver-checked — outrank
-    # stale refreshes, the standing rotation principle)
-    "dsir_importance_proxy",
-    "contrastive_training_pairs",
-    "span_corruption_plan",
-    "tokenizer_fertility_by_source",
-    "doc_line_dedup",
-    # oldest r5-vintage names by registration order (stale-refresh
-    # fill; the remaining 39 r5 names — from cube_order_stats onward —
-    # roll to round 9; see the plan comment above)
-    "incr_distinct",
-    "mau",
-    "customers_with_orders",
-    "customers_without_orders",
-    "rollup_revenue",
-    "returning_customers",
-    "churned_customers",
 )
 
 

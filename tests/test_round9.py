@@ -358,3 +358,56 @@ def test_jsonl_roundtrip_detects_row_loss(spark, tmp_path, monkeypatch):
     ]
     assert len(diverged) == 1, (intact, redone)
     io9._JSONL_CACHE.clear()
+
+
+# --------------------------------------------------- rotation arithmetic
+
+
+def test_rotation_backlog_arithmetic():
+    """The window and the ROUND-10 plan comment's counts must match
+    the CORRECTNESS_r0*.json record itself — hand counts got this
+    wrong twice (r7 ADVICE #3, r8 VERDICT defect #1: value_percentiles
+    omitted from a '39-name' r5 tier that actually had 40)."""
+    import glob
+    import json
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green: dict[str, int] = {}
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    assert files, "driver record missing"
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match"):
+                latest_green[name] = rnd
+
+    window = set(registry._WINDOW)
+    r5 = {n for n, r in latest_green.items() if r == 5}
+    r6 = {n for n, r in latest_green.items() if r == 6}
+
+    # the ENTIRE r5 tier is in the r9 window — nothing pre-r6 remains
+    assert len(r5) == 40 and "value_percentiles" in r5
+    assert r5 <= window, sorted(r5 - window)
+
+    # never-driver-checked registrations are in the window
+    new_names = {"dup_span_mine", "jsonl_shard_roundtrip"}
+    assert new_names <= window
+    assert not (new_names & set(latest_green))
+
+    # exactly 6 r6 names refreshed now; the plan comment's backlog
+    # arithmetic (34 remaining r6 names) follows from the record
+    r6_in_window = r6 & window
+    assert len(r6_in_window) == 6, sorted(r6_in_window)
+    assert len(r6 - window) == 34, len(r6 - window)
+
+    # the two sentinels are r8-green, and every window name is oracled
+    for s in ("cross_source_dup_matrix", "split_neardup_leakage"):
+        assert latest_green.get(s) == 8, (s, latest_green.get(s))
+    missing_oracle = [n for n in registry._WINDOW if n not in registry.ORACLE]
+    assert not missing_oracle, missing_oracle
+
+    # the gated TWS query never burns a window slot
+    assert "stream_tws_value_stats" not in window

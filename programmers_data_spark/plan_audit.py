@@ -58,6 +58,8 @@ BOUNDED_CARTESIAN = frozenset({
     "ivf_recall_at5",          # same, via ivf_topk
     "pq_recall_at5",           # same, via embedding_topk baseline
     "contrastive_training_pairs",  # broadcast bounded query set
+    "ccnet_perplexity_bands",  # 1-row doc-count broadcast into the
+    #                            band arithmetic (distributed_rank)
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
     "dsir_importance_proxy",   # 1-row target-source + totals broadcasts
     "curriculum_phases",       # 1-row corpus-count broadcast into
@@ -88,6 +90,8 @@ BOUNDED_CARTESIAN = frozenset({
 # final single-row result.
 BOUNDED_SINGLE_PARTITION = frozenset({
     "adaptive_quality_gate", "ann_recall_at5", "bpe_contract",
+    "ccnet_perplexity_bands",  # 1-row doc-count agg + <=65-row
+    #                            distributed_rank offset fold
     "dsir_importance_proxy",  # 1-row distribution-totals aggregate
     "curriculum_phases",  # 1-row corpus-count agg feeds the broadcast
     "cross_source_dup_matrix",  # 1-row pair-total agg feeds the share

@@ -308,3 +308,125 @@ def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "source")
     )
+
+
+# --------------------------------------------- phrase-blocklist filter
+
+# Stand-in blocklist over the synthetic fixture vocabulary. The REAL
+# artifact here is the operator seam: C4 (Raffel et al. 2020 — public
+# method) drops every document containing a term from a ~400-entry
+# word/phrase blocklist (the public "LDNOOBW" list); production swaps
+# these tuples for that list with no shape change. Unigram terms
+# match the token stream; PHRASES match the bigram stream — substring
+# matching would false-positive inside larger tokens, token/bigram
+# equality is the exact semantics both engines share.
+BLOCK_UNIGRAMS = ("dup", "slow")
+BLOCK_PHRASES = ("batch batch", "slow slow")
+
+
+def _sql_list(terms: tuple[str, ...]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+@query(
+    "blocklist_doc_flags",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS u
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      WHERE tok IN ({_sql_list(BLOCK_UNIGRAMS)})
+      GROUP BY doc_id
+    ),
+    ph AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS p
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+1], ' ')
+               )) AS bg
+        FROM d WHERE len(toks) >= 2
+      )
+      WHERE bg IN ({_sql_list(BLOCK_PHRASES)})
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(uni.u, 0) AS BIGINT) AS unigram_hits,
+           CAST(coalesce(ph.p, 0) AS BIGINT) AS phrase_hits,
+           (coalesce(uni.u, 0) + coalesce(ph.p, 0)) > 0 AS flagged
+    FROM d LEFT JOIN uni ON d.doc_id = uni.doc_id
+           LEFT JOIN ph ON d.doc_id = ph.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def blocklist_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist document filter: per document, the count of
+    token occurrences matching the unigram blocklist, the count of
+    bigram occurrences matching the phrase blocklist, and the
+    resulting drop flag (C4 removes the whole document on any hit).
+
+    Scale shape: the blocklist is a broadcast literal frame joined
+    against the exploded token / map-side bigram streams — ONE pass
+    over the corpus regardless of blocklist size (a per-term
+    array_remove/size expression chain would re-scan every token
+    array once per blocklist entry; fine at 4 stand-in terms, wrong
+    at the real list's ~400), and the per-doc groupBy partially
+    aggregates before its shuffle. Matching is token/bigram EQUALITY,
+    not substring containment, so 'dup' never flags inside
+    'dedup'-like tokens — and the oracle shares the exact semantics
+    via IN-list predicates interpolated from the same constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", textfn.tokenize("text").alias("toks"))
+    uni_terms = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in BLOCK_UNIGRAMS], schema="tok string"
+        )
+    )
+    phrases = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in BLOCK_PHRASES], schema="bg string"
+        )
+    )
+    uni = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .join(uni_terms, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("unigram_hits"))
+    )
+    ph = (
+        toked.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.concat_ws(" ", "p.a", "p.b").alias("bg"))
+        .join(phrases, "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_hits"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(uni, "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .withColumn(
+            "unigram_hits",
+            F.coalesce("unigram_hits", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "phrase_hits",
+            F.coalesce("phrase_hits", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("unigram_hits") + F.col("phrase_hits")) > 0,
+        )
+        .orderBy("doc_id")
+    )

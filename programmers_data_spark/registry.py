@@ -50,7 +50,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.timeseries_ops",  # 3 (→179)
     "programmers_data_spark.queries.tokenizer_ops",  # 4 (→183)
     "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
-    "programmers_data_spark.queries.quality_lm_ops",  # 2 (→186)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→187)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -60,16 +60,15 @@ _QUERY_MODULES = (
 # rows-only-free names were rotatable; tests/test_round9.py::
 # test_rotation_backlog_arithmetic now asserts this comment's counts
 # against the record so the error class cannot recur). After r9
-# refreshes the full 40-name r5 tier + 4 oldest r6 names + 4 new
+# refreshes the full 40-name r5 tier + 3 oldest r6 names + 5 new
 # registrations + 2 pair-store sentinels, the stale backlog is:
-# - 36 remaining r6-vintage names (the 40-name r6 green tier minus
-#   scd2_intervals, incr_mau_refresh, token_heavy_hitters,
-#   fuzzy_match_pairs refreshed in r9 — two late-session new
-#   registrations outranked the stream_stateful_value_stats/dau
-#   slots) — from stream_stateful_value_stats onward in
-#   registration order;
+# - 37 remaining r6-vintage names (the 40-name r6 green tier minus
+#   scd2_intervals, incr_mau_refresh, token_heavy_hitters refreshed
+#   in r9 — three late-session new registrations outranked the
+#   fuzzy_match_pairs/stream_stateful_value_stats/dau slots) — from
+#   fuzzy_match_pairs onward in registration order;
 # - then the 45-name r7 tier.
-# Take the 36 r6 names + any round-10 NEW registrations (they outrank
+# Take the 37 r6 names + any round-10 NEW registrations (they outrank
 # stale refreshes) + the oldest r7 names by registration order to
 # fill, keeping 2-3 r9-green sentinels for whatever the r10 diff
 # touches, and keep stream_tws_value_stats OUTSIDE the window
@@ -100,10 +99,10 @@ ROWS_ONLY = frozenset({
 # tests/test_round9.py::test_rotation_backlog_arithmetic): the ENTIRE
 # 40-name r5-vintage tier (every query whose latest green driver row
 # is r5 — including value_percentiles, which the r8 plan comment had
-# omitted; nothing older remains), the four round-9 NEW registrations
+# omitted; nothing older remains), the five round-9 NEW registrations
 # (dup_span_mine, jsonl_shard_roundtrip, lm_surprisal_bits,
-# ccnet_perplexity_bands — never-driver-checked outranks stale
-# refreshes, the standing rotation principle), the 4
+# ccnet_perplexity_bands, blocklist_doc_flags — never-driver-checked
+# outranks stale refreshes, the standing rotation principle), the 3
 # oldest r6-vintage names by registration order, and 2 r8-green
 # sentinels for the code the r9 diff touches (cross_source_dup_matrix
 # / split_neardup_leakage read the pair store through the publish
@@ -160,13 +159,13 @@ _WINDOW = (
     "jsonl_shard_roundtrip",
     "lm_surprisal_bits",
     "ccnet_perplexity_bands",
+    "blocklist_doc_flags",
     # oldest r6-vintage names by registration order (stale-refresh
-    # fill; the remaining 36 r6 names — from stream_stateful_value_
-    # stats onward — roll to round 10; see the plan comment above)
+    # fill; the remaining 37 r6 names — from fuzzy_match_pairs
+    # onward — roll to round 10; see the plan comment above)
     "scd2_intervals",
     "incr_mau_refresh",
     "token_heavy_hitters",
-    "fuzzy_match_pairs",
     # r8-green sentinels covering the round-9 diff (pair-store
     # fingerprint/base + publish heartbeat path)
     "cross_source_dup_matrix",

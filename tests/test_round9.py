@@ -396,15 +396,16 @@ def test_rotation_backlog_arithmetic():
     new_names = {
         "dup_span_mine", "jsonl_shard_roundtrip",
         "lm_surprisal_bits", "ccnet_perplexity_bands",
+        "blocklist_doc_flags",
     }
     assert new_names <= window
     assert not (new_names & set(latest_green))
 
-    # exactly 4 r6 names refreshed now; the plan comment's backlog
-    # arithmetic (36 remaining r6 names) follows from the record
+    # exactly 3 r6 names refreshed now; the plan comment's backlog
+    # arithmetic (37 remaining r6 names) follows from the record
     r6_in_window = r6 & window
-    assert len(r6_in_window) == 4, sorted(r6_in_window)
-    assert len(r6 - window) == 36, len(r6 - window)
+    assert len(r6_in_window) == 3, sorted(r6_in_window)
+    assert len(r6 - window) == 37, len(r6 - window)
 
     # the two sentinels are r8-green, and every window name is oracled
     for s in ("cross_source_dup_matrix", "split_neardup_leakage"):
@@ -530,3 +531,45 @@ def test_ccnet_bands_partition_exactly(spark, sf_smoke):
           for b in sizes}
     assert hi[0] <= lo[1] or sizes[1] == 0
     assert hi[1] <= lo[2] or sizes[2] == 0
+
+
+def test_blocklist_matches_are_exact_tokens(spark, tmp_path):
+    """Blocklist semantics: token/bigram EQUALITY, never substring
+    containment — 'dup' must not flag inside 'dedup', and a phrase
+    must match consecutive tokens only."""
+    import pandas as pd
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    docs = [
+        (0, "dedup duplicate dups", "a"),       # substrings only: clean
+        (1, "this dup and that dup", "a"),      # two unigram hits
+        (2, "batch batch batch", "a"),          # overlapping phrase x2
+        (3, "batch x batch", "a"),              # non-consecutive: clean
+        (4, "slow slow batch batch", "b"),      # both phrase kinds +
+        #                                         two 'slow' unigrams
+        (5, "", "b"),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": s,
+             "n_chars": len(t)}
+            for i, t, s in docs
+        ]
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["blocklist_doc_flags"](
+            spark, str(d)
+        ).collect()
+    }
+    assert rows[0]["unigram_hits"] == 0 and not rows[0]["flagged"]
+    assert rows[1]["unigram_hits"] == 2 and rows[1]["flagged"]
+    assert rows[2]["phrase_hits"] == 2      # bigrams overlap
+    assert rows[3]["phrase_hits"] == 0 and not rows[3]["flagged"]
+    assert rows[4]["unigram_hits"] == 2 and rows[4]["phrase_hits"] == 2
+    assert not rows[5]["flagged"]

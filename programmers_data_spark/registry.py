@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.tokenizer_ops",  # 4 (→183)
     "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
     "programmers_data_spark.queries.quality_lm_ops",  # 3 (→187)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→189)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -60,15 +61,15 @@ _QUERY_MODULES = (
 # rows-only-free names were rotatable; tests/test_round9.py::
 # test_rotation_backlog_arithmetic now asserts this comment's counts
 # against the record so the error class cannot recur). After r9
-# refreshes the full 40-name r5 tier + 3 oldest r6 names + 5 new
+# refreshes the full 40-name r5 tier + the oldest r6 name + 7 new
 # registrations + 2 pair-store sentinels, the stale backlog is:
-# - 37 remaining r6-vintage names (the 40-name r6 green tier minus
-#   scd2_intervals, incr_mau_refresh, token_heavy_hitters refreshed
-#   in r9 — three late-session new registrations outranked the
+# - 39 remaining r6-vintage names (the 40-name r6 green tier minus
+#   scd2_intervals refreshed in r9 — seven late-session new
+#   registrations outranked the incr_mau_refresh/token_heavy_hitters/
 #   fuzzy_match_pairs/stream_stateful_value_stats/dau slots) — from
-#   fuzzy_match_pairs onward in registration order;
+#   incr_mau_refresh onward in registration order;
 # - then the 45-name r7 tier.
-# Take the 37 r6 names + any round-10 NEW registrations (they outrank
+# Take the 39 r6 names + any round-10 NEW registrations (they outrank
 # stale refreshes) + the oldest r7 names by registration order to
 # fill, keeping 2-3 r9-green sentinels for whatever the r10 diff
 # touches, and keep stream_tws_value_stats OUTSIDE the window
@@ -99,11 +100,12 @@ ROWS_ONLY = frozenset({
 # tests/test_round9.py::test_rotation_backlog_arithmetic): the ENTIRE
 # 40-name r5-vintage tier (every query whose latest green driver row
 # is r5 — including value_percentiles, which the r8 plan comment had
-# omitted; nothing older remains), the five round-9 NEW registrations
-# (dup_span_mine, jsonl_shard_roundtrip, lm_surprisal_bits,
-# ccnet_perplexity_bands, blocklist_doc_flags — never-driver-checked
-# outranks stale refreshes, the standing rotation principle), the 3
-# oldest r6-vintage names by registration order, and 2 r8-green
+# omitted; nothing older remains), the seven round-9 NEW
+# registrations (dup_span_mine, jsonl_shard_roundtrip,
+# lm_surprisal_bits, ccnet_perplexity_bands, blocklist_doc_flags,
+# length_bucket_batches, oov_rate_by_vocab — never-driver-checked
+# outranks stale refreshes, the standing rotation principle), the
+# oldest r6-vintage name by registration order, and 2 r8-green
 # sentinels for the code the r9 diff touches (cross_source_dup_matrix
 # / split_neardup_leakage read the pair store through the publish
 # layer, exercising the heartbeat-thread, threshold-fingerprint, and
@@ -160,12 +162,12 @@ _WINDOW = (
     "lm_surprisal_bits",
     "ccnet_perplexity_bands",
     "blocklist_doc_flags",
-    # oldest r6-vintage names by registration order (stale-refresh
-    # fill; the remaining 37 r6 names — from fuzzy_match_pairs
+    "length_bucket_batches",
+    "oov_rate_by_vocab",
+    # oldest r6-vintage name by registration order (stale-refresh
+    # fill; the remaining 39 r6 names — from incr_mau_refresh
     # onward — roll to round 10; see the plan comment above)
     "scd2_intervals",
-    "incr_mau_refresh",
-    "token_heavy_hitters",
     # r8-green sentinels covering the round-9 diff (pair-store
     # fingerprint/base + publish heartbeat path)
     "cross_source_dup_matrix",

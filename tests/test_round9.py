@@ -396,16 +396,17 @@ def test_rotation_backlog_arithmetic():
     new_names = {
         "dup_span_mine", "jsonl_shard_roundtrip",
         "lm_surprisal_bits", "ccnet_perplexity_bands",
-        "blocklist_doc_flags",
+        "blocklist_doc_flags", "length_bucket_batches",
+        "oov_rate_by_vocab",
     }
     assert new_names <= window
     assert not (new_names & set(latest_green))
 
-    # exactly 3 r6 names refreshed now; the plan comment's backlog
-    # arithmetic (37 remaining r6 names) follows from the record
+    # exactly 1 r6 name refreshed now; the plan comment's backlog
+    # arithmetic (39 remaining r6 names) follows from the record
     r6_in_window = r6 & window
-    assert len(r6_in_window) == 3, sorted(r6_in_window)
-    assert len(r6 - window) == 37, len(r6 - window)
+    assert len(r6_in_window) == 1, sorted(r6_in_window)
+    assert len(r6 - window) == 39, len(r6 - window)
 
     # the two sentinels are r8-green, and every window name is oracled
     for s in ("cross_source_dup_matrix", "split_neardup_leakage"):
@@ -573,3 +574,108 @@ def test_blocklist_matches_are_exact_tokens(spark, tmp_path):
     assert rows[3]["phrase_hits"] == 0 and not rows[3]["flagged"]
     assert rows[4]["unigram_hits"] == 2 and rows[4]["phrase_hits"] == 2
     assert not rows[5]["flagged"]
+
+
+# ------------------------------------------------ batch / vocab planning
+
+
+def _docs_fixture(tmp_path, docs):
+    """Write a minimal documents.parquet from (doc_id, text, source)."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": s,
+             "n_chars": len(t)}
+            for i, t, s in docs
+        ]
+    ).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_length_bucket_batches_matches_serial_reference(spark, tmp_path):
+    """The distributed two-level rank batching must reproduce the
+    serial plan exactly: sort by (len, doc_id), chunk BATCH_SIZE,
+    pad each chunk to its max."""
+    import random
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.batching_ops import BATCH_SIZE
+
+    registry.load_all()
+    rng = random.Random(909)
+    docs = [
+        (i, " ".join("tok" for _ in range(rng.randint(0, 40))), "s")
+        for i in range(137)  # non-multiple of BATCH_SIZE: ragged tail
+    ]
+    sf = _docs_fixture(tmp_path, docs)
+
+    # serial reference (note: "" splits to 1 whitespace-token list of
+    # zero after the empty-filter — recompute the engine's count)
+    lens = sorted(
+        (len([w for w in t.split() if w]), i) for i, t, _ in docs
+    )
+    expected = []
+    for b in range(0, len(lens), BATCH_SIZE):
+        chunk = lens[b : b + BATCH_SIZE]
+        mx = max(n for n, _ in chunk)
+        sm = sum(n for n, _ in chunk)
+        expected.append(
+            (b // BATCH_SIZE, len(chunk), mx, sm, len(chunk) * mx - sm)
+        )
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["length_bucket_batches"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == expected
+
+    # structural invariants a data loader relies on
+    assert all(g[1] == BATCH_SIZE for g in got[:-1])
+    assert [g[2] for g in got] == sorted(g[2] for g in got)  # monotone
+
+
+def test_oov_rate_matches_serial_reference(spark, tmp_path):
+    """OOV sweep vs a pure-python reference on a corpus wide enough
+    (30 distinct tokens) that every VOCAB_CUT lands mid-vocabulary."""
+    import collections
+    import random
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.batching_ops import VOCAB_CUTS
+
+    registry.load_all()
+    rng = random.Random(77)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        # skewed draw so global ranks are non-trivial
+        words = rng.choices(vocab, weights=range(30, 0, -1), k=25)
+        docs.append((i, " ".join(words), f"src{i % 3}"))
+    sf = _docs_fixture(tmp_path, docs)
+
+    glob = collections.Counter()
+    per_src = collections.defaultdict(collections.Counter)
+    for _, t, s in docs:
+        for w in t.split():
+            glob[w] += 1
+            per_src[s][w] += 1
+    ranked = sorted(glob, key=lambda w: (-glob[w], w))
+    rank = {w: r for r, w in enumerate(ranked)}
+
+    expected = []
+    for s in sorted(per_src):
+        for k in VOCAB_CUTS:
+            total = sum(per_src[s].values())
+            oov = sum(c for w, c in per_src[s].items() if rank[w] >= k)
+            expected.append((s, k, oov, total, oov / total))
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["oov_rate_by_vocab"](spark, sf).collect()
+    ]
+    assert got == expected

@@ -60,6 +60,10 @@ BOUNDED_CARTESIAN = frozenset({
     "contrastive_training_pairs",  # broadcast bounded query set
     "ccnet_perplexity_bands",  # 1-row doc-count broadcast into the
     #                            band arithmetic (distributed_rank)
+    "collocation_lift",        # 1-row corpus-occurrence-total broadcast
+    "vocab_growth_curve",      # 1-row doc-id min/max bounds broadcast
+    "source_bigram_overlap",   # dimension-sized (n_sources rows) vocab
+    #                            size table non-equi self-pairing
     "corpus_mixture_weights",  # 1-row corpus totals broadcast
     "dsir_importance_proxy",   # 1-row target-source + totals broadcasts
     "curriculum_phases",       # 1-row corpus-count broadcast into
@@ -95,6 +99,9 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "dsir_importance_proxy",  # 1-row distribution-totals aggregate
     "curriculum_phases",  # 1-row corpus-count agg feeds the broadcast
     "cross_source_dup_matrix",  # 1-row pair-total agg feeds the share
+    "collocation_lift",  # 1-row occurrence-total agg feeds the lift
+    "vocab_growth_curve",  # 1-row bounds agg + <=N_CHECKPOINTS-row
+    #                        running-sum window
     "ivf_recall_at5",
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",

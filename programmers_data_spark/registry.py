@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
     "programmers_data_spark.queries.quality_lm_ops",  # 3 (→187)
     "programmers_data_spark.queries.batching_ops",  # 2 (→189)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→192)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -61,18 +62,19 @@ _QUERY_MODULES = (
 # rows-only-free names were rotatable; tests/test_round9.py::
 # test_rotation_backlog_arithmetic now asserts this comment's counts
 # against the record so the error class cannot recur). After r9
-# refreshes the full 40-name r5 tier + the oldest r6 name + 7 new
-# registrations + 2 pair-store sentinels, the stale backlog is:
-# - 39 remaining r6-vintage names (the 40-name r6 green tier minus
-#   scd2_intervals refreshed in r9 — seven late-session new
-#   registrations outranked the incr_mau_refresh/token_heavy_hitters/
-#   fuzzy_match_pairs/stream_stateful_value_stats/dau slots) — from
-#   incr_mau_refresh onward in registration order;
+# refreshes the full 40-name r5 tier + 9 new registrations + 1
+# pair-store sentinel, the stale backlog is:
+# - vocab_growth_curve FIRST (registered r9, never driver-checked —
+#   it did not fit the r9 window after nine sibling registrations);
+# - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
+#   new registrations displaced the scd2_intervals refresh), from
+#   scd2_intervals onward in registration order;
 # - then the 45-name r7 tier.
-# Take the 39 r6 names + any round-10 NEW registrations (they outrank
-# stale refreshes) + the oldest r7 names by registration order to
-# fill, keeping 2-3 r9-green sentinels for whatever the r10 diff
-# touches, and keep stream_tws_value_stats OUTSIDE the window
+# Take vocab_growth_curve + any round-10 NEW registrations (they
+# outrank stale refreshes) + the 40 r6 names + the oldest r7 names
+# by registration order to fill, keeping 2-3 r9-green sentinels for
+# whatever the r10 diff touches, and keep stream_tws_value_stats
+# OUTSIDE the window
 # (honestly gated: google.protobuf absent, installs disallowed —
 # semantics driver-certified r6 via the applyInPandasWithState twin).
 
@@ -100,16 +102,21 @@ ROWS_ONLY = frozenset({
 # tests/test_round9.py::test_rotation_backlog_arithmetic): the ENTIRE
 # 40-name r5-vintage tier (every query whose latest green driver row
 # is r5 — including value_percentiles, which the r8 plan comment had
-# omitted; nothing older remains), the seven round-9 NEW
-# registrations (dup_span_mine, jsonl_shard_roundtrip,
+# omitted; nothing older remains), the NINE round-9 NEW
+# registrations in the window (dup_span_mine, jsonl_shard_roundtrip,
 # lm_surprisal_bits, ccnet_perplexity_bands, blocklist_doc_flags,
-# length_bucket_batches, oov_rate_by_vocab — never-driver-checked
-# outranks stale refreshes, the standing rotation principle), the
-# oldest r6-vintage name by registration order, and 2 r8-green
-# sentinels for the code the r9 diff touches (cross_source_dup_matrix
-# / split_neardup_leakage read the pair store through the publish
-# layer, exercising the heartbeat-thread, threshold-fingerprint, and
-# per-uid store-base changes). Every window name has an oracle — zero
+# length_bucket_batches, oov_rate_by_vocab, collocation_lift,
+# source_bigram_overlap — never-driver-checked outranks stale
+# refreshes, the standing rotation principle; the tenth new
+# registration, vocab_growth_curve, did not fit and LEADS the r10
+# window), and 1 r8-green sentinel for the code the r9 diff touches
+# (cross_source_dup_matrix reads the pair store through the publish
+# layer, exercising ALL THREE r9 publish-layer changes at once:
+# heartbeat-thread, threshold-fingerprint, and per-uid store-base —
+# the second consumer sentinel split_neardup_leakage was displaced
+# by a new registration and stays r8-green). The r6 stale-refresh
+# slot (scd2_intervals) was likewise displaced: the r10 backlog is
+# the full 40-name r6 tier. Every window name has an oracle — zero
 # rows-only slots. Everything outside the window was driver-green in
 # r6-r8 and stays locally verified every run by
 # tests/test_oracle_parity.py, which hash-checks ALL registered
@@ -164,14 +171,12 @@ _WINDOW = (
     "blocklist_doc_flags",
     "length_bucket_batches",
     "oov_rate_by_vocab",
-    # oldest r6-vintage name by registration order (stale-refresh
-    # fill; the remaining 39 r6 names — from incr_mau_refresh
-    # onward — roll to round 10; see the plan comment above)
-    "scd2_intervals",
-    # r8-green sentinels covering the round-9 diff (pair-store
-    # fingerprint/base + publish heartbeat path)
+    "collocation_lift",
+    "source_bigram_overlap",
+    # r8-green sentinel covering the round-9 diff (pair-store
+    # fingerprint/base + publish heartbeat path — all three changes
+    # sit on this query's read path)
     "cross_source_dup_matrix",
-    "split_neardup_leakage",
 )
 
 

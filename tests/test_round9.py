@@ -392,25 +392,30 @@ def test_rotation_backlog_arithmetic():
     assert len(r5) == 40 and "value_percentiles" in r5
     assert r5 <= window, sorted(r5 - window)
 
-    # never-driver-checked registrations are in the window
+    # never-driver-checked registrations are in the window — except
+    # vocab_growth_curve, which did not fit after nine sibling
+    # registrations and LEADS the r10 plan instead
     new_names = {
         "dup_span_mine", "jsonl_shard_roundtrip",
         "lm_surprisal_bits", "ccnet_perplexity_bands",
         "blocklist_doc_flags", "length_bucket_batches",
-        "oov_rate_by_vocab",
+        "oov_rate_by_vocab", "collocation_lift",
+        "source_bigram_overlap",
     }
     assert new_names <= window
     assert not (new_names & set(latest_green))
+    assert "vocab_growth_curve" in registry.QUERIES
+    assert "vocab_growth_curve" not in window
+    assert "vocab_growth_curve" not in latest_green
 
-    # exactly 1 r6 name refreshed now; the plan comment's backlog
-    # arithmetic (39 remaining r6 names) follows from the record
+    # no r6 refresh slot survived the new registrations: the r10
+    # backlog is the FULL 40-name r6 tier (plan comment arithmetic)
     r6_in_window = r6 & window
-    assert len(r6_in_window) == 1, sorted(r6_in_window)
-    assert len(r6 - window) == 39, len(r6 - window)
+    assert not r6_in_window, sorted(r6_in_window)
+    assert len(r6 - window) == 40, len(r6 - window)
 
-    # the two sentinels are r8-green, and every window name is oracled
-    for s in ("cross_source_dup_matrix", "split_neardup_leakage"):
-        assert latest_green.get(s) == 8, (s, latest_green.get(s))
+    # the sentinel is r8-green, and every window name is oracled
+    assert latest_green.get("cross_source_dup_matrix") == 8
     missing_oracle = [n for n in registry._WINDOW if n not in registry.ORACLE]
     assert not missing_oracle, missing_oracle
 
@@ -679,3 +684,137 @@ def test_oov_rate_matches_serial_reference(spark, tmp_path):
         for r in registry.QUERIES["oov_rate_by_vocab"](spark, sf).collect()
     ]
     assert got == expected
+
+
+# -------------------------------------------- corpus-stats operators
+
+
+def test_collocation_lift_matches_serial_reference(spark, tmp_path):
+    """The distributed lift table must reproduce a dict-counted
+    serial word2vec phrase score exactly — including the integer
+    fixed-point division and the (lift, c_ab, bigram) tie order."""
+    import collections
+    import random
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.corpus_stats_ops import (
+        DISCOUNT, LIFT_SCALE, TOP_COLLOCATIONS,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i:02d}" for i in range(12)]
+    docs = []
+    for i in range(80):
+        words = rng.choices(vocab, k=rng.randint(0, 30))
+        # inject a deliberate strong collocation so lift ordering
+        # differs from raw-frequency ordering
+        if i % 4 == 0:
+            words += ["rare", "pair"] * 3
+        docs.append((i, " ".join(words), f"src{i % 2}"))
+    sf = _docs_fixture(tmp_path, docs)
+
+    uni = collections.Counter()
+    big = collections.Counter()
+    for _, t, _ in docs:
+        toks = t.split()
+        uni.update(toks)
+        big.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n = sum(uni.values())
+    rows = []
+    for bg, cab in big.items():
+        if cab <= DISCOUNT:
+            continue
+        a, b = bg.split(" ")
+        lift = (cab - DISCOUNT) * LIFT_SCALE * n // (uni[a] * uni[b])
+        rows.append((bg, cab, uni[a], uni[b], lift))
+    rows.sort(key=lambda r: (-r[4], -r[1], r[0]))
+    expected = rows[:TOP_COLLOCATIONS]
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["collocation_lift"](spark, sf).collect()
+    ]
+    assert got == expected
+    # the planted collocation must outrank every organic bigram
+    assert got[0][0] == "pair rare" or got[0][0] == "rare pair"
+
+
+def test_vocab_growth_curve_is_cumulative_and_exact(spark, tmp_path):
+    """Growth-curve invariants on a handmade corpus: every cumulative
+    column is non-decreasing, and the final row equals the direct
+    whole-corpus counts (docs, occurrences, distinct uni/bigrams)."""
+    import random
+
+    from programmers_data_spark import registry
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = []
+    for i in range(100):
+        # vocabulary widens over time so the curve actually grows
+        hi = 5 + (i * 35) // 100
+        words = rng.choices(vocab[:hi], k=rng.randint(1, 20))
+        docs.append((i, " ".join(words), "src0"))
+    sf = _docs_fixture(tmp_path, docs)
+
+    got = registry.QUERIES["vocab_growth_curve"](spark, sf).collect()
+    for prev, cur in zip(got, got[1:]):
+        assert cur["bucket"] > prev["bucket"]
+        for c in ("cum_docs", "cum_tokens",
+                  "cum_unigram_types", "cum_bigram_types"):
+            assert cur[c] >= prev[c]
+
+    all_toks = [t.split() for _, t, _ in docs]
+    final = got[-1]
+    assert final["cum_docs"] == len(docs)
+    assert final["cum_tokens"] == sum(len(t) for t in all_toks)
+    assert final["cum_unigram_types"] == len({w for t in all_toks for w in t})
+    assert final["cum_bigram_types"] == len(
+        {" ".join(p) for t in all_toks for p in zip(t, t[1:])}
+    )
+
+
+def test_source_bigram_overlap_matches_python_sets(spark, tmp_path):
+    """Every emitted pair must equal the python set-algebra answer,
+    including zero-overlap pairs (matrix completeness) and the
+    integer milli-Jaccard."""
+    import collections
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries.corpus_stats_ops import (
+        JACCARD_SCALE,
+    )
+
+    docs = [
+        (0, "a b c d", "s0"),
+        (1, "a b x", "s0"),
+        (2, "b c d e", "s1"),
+        (3, "c d", "s1"),
+        (4, "p q r s", "s2"),  # disjoint from s0/s1
+    ]
+    sf = _docs_fixture(tmp_path, docs)
+
+    vocabs = collections.defaultdict(set)
+    for _, t, s in docs:
+        toks = t.split()
+        vocabs[s].update(" ".join(p) for p in zip(toks, toks[1:]))
+    srcs = sorted(vocabs)
+    expected = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(vocabs[a] & vocabs[b])
+            union = len(vocabs[a] | vocabs[b])
+            expected.append(
+                (a, b, len(vocabs[a]), len(vocabs[b]), shared,
+                 shared * JACCARD_SCALE // union)
+            )
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["source_bigram_overlap"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == expected
+    # the disjoint source produced complete zero rows, not gaps
+    assert sum(1 for r in got if r[4] == 0) == 2

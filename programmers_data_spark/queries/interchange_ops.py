@@ -148,3 +148,77 @@ def jsonl_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _JSONL_CACHE[key] = result
     return result
+
+
+# ------------------------------------------------------ ORC roundtrip
+
+# Operator-overridable base for the written ORC trees (bench pins a
+# fresh one per run; default is the per-uid tempdir base).
+ORC_STORE_ENV = "SPARK_GRAFT_ORC_STORE"
+
+# roundtrip result memo per (applicationId, sf_dir) — *_CACHE contract
+_ORC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_ORC_ORACLE = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           md5(string_agg(d, '' ORDER BY d)) AS content_md5
+    FROM (SELECT lang, {_DIGEST_DUCK} AS d FROM documents)
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query("orc_partitioned_roundtrip", oracle=_ORC_ORACLE)
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → read → verify for Spark's native ORC format with a
+    Hive-style partition layout — the second columnar interchange
+    next to parquet (a warehouse handoff target the reference serves
+    via its COPY/UNLOAD SQL shapes, reference
+    airflow/dags/load_s3_to_redshift_dag.py semantics; here the
+    format itself is certified end-to-end).
+
+    Pipeline: documents → ``write.partitionBy("lang").orc`` →
+    ``read.orc`` with the partition column recovered from the
+    directory layout → per-partition row count + md5 over the sorted
+    per-row digests (digest includes lang, so a row landing in the
+    wrong partition directory, a type mangled by the ORC
+    encode/decode, or a row lost in either pass breaks the hash).
+    The oracle recomputes the same stats straight from the parquet
+    fixture — the roundtrip-identity pattern of
+    jsonl_shard_roundtrip / multimodal_png_roundtrip.
+
+    Scale shape: the export is a columnar write partitioned by a
+    low-cardinality dimension (the standard lake layout whose
+    directory pruning tests/test_io.py proves for parquet and
+    tests/test_round9.py proves for this ORC tree); the read-back is
+    a parallel columnar scan; digests partial-aggregate per
+    partition. One extra pass over the corpus — the certification
+    price, paid once per handoff."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ORC_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    base = store_base(ORC_STORE_ENV, "spark_graft_orc")
+    os.makedirs(base, exist_ok=True)  # an env-overridden base may be new
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_", dir=base), "docs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+
+    back = spark.read.orc(out)
+    result = (
+        back.select("lang", _digest_spark().alias("d"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("d")))).alias(
+                "content_md5"
+            ),
+        )
+        .orderBy("lang")
+        .persist()
+    )
+    _ORC_CACHE[key] = result
+    return result

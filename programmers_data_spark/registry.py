@@ -49,10 +49,10 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.sketch_ops",  # 3 (→176)
     "programmers_data_spark.queries.timeseries_ops",  # 3 (→179)
     "programmers_data_spark.queries.tokenizer_ops",  # 4 (→183)
-    "programmers_data_spark.queries.interchange_ops",  # 1 (→184)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→187)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→189)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→192)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→185)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→188)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→190)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→193)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -64,13 +64,14 @@ _QUERY_MODULES = (
 # against the record so the error class cannot recur). After r9
 # refreshes the full 40-name r5 tier + 9 new registrations + 1
 # pair-store sentinel, the stale backlog is:
-# - vocab_growth_curve FIRST (registered r9, never driver-checked —
-#   it did not fit the r9 window after nine sibling registrations);
+# - vocab_growth_curve and orc_partitioned_roundtrip FIRST
+#   (registered r9, never driver-checked — they did not fit the r9
+#   window after nine sibling registrations);
 # - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
 #   new registrations displaced the scd2_intervals refresh), from
 #   scd2_intervals onward in registration order;
 # - then the 45-name r7 tier.
-# Take vocab_growth_curve + any round-10 NEW registrations (they
+# Take those two + any round-10 NEW registrations (they
 # outrank stale refreshes) + the 40 r6 names + the oldest r7 names
 # by registration order to fill, keeping 2-3 r9-green sentinels for
 # whatever the r10 diff touches, and keep stream_tws_value_stats
@@ -107,9 +108,9 @@ ROWS_ONLY = frozenset({
 # lm_surprisal_bits, ccnet_perplexity_bands, blocklist_doc_flags,
 # length_bucket_batches, oov_rate_by_vocab, collocation_lift,
 # source_bigram_overlap — never-driver-checked outranks stale
-# refreshes, the standing rotation principle; the tenth new
-# registration, vocab_growth_curve, did not fit and LEADS the r10
-# window), and 1 r8-green sentinel for the code the r9 diff touches
+# refreshes, the standing rotation principle; the remaining new
+# registrations, vocab_growth_curve and orc_partitioned_roundtrip,
+# did not fit and LEAD the r10 window), and 1 r8-green sentinel for the code the r9 diff touches
 # (cross_source_dup_matrix reads the pair store through the publish
 # layer, exercising ALL THREE r9 publish-layer changes at once:
 # heartbeat-thread, threshold-fingerprint, and per-uid store-base —

@@ -404,9 +404,10 @@ def test_rotation_backlog_arithmetic():
     }
     assert new_names <= window
     assert not (new_names & set(latest_green))
-    assert "vocab_growth_curve" in registry.QUERIES
-    assert "vocab_growth_curve" not in window
-    assert "vocab_growth_curve" not in latest_green
+    for lead in ("vocab_growth_curve", "orc_partitioned_roundtrip"):
+        assert lead in registry.QUERIES
+        assert lead not in window
+        assert lead not in latest_green
 
     # no r6 refresh slot survived the new registrations: the r10
     # backlog is the FULL 40-name r6 tier (plan comment arithmetic)
@@ -818,3 +819,32 @@ def test_source_bigram_overlap_matches_python_sets(spark, tmp_path):
     assert got == expected
     # the disjoint source produced complete zero rows, not gaps
     assert sum(1 for r in got if r[4] == 0) == 2
+
+
+# -------------------------------------------------- ORC interchange
+
+
+def test_orc_roundtrip_tree_prunes_partitions(spark, sf_smoke, tmp_path,
+                                              monkeypatch):
+    """The ORC tree the roundtrip writes must behave like a real lake
+    layout: a predicate on the partition column reaches the scan as a
+    PartitionFilter (directory pruning), not a data filter."""
+    import programmers_data_spark.queries.interchange_ops as ic
+    from programmers_data_spark import registry
+
+    monkeypatch.setenv(ic.ORC_STORE_ENV, str(tmp_path))
+    ic._ORC_CACHE.clear()
+    registry.QUERIES["orc_partitioned_roundtrip"](spark, sf_smoke).collect()
+
+    trees = [
+        os.path.join(str(tmp_path), d, "docs")
+        for d in os.listdir(str(tmp_path))
+        if d.startswith("orc_rt_")
+    ]
+    assert len(trees) == 1
+    pruned = spark.read.orc(trees[0]).filter("lang = 'en'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    ic._ORC_CACHE.clear()

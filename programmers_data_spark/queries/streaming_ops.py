@@ -621,3 +621,161 @@ def stream_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- late-data accounting
+
+# Watermark delay for the audit: 7 days against the fixture's ~30-day
+# event span, so both late and on-time rows exist. Interpolated into
+# BOTH engines (micros in the oracle).
+LATE_AUDIT_DELAY_DAYS = 7
+_DELAY_US = LATE_AUDIT_DELAY_DAYS * 86_400_000_000
+
+# audit result memo per (applicationId, sf_dir) — *_CACHE contract
+_LATE_AUDIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "stream_late_data_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id,
+             epoch_us(date_trunc('day', ts)) AS ws,
+             epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS we,
+             epoch_us(ts) AS t_us
+      FROM events
+    ),
+    m0 AS (
+      SELECT max(t_us) AS mx FROM e WHERE event_id % 2 = 0
+    ),
+    acc AS (
+      SELECT ws, CAST(count(*) AS BIGINT) AS n_on_time
+      FROM e CROSS JOIN m0
+      WHERE event_id % 2 = 0 OR we > mx - {_DELAY_US}
+      GROUP BY ws
+    ),
+    tot AS (
+      SELECT ws, CAST(count(*) AS BIGINT) AS n_total FROM e GROUP BY ws
+    )
+    SELECT t.ws AS window_start_us,
+           t.n_total,
+           CAST(coalesce(a.n_on_time, 0) AS BIGINT) AS n_on_time,
+           CAST(t.n_total - coalesce(a.n_on_time, 0) AS BIGINT) AS n_late
+    FROM tot t LEFT JOIN acc a ON t.ws = a.ws
+    ORDER BY window_start_us
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting — the operational view behind
+    choosing a watermark delay: per daily window, how many rows the
+    streaming aggregation ACCEPTED versus DROPPED as too late. The
+    streaming side is real end-to-end Structured Streaming semantics,
+    not a simulation: events split into two deterministic
+    micro-batches (even event_ids arrive first, odd second), a
+    {LATE_AUDIT_DELAY_DAYS}-day watermark, append-mode daily count,
+    and a far-future flush row that closes every real window so each
+    emits exactly once. The oracle recomputes Spark's own drop rule —
+    batch-1 rows are kept iff their window END lies strictly past
+    (max batch-0 event time − delay), the watermark in force while
+    batch 1 runs — so a hash match certifies the engine's watermark
+    arithmetic, not just row counts.
+
+    Scale shape: the audit costs the streaming aggregation itself
+    (state = one row per open (day) window) plus one batch totals
+    pass; the join is day-cardinality. At 100 TB the same plan binds
+    to a Kafka source with the flush row replaced by real watermark
+    advancement; per-window state and output are unchanged."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..catalog import load_table
+    from ..storeutil import store_base
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LATE_AUDIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = store_base("SPARK_GRAFT_LATE_STORE", "spark_graft_late")
+    os.makedirs(base, exist_ok=True)  # an env-overridden base may be new
+    src = os.path.join(tempfile.mkdtemp(prefix="late_", dir=base), "src")
+
+    # batch 0 on disk BEFORE the stream starts; batches 1 and 2 are
+    # dropped in between processAllAvailable() drains, so arrival
+    # order — and therefore the watermark trajectory — is exact
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/b0.parquet"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-value scalar
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", f"{LATE_AUDIT_DELAY_DAYS} days")
+    )
+    agg = stream.groupBy(F.window("ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_on_time")
+    )
+    sink = f"late_audit_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: establishes the watermark
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{src}/b1.parquet"
+        )
+        q.processAllAvailable()  # batch 1: late rows dropped HERE
+        flush = spark.createDataFrame(
+            [(-1,)], "event_id long"
+        ).select(
+            "event_id",
+            (
+                F.lit(max_ts) + F.expr("INTERVAL 40 DAYS")
+            ).alias("ts"),
+        )
+        flush.coalesce(1).write.parquet(f"{src}/b2.parquet")
+        q.processAllAvailable()  # flush: closes every real window
+    finally:
+        q.stop()
+
+    accepted = (
+        spark.table(sink)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_on_time",
+        )
+        # the flush row's own (far-future) window never closes and
+        # would be engine-internal anyway; scope to real event days
+        .filter(F.col("window_start_us") <= F.unix_micros(F.lit(max_ts)))
+    )
+    totals = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_total",
+        )
+    )
+    result = (
+        totals.join(accepted, "window_start_us", "left")
+        .select(
+            "window_start_us",
+            "n_total",
+            F.coalesce("n_on_time", F.lit(0)).cast("long").alias("n_on_time"),
+            (F.col("n_total") - F.coalesce("n_on_time", F.lit(0)))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .orderBy("window_start_us")
+        .persist()
+    )
+    result.count()  # materialize, then free the memory-sink view
+    spark.catalog.dropTempView(sink)
+    _LATE_AUDIT_CACHE[key] = result
+    return result

@@ -32,27 +32,27 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_ops",  # 15 (→28)
     "programmers_data_spark.queries.dedup_ops",  # 7 (→35)
     "programmers_data_spark.queries.round3_ops",  # 11 (→46)
-    "programmers_data_spark.queries.streaming_ops",  # 12 incl. the
+    "programmers_data_spark.queries.streaming_ops",  # 13 incl. the
     #   unconditionally-registered, call-time-gated tws query and its
-    #   dependency-free applyInPandasWithState twin (→58)
-    "programmers_data_spark.queries.summary",  # 5 (→63)
-    "programmers_data_spark.queries.text_quality_ops",  # 8 (→71)
-    "programmers_data_spark.queries.curation_ops",  # 8 (→79)
-    "programmers_data_spark.queries.extras",  # 25 (→104)
-    "programmers_data_spark.queries.similarity_ops",  # 11 (→115)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→121)
-    "programmers_data_spark.queries.analytics",  # 19 (→140)
-    "programmers_data_spark.queries.subqueries",  # 8 (→148)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→154)
-    "programmers_data_spark.queries.sampling_ops",  # 11 (→165)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→173)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→176)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→179)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→183)
-    "programmers_data_spark.queries.interchange_ops",  # 2 (→185)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→188)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→190)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→193)
+    #   dependency-free applyInPandasWithState twin (→59)
+    "programmers_data_spark.queries.summary",  # 5 (→64)
+    "programmers_data_spark.queries.text_quality_ops",  # 8 (→72)
+    "programmers_data_spark.queries.curation_ops",  # 8 (→80)
+    "programmers_data_spark.queries.extras",  # 25 (→105)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→116)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→122)
+    "programmers_data_spark.queries.analytics",  # 19 (→141)
+    "programmers_data_spark.queries.subqueries",  # 8 (→149)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→155)
+    "programmers_data_spark.queries.sampling_ops",  # 11 (→166)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→174)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→177)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→180)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→184)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→186)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→189)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→191)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→194)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -64,14 +64,15 @@ _QUERY_MODULES = (
 # against the record so the error class cannot recur). After r9
 # refreshes the full 40-name r5 tier + 9 new registrations + 1
 # pair-store sentinel, the stale backlog is:
-# - vocab_growth_curve and orc_partitioned_roundtrip FIRST
-#   (registered r9, never driver-checked — they did not fit the r9
-#   window after nine sibling registrations);
+# - vocab_growth_curve, orc_partitioned_roundtrip, and
+#   stream_late_data_audit FIRST (registered r9, never
+#   driver-checked — they did not fit the r9 window after nine
+#   sibling registrations);
 # - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
 #   new registrations displaced the scd2_intervals refresh), from
 #   scd2_intervals onward in registration order;
 # - then the 45-name r7 tier.
-# Take those two + any round-10 NEW registrations (they
+# Take those three + any round-10 NEW registrations (they
 # outrank stale refreshes) + the 40 r6 names + the oldest r7 names
 # by registration order to fill, keeping 2-3 r9-green sentinels for
 # whatever the r10 diff touches, and keep stream_tws_value_stats
@@ -109,8 +110,9 @@ ROWS_ONLY = frozenset({
 # length_bucket_batches, oov_rate_by_vocab, collocation_lift,
 # source_bigram_overlap — never-driver-checked outranks stale
 # refreshes, the standing rotation principle; the remaining new
-# registrations, vocab_growth_curve and orc_partitioned_roundtrip,
-# did not fit and LEAD the r10 window), and 1 r8-green sentinel for the code the r9 diff touches
+# registrations — vocab_growth_curve, orc_partitioned_roundtrip,
+# stream_late_data_audit — did not fit and LEAD the r10 window),
+# and 1 r8-green sentinel for the code the r9 diff touches
 # (cross_source_dup_matrix reads the pair store through the publish
 # layer, exercising ALL THREE r9 publish-layer changes at once:
 # heartbeat-thread, threshold-fingerprint, and per-uid store-base —

@@ -721,3 +721,173 @@ def dup_span_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "start_tok")
     )
+
+
+# --------------------------------------------- exact-substring scrub
+
+
+def _dup_span_scrub_oracle() -> str:
+    from .dedup_ops import _AUG_SQL
+
+    K = DUP_SPAN_K
+    return f"""
+    WITH aug AS ({_AUG_SQL}),
+    toklists AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tl FROM aug
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(range(1, len(tl) - {K} + 2)) AS start_tok,
+             unnest(list_transform(
+               range(1, len(tl) - {K} + 2),
+               i -> md5(array_to_string(tl[i:i+{K - 1}], ' '))
+             )) AS key
+      FROM toklists
+    ),
+    dup AS (
+      SELECT key, CAST(min(doc_id) AS BIGINT) AS canon
+      FROM shingled GROUP BY key
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removed AS (
+      SELECT DISTINCT s.doc_id,
+             unnest(range(s.start_tok, s.start_tok + {K})) AS pos
+      FROM shingled s JOIN dup d USING (key)
+      WHERE s.doc_id <> d.canon
+    ),
+    toks AS (
+      SELECT doc_id, unnest(tl) AS tok,
+             generate_subscripts(tl, 1) AS pos
+      FROM toklists
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM toks t LEFT JOIN removed r
+        ON t.doc_id = r.doc_id AND t.pos = r.pos
+      WHERE r.pos IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(coalesce(
+               array_to_string(list(tok ORDER BY pos), ' '), ''
+             )) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tl.doc_id,
+           CAST(len(tl.tl) AS BIGINT) AS n_tokens,
+           CAST(len(tl.tl) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+    FROM toklists tl LEFT JOIN rebuilt r ON tl.doc_id = r.doc_id
+    ORDER BY tl.doc_id
+    """
+
+
+@query("dup_span_scrub", oracle=_dup_span_scrub_oracle())
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL rewrite that consumes dup_span_mine's signal —
+    Lee et al. 2022's ExactSubstr dedup as a transform: every token
+    covered by a cross-document duplicated K-shingle is cut from
+    every document EXCEPT the shingle's canonical keeper (the
+    minimum doc_id containing it), so exactly one copy of each
+    duplicated passage survives the corpus. Emits per document the
+    original token count, tokens removed, and the md5 of the
+    rebuilt cleaned text — the transform itself is hash-verified
+    (the doc_line_dedup pattern), not just the counts.
+
+    Keeper rule: min doc_id per duplicated shingle key — total,
+    deterministic, and local to the shingle group (no global
+    coordination beyond the groupBy both engines share). A token is
+    cut iff ANY non-canonical duplicated shingle occurrence covers
+    it; overlapping spans union naturally through the DISTINCT
+    (doc, pos) removed set.
+
+    Scale shape, linear in corpus tokens: the shingle build and
+    duplicate-key groupBy are dup_span_mine's (one per-doc window
+    pass, one md5-key aggregation); the position explode
+    (sequence(start, start+K-1)) fans out ONLY non-canonical
+    duplicated occurrences — bounded by duplicated text volume, not
+    corpus size; the removed set anti-joins the token stream on
+    (doc, pos) — co-partitioned with the rebuild's own (doc) shuffle;
+    the per-doc rebuild is doc_line_dedup's sort-struct aggregate,
+    memory bounded by document length."""
+    from pyspark.sql.window import Window
+
+    from .dedup_ops import _augmented_docs
+
+    K = DUP_SPAN_K
+    aug = _augmented_docs(spark, sf_dir)
+    toks_arr = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    tok_rows = aug.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, K)]
+    shingled = (
+        tok_rows.select(
+            "doc_id",
+            F.col("pos").alias("start_tok"),
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("tok", K - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "start_tok", F.md5("sh").alias("key"))
+    )
+    dup = (
+        shingled.groupBy("key")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").cast("long").alias("canon"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("key", "canon")
+    )
+    removed = (
+        shingled.join(dup, "key")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_tok"), F.col("start_tok") + F.lit(K - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = aug.select(
+        "doc_id", F.size(toks_arr).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(
+                "cleaned_md5", F.lit(F.md5(F.lit("")))
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

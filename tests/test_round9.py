@@ -405,7 +405,7 @@ def test_rotation_backlog_arithmetic():
     assert new_names <= window
     assert not (new_names & set(latest_green))
     for lead in ("vocab_growth_curve", "orc_partitioned_roundtrip",
-                 "stream_late_data_audit"):
+                 "stream_late_data_audit", "dup_span_scrub"):
         assert lead in registry.QUERIES
         assert lead not in window
         assert lead not in latest_green
@@ -849,3 +849,75 @@ def test_orc_roundtrip_tree_prunes_partitions(spark, sf_smoke, tmp_path,
         "PartitionFilters"
     )[1].split("]")[0]
     ic._ORC_CACHE.clear()
+
+
+# --------------------------------------------------- dup_span_scrub
+
+
+def test_dup_span_scrub_matches_python_reference(spark, tmp_path):
+    """The distributed keep-one-copy substring scrub must equal a
+    dict-based sequential reference on a corpus with planted shared
+    passages — rebuilt text hashes included, over the same augmented
+    corpus dup_span_mine uses."""
+    import hashlib
+    import random
+    import re
+
+    from programmers_data_spark import registry
+
+    registry.load_all()  # curation_ops composes earlier modules' SQL
+    from programmers_data_spark.queries.curation_ops import DUP_SPAN_K
+
+    K = DUP_SPAN_K
+    rng = random.Random(41)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    shared = ["quoted", "boiler", "plate", "text", "block",
+              "every", "site", "repeats", "this", "footer"]
+    docs = []
+    for i in range(60):
+        words = rng.choices(vocab, k=rng.randint(0, 25))
+        if i % 3 == 0:
+            at = rng.randint(0, len(words))
+            words = words[:at] + shared + words[at:]
+        docs.append((i, " ".join(words), f"src{i % 2}"))
+    sf = _docs_fixture(tmp_path, docs)
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def toks(t):
+        return [x for x in ws.split(t.strip()) if x]
+
+    corpus = {i: toks(t) for i, t, _ in docs}
+    for i, t, _ in docs:
+        if i % 20 == 0:
+            corpus[i + 1_000_000] = toks(t)[8:]
+
+    where = {}
+    for i, tl in corpus.items():
+        for s in range(len(tl) - K + 1):
+            where.setdefault(tuple(tl[s : s + K]), set()).add(i)
+
+    expected = []
+    for i, tl in sorted(corpus.items()):
+        cut = set()
+        for s in range(len(tl) - K + 1):
+            owners = where[tuple(tl[s : s + K])]
+            if len(owners) >= 2 and i != min(owners):
+                cut.update(range(s, s + K))
+        kept = [w for p, w in enumerate(tl) if p not in cut]
+        expected.append(
+            (i, len(tl), len(tl) - len(kept),
+             hashlib.md5(" ".join(kept).encode()).hexdigest())
+        )
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["dup_span_scrub"](spark, sf).collect()
+    ]
+    assert got == expected
+    # the planted passage was actually scrubbed somewhere
+    assert any(r[2] >= len(shared) for r in got)
+    # and survives in exactly the canonical docs (no over-removal of
+    # the keeper's copy): total removed strictly less than total planted
+    n_planted_docs = sum(1 for i, _, _ in docs if i % 3 == 0)
+    assert sum(1 for r in got if r[2] > 0) < n_planted_docs + 21

@@ -64,6 +64,27 @@ def _reset(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def _host_speed_index() -> float:
+    """Fixed single-thread pure-CPU reference workload (md5 over 64 MB
+    of deterministic bytes), in seconds. Carried in the bench JSON so
+    every round's record has its own host-speed denominator: round 9
+    measured the SAME committed queries 15-20% slower than earlier in
+    the round on an idle box (standalone pricing_summary 1.7-2.1s vs
+    1.4-1.6s; uniform inflation across ~180 untouched queries), i.e.
+    the sandbox host itself drifts between sessions. Normalizing by
+    this index separates "the code got slower" (actionable) from "the
+    host got slower" (not) without guessing."""
+    import hashlib
+
+    block = bytes(range(256)) * 4096  # 1 MiB
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(block)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -180,6 +201,11 @@ def main() -> None:
                 # (single-sample driver noise protection — SCALE.md
                 # "Bench drift, round 9"); non-headline stay 1-run
                 "headline_timing": "min-of-2",
+                # fixed pure-CPU reference (seconds, lower = faster
+                # host) — divide cross-round query times by the ratio
+                # of host_speed_md5_64mb values before calling a move
+                # a regression (SCALE.md "Host drift, round 9")
+                "host_speed_md5_64mb": _host_speed_index(),
                 "sf": sf,
             }
         )

@@ -69,6 +69,7 @@ BOUNDED_CARTESIAN = frozenset({
     "curriculum_phases",       # 1-row corpus-count broadcast into
     #                            the phase division
     "cross_source_dup_matrix",  # 1-row pair-total broadcast
+    "dup_rate_threshold_sweep",  # 5-row literal threshold frame
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
     "embedding_topk",          # broadcast bounded query set x corpus

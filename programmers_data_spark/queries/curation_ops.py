@@ -891,3 +891,102 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------- dup-rate threshold sweep
+
+# Jaccard thresholds swept, in milli-units (exact integers in both
+# engines; each engine divides by 1000.0 once — the identical IEEE
+# division — before comparing against the stored 1e-4-grid jaccard).
+# 500 is dedup_minhash's own operating point, so the sweep's first
+# row reconciles exactly with the published pair set.
+SWEEP_THRESHOLDS_MILLI = (500, 600, 700, 800, 900)
+
+
+def _dup_sweep_oracle() -> str:
+    from ..registry import ORACLE
+
+    th = ", ".join(str(t) for t in SWEEP_THRESHOLDS_MILLI)
+    return f"""
+    WITH mh AS ({ORACLE["dedup_minhash"]}),
+    th AS (SELECT CAST(unnest([{th}]) AS BIGINT) AS threshold_milli),
+    j AS (
+      SELECT t.threshold_milli, m.doc_a, m.doc_b
+      FROM mh m CROSS JOIN th t
+      WHERE m.jaccard >= t.threshold_milli / 1000.0
+    ),
+    p AS (
+      SELECT threshold_milli, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY threshold_milli
+    ),
+    d AS (
+      SELECT threshold_milli,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_flagged
+      FROM (
+        SELECT threshold_milli, doc_a AS doc FROM j
+        UNION ALL
+        SELECT threshold_milli, doc_b AS doc FROM j
+      ) GROUP BY threshold_milli
+    )
+    SELECT t.threshold_milli,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+    FROM th t
+    LEFT JOIN p USING (threshold_milli)
+    LEFT JOIN d USING (threshold_milli)
+    ORDER BY threshold_milli
+    """
+
+
+@query("dup_rate_threshold_sweep", oracle=_dup_sweep_oracle())
+def dup_rate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-tuning curve behind choosing a near-dup threshold:
+    for each candidate Jaccard cut, how many verified pairs survive
+    and how many documents would be flagged. Teams read exactly this
+    sweep before committing a threshold (too low → over-removal, too
+    high → residual duplication) — the operational complement to
+    lsh_neardup_recall's accuracy contract.
+
+    Composes the published pair store (threshold sweeps ABOVE the
+    store's own 0.5 operating point are fully derivable from the
+    stored exact-jaccard column, so the expensive signature pass is
+    never re-run per candidate threshold — the artifact-reuse pattern
+    the seam exists for). Thresholds ride a broadcast 5-row literal
+    frame; every count partial-aggregates. All comparisons are
+    against the 1e-4-grid jaccard both engines round identically, and
+    each emitted row is exact integers.
+
+    The sweep is complete (zero-filled) for every candidate even on
+    degenerate fixtures with no pairs at all."""
+    from .dedup_ops import verified_pair_store
+
+    pairs = verified_pair_store(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS_MILLI], "threshold_milli long"
+    )
+    j = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold_milli") / F.lit(1000.0)
+    )
+    p = j.groupBy("threshold_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    d = (
+        j.select(
+            "threshold_milli",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+        .groupBy("threshold_milli")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        th.join(p, "threshold_milli", "left")
+        .join(d, "threshold_milli", "left")
+        .select(
+            "threshold_milli",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+        .orderBy("threshold_milli")
+    )

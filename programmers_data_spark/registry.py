@@ -37,22 +37,22 @@ _QUERY_MODULES = (
     #   dependency-free applyInPandasWithState twin (→59)
     "programmers_data_spark.queries.summary",  # 5 (→64)
     "programmers_data_spark.queries.text_quality_ops",  # 8 (→72)
-    "programmers_data_spark.queries.curation_ops",  # 9 (→81)
-    "programmers_data_spark.queries.extras",  # 25 (→106)
-    "programmers_data_spark.queries.similarity_ops",  # 11 (→117)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→123)
-    "programmers_data_spark.queries.analytics",  # 19 (→142)
-    "programmers_data_spark.queries.subqueries",  # 8 (→150)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→156)
-    "programmers_data_spark.queries.sampling_ops",  # 11 (→167)
-    "programmers_data_spark.queries.retrieval_ops",  # 8 (→175)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→178)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→181)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→185)
-    "programmers_data_spark.queries.interchange_ops",  # 2 (→187)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→190)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→192)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→195)
+    "programmers_data_spark.queries.curation_ops",  # 10 (→82)
+    "programmers_data_spark.queries.extras",  # 25 (→107)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→118)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→124)
+    "programmers_data_spark.queries.analytics",  # 19 (→143)
+    "programmers_data_spark.queries.subqueries",  # 8 (→151)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→157)
+    "programmers_data_spark.queries.sampling_ops",  # 11 (→168)
+    "programmers_data_spark.queries.retrieval_ops",  # 8 (→176)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→179)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→182)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→186)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→188)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→191)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→193)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→196)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -65,14 +65,15 @@ _QUERY_MODULES = (
 # refreshes the full 40-name r5 tier + 9 new registrations + 1
 # pair-store sentinel, the stale backlog is:
 # - vocab_growth_curve, orc_partitioned_roundtrip,
-#   stream_late_data_audit, and dup_span_scrub FIRST (registered r9,
-#   never driver-checked — they did not fit the r9 window after nine
+#   stream_late_data_audit, dup_span_scrub, and
+#   dup_rate_threshold_sweep FIRST (registered r9, never
+#   driver-checked — they did not fit the r9 window after nine
 #   sibling registrations);
 # - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
 #   new registrations displaced the scd2_intervals refresh), from
 #   scd2_intervals onward in registration order;
 # - then the 45-name r7 tier.
-# Take those four + any round-10 NEW registrations (they
+# Take those five + any round-10 NEW registrations (they
 # outrank stale refreshes) + the 40 r6 names + the oldest r7 names
 # by registration order to fill, keeping 2-3 r9-green sentinels for
 # whatever the r10 diff touches, and keep stream_tws_value_stats
@@ -111,8 +112,8 @@ ROWS_ONLY = frozenset({
 # source_bigram_overlap — never-driver-checked outranks stale
 # refreshes, the standing rotation principle; the remaining new
 # registrations — vocab_growth_curve, orc_partitioned_roundtrip,
-# stream_late_data_audit, dup_span_scrub — did not fit and LEAD the
-# r10 window),
+# stream_late_data_audit, dup_span_scrub, dup_rate_threshold_sweep —
+# did not fit and LEAD the r10 window),
 # and 1 r8-green sentinel for the code the r9 diff touches
 # (cross_source_dup_matrix reads the pair store through the publish
 # layer, exercising ALL THREE r9 publish-layer changes at once:

@@ -918,3 +918,164 @@ def tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _TFIDF_CACHE[key] = result
     return result
+
+
+# ------------------------------------------------- SQ8 recall contract
+
+
+def _sq8_recall_oracle() -> str:
+    from ..registry import ORACLE
+
+    from .similarity_ops import N_QUERIES, TOPK
+
+    deq = (
+        "CASE WHEN d.mx = d.mn THEN d.mn"
+        " ELSE d.mn + (CAST(floor(((ex.x - d.mn) / (d.mx - d.mn))"
+        " * 255.0 + 0.5) AS DOUBLE) * (d.mx - d.mn)) / 255.0 END"
+    )
+    return f"""
+    WITH exact AS ({ORACLE["embedding_topk"]}),
+    ef AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT ef.vec_id, u.x, u.pos
+      FROM ef, LATERAL (
+        SELECT unnest(emb) AS x, unnest(range(1, len(emb) + 1)) AS pos
+      ) u
+    ),
+    d AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+    ),
+    dq AS (
+      SELECT ex.vec_id, list({deq} ORDER BY ex.pos) AS emb
+      FROM ex JOIN d USING (pos)
+      WHERE ex.vec_id IN (SELECT vec_id FROM embeddings
+                          WHERE {_DUCK_NONZERO})
+      GROUP BY ex.vec_id
+    ),
+    dqn AS (
+      SELECT vec_id, emb FROM dq
+      WHERE list_dot_product(emb, emb) > 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM dqn a JOIN dqn b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    sq8top AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rank
+        FROM scored
+      ) WHERE rank <= {TOPK}
+    )
+    SELECT e.query_id,
+           CAST(count(s.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(s.neighbor_id) * 1000 // {TOPK} AS BIGINT)
+             AS recall_milli
+    FROM exact e LEFT JOIN sq8top s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@query("sq8_topk_recall", oracle=_sq8_recall_oracle())
+def sq8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-accuracy contract for embedding_sq8: per query,
+    the overlap between exact-float cosine top-k and top-k computed
+    on the SQ8-DEQUANTIZED vectors — "what does 4x compression cost
+    in ranking fidelity", the number a team checks before serving ANN
+    from uint8 codes. Unlike the LSH/IVF/PQ contracts (whose
+    floor-verdict oracles cannot re-run seeded kernels), the SQ8
+    reconstruction is closed-form deterministic arithmetic, so the
+    ENTIRE contract — per-query overlap counts included — has full
+    hash parity: both engines rebuild the identical dequantized
+    corpus (same grid, same floor(+0.5) codes, same IEEE expression
+    order) and rank by the identical serial-fold cosine.
+
+    Scale shape: the quantizer grid is a dims-row aggregate (bounded
+    metadata, collected to broadcast literals exactly as
+    embedding_sq8 does); dequantization is a map-only transform();
+    the top-k is embedding_topk's broadcast-bounded query-set scan
+    over the dequantized corpus; the final comparison joins two
+    N_QUERIES*k-row frames. Dequantized zero-norm vectors are defined
+    out of the corpus on both engines (the similarity tier's standing
+    zero-vector rule) — unreachable on real data, total on
+    degenerate fixtures."""
+    from ..functions.vectors import cosine, sq_norm
+    from .similarity_ops import N_QUERIES, TOPK, embedding_topk
+
+    full = load_table(spark, sf_dir, "embeddings").select(
+        as_double_array("embedding").alias("emb")
+    )
+    dims = (
+        full.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = F.array(*[F.lit(r["mn"]) for r in dims])
+    mx = F.array(*[F.lit(r["mx"]) for r in dims])
+
+    def _deq(x, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        code = F.floor(((x - lo) / (hi - lo)) * F.lit(255.0) + F.lit(0.5))
+        return F.when(hi == lo, lo).otherwise(
+            lo + (code.cast("double") * (hi - lo)) / F.lit(255.0)
+        )
+
+    dq = (
+        load_vectors(spark, sf_dir)
+        .select("vec_id", F.transform("emb", _deq).alias("emb"))
+        .filter(sq_norm("emb") > 0)
+    )
+    queries = dq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        dq.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "emb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    sq8top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").alias("s_query_id"),
+            F.col("neighbor_id").alias("s_neighbor_id"),
+        )
+    )
+    exact = embedding_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(
+        sq8top,
+        (F.col("query_id") == F.col("s_query_id"))
+        & (F.col("neighbor_id") == F.col("s_neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("s_neighbor_id").cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000 div {TOPK}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )

@@ -406,7 +406,8 @@ def test_rotation_backlog_arithmetic():
     assert not (new_names & set(latest_green))
     for lead in ("vocab_growth_curve", "orc_partitioned_roundtrip",
                  "stream_late_data_audit", "dup_span_scrub",
-                 "dup_rate_threshold_sweep", "sq8_topk_recall"):
+                 "dup_rate_threshold_sweep", "sq8_topk_recall",
+                 "phrase_match_positional"):
         assert lead in registry.QUERIES
         assert lead not in window
         assert lead not in latest_green

@@ -649,9 +649,14 @@ _LATE_AUDIT_CACHE: dict[tuple[str, str], DataFrame] = {}
       SELECT max(t_us) AS mx FROM e WHERE event_id % 2 = 0
     ),
     acc AS (
+      -- coalesce(…, 0): with an EMPTY batch 0 (no even event_ids)
+      -- Spark's event-time watermark is still its initial epoch-0
+      -- value while batch 1 runs, so every post-1970 window is
+      -- accepted; a bare NULL comparison would instead drop all of
+      -- batch 1 and diverge from the engine
       SELECT ws, CAST(count(*) AS BIGINT) AS n_on_time
       FROM e CROSS JOIN m0
-      WHERE event_id % 2 = 0 OR we > mx - {_DELAY_US}
+      WHERE event_id % 2 = 0 OR we > coalesce(mx - {_DELAY_US}, 0)
       GROUP BY ws
     ),
     tot AS (

@@ -923,3 +923,45 @@ def test_dup_span_scrub_matches_python_reference(spark, tmp_path):
     # the keeper's copy): total removed strictly less than total planted
     n_planted_docs = sum(1 for i, _, _ in docs if i % 3 == 0)
     assert sum(1 for r in got if r[2] > 0) < n_planted_docs + 21
+
+
+def test_late_audit_empty_first_batch_matches_oracle(spark, tmp_path):
+    """Adversarial arrival: ALL event_ids odd, so the audit's first
+    micro-batch is EMPTY and Spark's event-time watermark is still
+    its initial epoch-0 value while batch 1 runs — every post-1970
+    window must be accepted on both engines (the oracle's
+    coalesce(mx - delay, 0) branch)."""
+    import pandas as pd
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.testing import compare_to_oracle
+
+    registry.load_all()
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(20):
+        rows.append(
+            {
+                "event_id": 2 * i + 1,  # all odd: batch 0 is empty
+                "ts": base + pd.Timedelta(days=i, hours=i % 5),
+                "user_id": i % 4,
+                "event_type": "click",
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    pd.DataFrame(rows).to_parquet(d / "events.parquet", index=False)
+
+    df = registry.QUERIES["stream_late_data_audit"](spark, str(d))
+    result = compare_to_oracle(
+        "stream_late_data_audit",
+        df,
+        registry.ORACLE["stream_late_data_audit"],
+        str(d),
+    )
+    assert result.ok, str(result)
+    # nothing may have been dropped: the watermark never advanced
+    # past epoch 0 before the only data batch ran
+    assert df.filter("n_late > 0").count() == 0

@@ -965,3 +965,38 @@ def test_late_audit_empty_first_batch_matches_oracle(spark, tmp_path):
     # nothing may have been dropped: the watermark never advanced
     # past epoch 0 before the only data batch ran
     assert df.filter("n_late > 0").count() == 0
+
+
+def test_sq8_recall_constant_and_zero_dims_match_oracle(spark, tmp_path):
+    """The quantizer's degenerate branch (per-dim max == min → code 0,
+    dequant = the constant) must agree across engines, including an
+    all-zero dimension and exact-duplicate vectors forcing cosine
+    ties broken by neighbor_id."""
+    import numpy as np
+    import pandas as pd
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.testing import compare_to_oracle
+
+    registry.load_all()
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(30)]
+    for v in vecs:
+        v[0] = 2.5  # constant dimension: mx == mn != 0
+        v[1] = 0.0  # constant zero dimension: mx == mn == 0
+    vecs[7] = vecs[3].copy()  # exact duplicate → cosine tie at 1.0
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": vecs,
+            "label": (np.arange(30) % 3).astype(np.int32),
+        }
+    ).to_parquet(d / "embeddings.parquet", index=False)
+
+    df = registry.QUERIES["sq8_topk_recall"](spark, str(d))
+    result = compare_to_oracle(
+        "sq8_topk_recall", df, registry.ORACLE["sq8_topk_recall"], str(d)
+    )
+    assert result.ok, str(result)

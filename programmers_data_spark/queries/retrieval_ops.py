@@ -1208,3 +1208,104 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("phrase", "doc_id")
     )
+
+
+# --------------------------------------------------- chunk pooling
+
+# Chunks pooled per document (vec_id div CHUNKS_PER_DOC — the fixture
+# has no explicit doc linkage, so contiguous ids stand in for a
+# real pipeline's chunk→doc key) and the fixed-point component scale
+# (power of two: exact in float64 for float32-mantissa inputs — the
+# similarity tier's standing quantization rule).
+CHUNKS_PER_DOC = 4
+POOL_SCALE = 1024
+
+
+@query(
+    "embedding_chunk_pool",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT CAST(vec_id // {CHUNKS_PER_DOC} AS BIGINT) AS group_id,
+             vec_id, u.pos,
+             CAST(floor(u.x * {POOL_SCALE}.0 + 0.5) AS BIGINT) AS q
+      FROM e, LATERAL (
+        SELECT unnest(emb) AS x, unnest(range(1, len(emb) + 1)) AS pos
+      ) u
+    ),
+    sums AS (
+      SELECT group_id, pos, CAST(SUM(q) AS BIGINT) AS s
+      FROM ex GROUP BY group_id, pos
+    ),
+    chunks AS (
+      SELECT group_id, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_chunks
+      FROM ex GROUP BY group_id
+    )
+    SELECT s.group_id, c.n_chunks,
+           md5(array_to_string(
+             list(CAST(s.s AS VARCHAR) ORDER BY s.pos), ','
+           )) AS pooled_md5
+    FROM sums s JOIN chunks c USING (group_id)
+    GROUP BY s.group_id, c.n_chunks
+    ORDER BY s.group_id
+    """,
+)
+def embedding_chunk_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK → DOCUMENT embedding pooling — the aggregation step every
+    long-document pipeline runs after embedding fixed-size chunks
+    (mean/sum pooling into one vector per document). Pooled
+    components are SUMS of fixed-point-quantized chunk components:
+    integer sums are summation-order-independent, so the pooled
+    vector is bitwise-identical however Spark partitions the chunks
+    — the property a float mean would NOT have (the DSIR/pagerank
+    fixed-point discipline). The emitted md5 over the ordered
+    component sums hash-verifies the vectors themselves; the
+    data-loader divides by n_chunks at read time for the mean.
+
+    Scale shape: one explode to (group, pos, q) rows and one
+    partially-aggregated groupBy on (group_id, pos) — map-side
+    combine absorbs each document's chunks before the shuffle; the
+    per-group reassembly is the doc_line_dedup sort-struct aggregate,
+    memory bounded by the embedding dimension. Linear in corpus
+    vectors; no driver collect, no window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    ex = emb.select(
+        F.expr(f"vec_id div {CHUNKS_PER_DOC}").cast("long").alias("group_id"),
+        "vec_id",
+        F.posexplode("emb").alias("pos0", "x"),
+    ).select(
+        "group_id",
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * F.lit(float(POOL_SCALE)) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    sums = ex.groupBy("group_id", "pos").agg(
+        F.sum("q").cast("long").alias("s")
+    )
+    chunks = ex.groupBy("group_id").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_chunks")
+    )
+    pooled = sums.groupBy("group_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                    ),
+                    lambda x: x["s"].cast("string"),
+                ),
+            )
+        ).alias("pooled_md5")
+    )
+    return (
+        pooled.join(chunks, "group_id")
+        .select("group_id", "n_chunks", "pooled_md5")
+        .orderBy("group_id")
+    )

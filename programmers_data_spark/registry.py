@@ -45,14 +45,14 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.subqueries",  # 8 (→151)
     "programmers_data_spark.queries.accuracy_ops",  # 6 (→157)
     "programmers_data_spark.queries.sampling_ops",  # 11 (→168)
-    "programmers_data_spark.queries.retrieval_ops",  # 10 (→178)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→181)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→184)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→188)
-    "programmers_data_spark.queries.interchange_ops",  # 2 (→190)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→193)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→195)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→198)
+    "programmers_data_spark.queries.retrieval_ops",  # 11 (→179)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→182)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→185)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→189)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→191)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→194)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→196)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→199)
 )
 
 # ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
@@ -66,14 +66,14 @@ _QUERY_MODULES = (
 # pair-store sentinel, the stale backlog is:
 # - vocab_growth_curve, orc_partitioned_roundtrip,
 #   stream_late_data_audit, dup_span_scrub, dup_rate_threshold_sweep,
-#   sq8_topk_recall, and phrase_match_positional FIRST (registered
-#   r9, never driver-checked — they did not fit the r9 window after
-#   nine sibling registrations);
+#   sq8_topk_recall, phrase_match_positional, and
+#   embedding_chunk_pool FIRST (registered r9, never driver-checked —
+#   they did not fit the r9 window after nine sibling registrations);
 # - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
 #   new registrations displaced the scd2_intervals refresh), from
 #   scd2_intervals onward in registration order;
 # - then the 45-name r7 tier.
-# Take those seven + any round-10 NEW registrations (they
+# Take those eight + any round-10 NEW registrations (they
 # outrank stale refreshes) + the 40 r6 names + the oldest r7 names
 # by registration order to fill, keeping 2-3 r9-green sentinels for
 # whatever the r10 diff touches, and keep stream_tws_value_stats
@@ -113,8 +113,8 @@ ROWS_ONLY = frozenset({
 # refreshes, the standing rotation principle; the remaining new
 # registrations — vocab_growth_curve, orc_partitioned_roundtrip,
 # stream_late_data_audit, dup_span_scrub, dup_rate_threshold_sweep,
-# sq8_topk_recall, phrase_match_positional — did not fit and LEAD
-# the r10 window),
+# sq8_topk_recall, phrase_match_positional, embedding_chunk_pool —
+# did not fit and LEAD the r10 window),
 # and 1 r8-green sentinel for the code the r9 diff touches
 # (cross_source_dup_matrix reads the pair store through the publish
 # layer, exercising ALL THREE r9 publish-layer changes at once:

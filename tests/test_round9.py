@@ -407,7 +407,7 @@ def test_rotation_backlog_arithmetic():
     for lead in ("vocab_growth_curve", "orc_partitioned_roundtrip",
                  "stream_late_data_audit", "dup_span_scrub",
                  "dup_rate_threshold_sweep", "sq8_topk_recall",
-                 "phrase_match_positional"):
+                 "phrase_match_positional", "embedding_chunk_pool"):
         assert lead in registry.QUERIES
         assert lead not in window
         assert lead not in latest_green

@@ -175,7 +175,19 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf": sf,
+                # host-speed denominator for THIS detail file (see the
+                # printed line's host_speed_md5_64mb) — committed
+                # details are only comparable after normalizing by it
+                "host_speed_md5_64mb": _host_speed_index(),
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     slowest = dict(
         sorted(
             ((n, t) for n, t in timings.items() if n not in HEADLINE),

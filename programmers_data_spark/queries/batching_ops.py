@@ -20,7 +20,8 @@ the training loop:
 Reference-semantics lineage: the reference has no training loop —
 these extend the engine's LLM-pipeline tier the way the brief
 directs; the nearest reference shapes are the CASE-band + ratio
-aggregates of airflow/dags/nps_summary_dag.py:36-52.
+aggregates of airflow/dags/config/nps_summary.py:4-11 (run by
+airflow/dags/Build_Summary.py:71-77).
 """
 
 from __future__ import annotations

@@ -24,19 +24,26 @@ before committing to a vocabulary and a data mixture:
 
 Reference-semantics lineage: the reference pipeline's corpus-level
 profiling is plain GROUP-BY summary SQL (reference
-airflow/dags/funnel_summary_dag.py:30-49 ratio aggregates); these
-are that shape generalized to token statistics, per the brief's
-LLM-pipeline tier.
+airflow/dags/config/nps_summary.py:4-11 and the equivalent inline
+form in airflow/dags/Build_Summary.py:71-77 — conditional-count
+ratio aggregates); these are that shape generalized to token
+statistics, per the brief's LLM-pipeline tier.
 
 Engine-parity rules (the standing fixed-point discipline): every
 score is exact-integer arithmetic — lift and Jaccard are emitted in
-scaled-integer form via integer division of exact BIGINT counts
-(`div` in Spark, `//` in DuckDB — identical on the non-negative
-operands used here), never a float ratio, so hashes match bitwise.
-At a true 100 TB run ``(c_ab - delta) * SCALE * N`` can exceed
-int64; the production form widens that one product to DECIMAL(38,0)
-/ HUGEINT — at fixture scale the int64 path is exact and ANSI mode
-would raise (not corrupt) on overflow.
+scaled-integer form via integer division of exact counts (`div` in
+Spark, `//` in DuckDB — identical on the non-negative operands used
+here), never a float ratio, so hashes match bitwise. The lift
+numerator ``(c_ab - delta) * SCALE * N`` exceeds int64 on a true
+100 TB corpus (c_ab and N are token-occurrence counts, ~1e14 each;
+the product reaches ~1e31) and so does the divisor ``c_a * c_b``
+(~1e28 — the overflow-regime test caught this second product the
+docstring plan had missed), so BOTH engines widen BOTH products
+before dividing — DECIMAL(38,0) in Spark, HUGEINT in DuckDB (the
+``LIFT_EXPR_*`` expressions below; cross-engine overflow-regime
+test in tests/test_round10.py) — and the quotient is cast to BIGINT,
+where it always fits: ``c_ab <= min(c_a, c_b)`` forces the quotient
+``<= SCALE * N / max(c_a, c_b) <= SCALE * N`` ~ 1e17 < 2^63.
 
 Scale shape (100 TB): every query derives from map-side token/bigram
 construction (slice + arrays_zip — codegen'd builtins, the
@@ -78,6 +85,20 @@ N_CHECKPOINTS = 10
 
 # fixed-point scale for the vocabulary Jaccard (milli-Jaccard).
 JACCARD_SCALE = 1000
+
+# The one product that outgrows int64 at 100 TB (module docstring),
+# widened identically on both engines and shared with the
+# overflow-regime test so the test exercises the production
+# expression, not a copy. Inputs are all BIGINT columns named
+# c_ab / c_a / c_b / n_occ; output is BIGINT.
+LIFT_EXPR_SPARK = (
+    f"CAST((CAST(c_ab AS DECIMAL(38,0)) - {DISCOUNT}) * {LIFT_SCALE}"
+    f" * n_occ div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+)
+LIFT_EXPR_DUCK = (
+    f"CAST(((CAST(c_ab AS HUGEINT) - {DISCOUNT}) * {LIFT_SCALE} * n_occ)"
+    f" // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT)"
+)
 
 # Shared DuckDB CTE prefix: tokenized docs, map-side bigrams.
 _DUCK_D = f"d AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)"
@@ -129,14 +150,17 @@ def _bigrams(toked: DataFrame, *keep: str) -> DataFrame:
     bc AS (
       SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
       FROM bg GROUP BY bigram HAVING count(*) > {DISCOUNT}
+    ),
+    j AS (
+      SELECT bigram, c_ab, a.cu AS c_a, b.cu AS c_b, n_occ
+      FROM bc
+      JOIN uc a ON split_part(bigram, ' ', 1) = a.tok
+      JOIN uc b ON split_part(bigram, ' ', 2) = b.tok
+      CROSS JOIN n
     )
-    SELECT bigram, c_ab, a.cu AS c_a, b.cu AS c_b,
-           CAST(((c_ab - {DISCOUNT}) * {LIFT_SCALE} * n_occ)
-                // (a.cu * b.cu) AS BIGINT) AS lift_milli
-    FROM bc
-    JOIN uc a ON split_part(bigram, ' ', 1) = a.tok
-    JOIN uc b ON split_part(bigram, ' ', 2) = b.tok
-    CROSS JOIN n
+    SELECT bigram, c_ab, c_a, c_b,
+           {LIFT_EXPR_DUCK} AS lift_milli
+    FROM j
     ORDER BY lift_milli DESC, c_ab DESC, bigram
     LIMIT {TOP_COLLOCATIONS}
     """,
@@ -145,8 +169,10 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_COLLOCATIONS} collocations by the word2vec phrase
     score: lift_milli = (c_ab - {DISCOUNT}) * {LIFT_SCALE} * N div
     (c_a * c_b) — association strength over independence, exact
-    integers end to end (module docstring). Candidates must exceed
-    the discount, so the numerator is strictly positive and `div`
+    integers end to end with the numerator product widened to
+    DECIMAL(38,0)/HUGEINT (LIFT_EXPR_* above; module docstring has
+    the 100 TB overflow arithmetic). Candidates must exceed the
+    discount, so the numerator is strictly positive and `div`
     (truncate) ≡ `//` (floor).
 
     Scale shape: two map-side passes over the pruned text column
@@ -185,12 +211,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
-            F.expr(
-                f"(c_ab - {DISCOUNT}) * {LIFT_SCALE} * n_occ"
-                " div (c_a * c_b)"
-            )
-            .cast("long")
-            .alias("lift_milli"),
+            F.expr(LIFT_EXPR_SPARK).alias("lift_milli"),
         )
         .orderBy(F.desc("lift_milli"), F.desc("c_ab"), "bigram")
         .limit(TOP_COLLOCATIONS)

@@ -173,8 +173,8 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → read → verify for Spark's native ORC format with a
     Hive-style partition layout — the second columnar interchange
     next to parquet (a warehouse handoff target the reference serves
-    via its COPY/UNLOAD SQL shapes, reference
-    airflow/dags/load_s3_to_redshift_dag.py semantics; here the
+    via its S3→Redshift COPY shapes, reference
+    airflow/dags/MySQL_to_Redshift.py:47-53 semantics; here the
     format itself is certified end-to-end).
 
     Pipeline: documents → ``write.partitionBy("lang").orc`` →

@@ -10,8 +10,9 @@ LLaMA, and the perplexity-based data-pruning literature (Marion et
 al. 2023, "When Less is More" — public). Reference-semantics lineage
 for the engine mapping: the reference pipeline's quality gating is
 plain SQL threshold buckets (reference
-airflow/dags/nps_summary_dag.py:36-52 CASE WHEN banding); this tier
-is the corpus-statistics generalization of that banding.
+airflow/dags/config/nps_summary.py:4-11 CASE WHEN banding, run by
+airflow/dags/Build_Summary.py:71-77); this tier is the
+corpus-statistics generalization of that banding.
 
 Engine parity problem: real perplexity is exp of a mean of logs, and
 libm log/exp differ by ulps across engines (the standing verify-skill

@@ -55,31 +55,28 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→199)
 )
 
-# ROUND-10 ROTATION PLAN (for the next session), counted by SCRIPT
-# from the CORRECTNESS_r0*.json record (r8 VERDICT #1 bookkeeping
-# defect: the hand-kept r9 plan omitted value_percentiles from the r5
-# tier — 40 names, not 39 — and called the r6 tier 45 when only 40
-# rows-only-free names were rotatable; tests/test_round9.py::
-# test_rotation_backlog_arithmetic now asserts this comment's counts
-# against the record so the error class cannot recur). After r9
-# refreshes the full 40-name r5 tier + 9 new registrations + 1
-# pair-store sentinel, the stale backlog is:
-# - vocab_growth_curve, orc_partitioned_roundtrip,
-#   stream_late_data_audit, dup_span_scrub, dup_rate_threshold_sweep,
-#   sq8_topk_recall, phrase_match_positional, and
-#   embedding_chunk_pool FIRST (registered r9, never driver-checked —
-#   they did not fit the r9 window after nine sibling registrations);
-# - the FULL 40-name r6-vintage tier (no r6 slot survived in r9 —
-#   new registrations displaced the scd2_intervals refresh), from
-#   scd2_intervals onward in registration order;
-# - then the 45-name r7 tier.
-# Take those eight + any round-10 NEW registrations (they
-# outrank stale refreshes) + the 40 r6 names + the oldest r7 names
-# by registration order to fill, keeping 2-3 r9-green sentinels for
-# whatever the r10 diff touches, and keep stream_tws_value_stats
-# OUTSIDE the window
+# The round the current _WINDOW below is authored FOR. The rotation
+# bookkeeping test (tests/test_round9.py::
+# test_rotation_backlog_arithmetic) derives every expected count from
+# the CORRECTNESS_r0*.json records with round < WINDOW_ROUND — the
+# record state the plan was authored against — so the driver dropping
+# this round's (or any later) record file can never falsify the test
+# (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
+# state and self-expired the moment CORRECTNESS_r09.json landed).
+WINDOW_ROUND = 10
+
+# ROUND-11 ROTATION PLAN: the backlog after this window is the r6
+# names trimmed from _WINDOW_STALE's tail to make room for round-10
+# registrations (see _WINDOW_STALE comment), then the 45-name r7
+# tier, then the r8 tier. Take any round-11 NEW registrations FIRST
+# (never-driver-checked outranks stale refreshes — the standing
+# principle), then 2-3 round-10-green sentinels on whatever the r11
+# diff touches, then backlog names in (vintage, registration-order)
+# order to fill 50. Keep stream_tws_value_stats OUTSIDE the window
 # (honestly gated: google.protobuf absent, installs disallowed —
 # semantics driver-certified r6 via the applyInPandasWithState twin).
+# Bump WINDOW_ROUND to 11 in the same commit that rewrites the
+# groups — the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
 # centroid training isn't summation-order-portable SQL, BPE merge
@@ -99,91 +96,95 @@ ROWS_ONLY = frozenset({
     "mau_approx", "pq_topk",
 })
 
-# The first 50 names get_queries() yields — i.e. the names the driver
-# verifies this round. Round-9 rotation (r8 VERDICT ask #2, counts
-# derived by script from the CORRECTNESS_r0*.json record — see
-# tests/test_round9.py::test_rotation_backlog_arithmetic): the ENTIRE
-# 40-name r5-vintage tier (every query whose latest green driver row
-# is r5 — including value_percentiles, which the r8 plan comment had
-# omitted; nothing older remains), the NINE round-9 NEW
-# registrations in the window (dup_span_mine, jsonl_shard_roundtrip,
-# lm_surprisal_bits, ccnet_perplexity_bands, blocklist_doc_flags,
-# length_bucket_batches, oov_rate_by_vocab, collocation_lift,
-# source_bigram_overlap — never-driver-checked outranks stale
-# refreshes, the standing rotation principle; the remaining new
-# registrations — vocab_growth_curve, orc_partitioned_roundtrip,
-# stream_late_data_audit, dup_span_scrub, dup_rate_threshold_sweep,
-# sq8_topk_recall, phrase_match_positional, embedding_chunk_pool —
-# did not fit and LEAD the r10 window),
-# and 1 r8-green sentinel for the code the r9 diff touches
-# (cross_source_dup_matrix reads the pair store through the publish
-# layer, exercising ALL THREE r9 publish-layer changes at once:
-# heartbeat-thread, threshold-fingerprint, and per-uid store-base —
-# the second consumer sentinel split_neardup_leakage was displaced
-# by a new registration and stays r8-green). The r6 stale-refresh
-# slot (scd2_intervals) was likewise displaced: the r10 backlog is
-# the full 40-name r6 tier. Every window name has an oracle — zero
-# rows-only slots. Everything outside the window was driver-green in
-# r6-r8 and stays locally verified every run by
-# tests/test_oracle_parity.py, which hash-checks ALL registered
-# oracles.
-_WINDOW = (
-    # r5-vintage tier, whole (40 — the only pre-r6 driver rows left)
-    "cube_order_stats",
-    "running_revenue",
-    "asof_last_order",
-    "value_histogram",
-    "event_type_pivot",
-    "value_percentiles",
-    "post_purchase_clicks",
-    "acctbal_quartiles",
-    "grouping_sets_revenue",
-    "event_type_unpivot",
-    "salted_segment_revenue",
-    "cohort_retention",
-    "pricing_summary",
-    "region_revenue",
-    "top_customers",
-    "order_priority",
-    "top3_per_segment",
-    "nation_customer_stats",
-    "brand_revenue",
-    "daily_revenue",
-    "shipping_priority",
-    "promo_revenue_share",
-    "nation_trade_volume",
-    "returned_item_customers",
-    "order_count_distribution",
-    "top_supplier",
-    "large_orders",
-    "discounted_revenue",
-    "forecast_revenue_change",
-    "market_share",
-    "product_type_profit",
-    "cheapest_supplier_per_part",
-    "supplier_value_share",
-    "priority_line_counts",
-    "supplier_cnt_by_part",
-    "small_qty_revenue",
-    "waiting_suppliers",
-    "idle_rich_customers",
-    "bulk_suppliers_for_parts",
-    "mau_approx_error",
-    # round-9 NEW registrations (never driver-checked)
-    "dup_span_mine",
-    "jsonl_shard_roundtrip",
-    "lm_surprisal_bits",
-    "ccnet_perplexity_bands",
-    "blocklist_doc_flags",
-    "length_bucket_batches",
-    "oov_rate_by_vocab",
+# The first 50 names get_queries() yields — i.e. the names the
+# driver verifies this round (round WINDOW_ROUND = 10; r9 VERDICT
+# ask #2). The window is the concatenation of four explicit groups
+# so the bookkeeping test can check each group's defining property
+# against the record instead of hand-kept counts.
+
+# Group 1 — the eight round-9 registrations that did not fit the r9
+# window and have NEVER been driver-checked; they lead, per the
+# standing never-checked-outranks-stale principle.
+# orc_partitioned_roundtrip enters with its partition-pruning plan
+# test (tests/test_round9.py::
+# test_orc_roundtrip_tree_prunes_partitions) — the interchange cert
+# is layout-adversarial, not fixture luck.
+_WINDOW_LEADS = (
+    "dup_span_scrub",
+    "sq8_topk_recall",
+    "phrase_match_positional",
+    "embedding_chunk_pool",
+    "vocab_growth_curve",
+    "orc_partitioned_roundtrip",
+    "stream_late_data_audit",
+    "dup_rate_threshold_sweep",
+)
+
+# Group 2 — round-10 NEW registrations (never driver-checked;
+# appended as they land this round, displacing _WINDOW_STALE tail
+# names one-for-one to hold the window at exactly 50).
+_WINDOW_NEW = ()
+
+# Group 3 — r9-green sentinels sitting directly on the round-10
+# diff: collocation_lift's lift arithmetic was widened to
+# DECIMAL(38,0)/HUGEINT this round (r9 VERDICT ask #5), and
+# source_bigram_overlap shares the same module's _bigrams /
+# _DUCK_BIGRAMS builders — together they re-certify the changed
+# corpus_stats_ops module end-to-end.
+_WINDOW_SENTINELS = (
     "collocation_lift",
     "source_bigram_overlap",
-    # r8-green sentinel covering the round-9 diff (pair-store
-    # fingerprint/base + publish heartbeat path — all three changes
-    # sit on this query's read path)
-    "cross_source_dup_matrix",
 )
+
+# Group 4 — oldest stale tier, in registration order: the r6-vintage
+# names (latest green driver row is r6 — nothing older remains after
+# r9 refreshed the whole r5 tier). The full tier is 40 names; the
+# tail is trimmed one-for-one as _WINDOW_NEW grows, and trimmed
+# names lead the r11 stale backlog.
+_WINDOW_STALE = (
+    "scd2_intervals",
+    "incr_mau_refresh",
+    "token_heavy_hitters",
+    "fuzzy_match_pairs",
+    "stream_stateful_value_stats",
+    "dau",
+    "channel_firstlast",
+    "nps",
+    "funnel_signup_purchase",
+    "ohlc_daily",
+    "nation_pagerank",
+    "mad_outliers",
+    "ingest_freshness",
+    "volume_anomaly_days",
+    "embedding_topk",
+    "embedding_neardup",
+    "label_quality_profile",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_features",
+    "ivf_recall_at5",
+    "quantile_sketch_error",
+    "pq_recall_at5",
+    "train_val_split",
+    "token_budget_sample",
+    "mixture_resample",
+    "split_leakage_check",
+    "inverted_postings",
+    "bm25_topk",
+    "bloom_decontam",
+    "bloom_decontam_misses",
+    "semantic_dedup_recall",
+    "embedding_sq8",
+    "mau_sketch_rollup",
+    "segment_overlap_sketch",
+    "cms_heavy_hitters",
+    "rolling_7d_revenue",
+    "daily_revenue_dense",
+    "ewma_daily_revenue",
+)
+
+_WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

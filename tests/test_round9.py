@@ -364,10 +364,16 @@ def test_jsonl_roundtrip_detects_row_loss(spark, tmp_path, monkeypatch):
 
 
 def test_rotation_backlog_arithmetic():
-    """The window and the ROUND-10 plan comment's counts must match
-    the CORRECTNESS_r0*.json record itself — hand counts got this
-    wrong twice (r7 ADVICE #3, r8 VERDICT defect #1: value_percentiles
-    omitted from a '39-name' r5 tier that actually had 40)."""
+    """The window's four groups must each satisfy their defining
+    property against the CORRECTNESS_r0*.json record AS OF the round
+    the plan was authored for (records with round < WINDOW_ROUND) —
+    hand counts got this wrong twice (r7 ADVICE #3, r8 VERDICT
+    defect #1), and the r9 version of this test hand-pinned the
+    as-of-builder state and self-expired the moment the driver wrote
+    CORRECTNESS_r09.json (r9 VERDICT defect #1: the test policed
+    bookkeeping drift by BEING a bookkeeping snapshot). Slicing the
+    record to rounds before WINDOW_ROUND makes the assertions stable
+    under any number of later driver record drops."""
     import glob
     import json
 
@@ -380,46 +386,67 @@ def test_rotation_backlog_arithmetic():
     assert files, "driver record missing"
     for f in files:
         rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        if rnd >= registry.WINDOW_ROUND:
+            continue  # landed after the plan was authored
         for name, row in json.load(open(f)).items():
             if row.get("hash_match"):
                 latest_green[name] = rnd
+    # the plan must actually be authored against an existing record
+    # prefix (WINDOW_ROUND == latest record round + 1)
+    rounds = sorted(
+        int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        for f in files
+    )
+    assert registry.WINDOW_ROUND >= rounds[-1] + 1, (
+        f"WINDOW_ROUND {registry.WINDOW_ROUND} is stale: record "
+        f"r{rounds[-1]} already exists — rotate the window groups and "
+        f"bump WINDOW_ROUND in the same commit"
+    )
 
     window = set(registry._WINDOW)
-    r5 = {n for n, r in latest_green.items() if r == 5}
-    r6 = {n for n, r in latest_green.items() if r == 6}
+    order = list(registry.QUERIES)
 
-    # the ENTIRE r5 tier is in the r9 window — nothing pre-r6 remains
-    assert len(r5) == 40 and "value_percentiles" in r5
-    assert r5 <= window, sorted(r5 - window)
+    # Group 1+2 (leads + new): never driver-checked, oracled. Every
+    # never-checked oracled registration is in the window except the
+    # honestly-gated TWS query — none may be forgotten.
+    for n in registry._WINDOW_LEADS + registry._WINDOW_NEW:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLE, n
+        assert n not in latest_green, (n, latest_green.get(n))
+    never_checked = {
+        n for n in order
+        if n not in latest_green and n in registry.ORACLE
+    } - {"stream_tws_value_stats"}
+    assert never_checked <= window, sorted(never_checked - window)
 
-    # never-driver-checked registrations are in the window — except
-    # vocab_growth_curve, which did not fit after nine sibling
-    # registrations and LEADS the r10 plan instead
-    new_names = {
-        "dup_span_mine", "jsonl_shard_roundtrip",
-        "lm_surprisal_bits", "ccnet_perplexity_bands",
-        "blocklist_doc_flags", "length_bucket_batches",
-        "oov_rate_by_vocab", "collocation_lift",
-        "source_bigram_overlap",
-    }
-    assert new_names <= window
-    assert not (new_names & set(latest_green))
-    for lead in ("vocab_growth_curve", "orc_partitioned_roundtrip",
-                 "stream_late_data_audit", "dup_span_scrub",
-                 "dup_rate_threshold_sweep", "sq8_topk_recall",
-                 "phrase_match_positional", "embedding_chunk_pool"):
-        assert lead in registry.QUERIES
-        assert lead not in window
-        assert lead not in latest_green
+    # Group 3 (sentinels): green in the round immediately before the
+    # plan — they re-certify code the current diff touches.
+    for n in registry._WINDOW_SENTINELS:
+        assert latest_green.get(n) == registry.WINDOW_ROUND - 1, (
+            n, latest_green.get(n)
+        )
 
-    # no r6 refresh slot survived the new registrations: the r10
-    # backlog is the FULL 40-name r6 tier (plan comment arithmetic)
-    r6_in_window = r6 & window
-    assert not r6_in_window, sorted(r6_in_window)
-    assert len(r6 - window) == 40, len(r6 - window)
+    # Group 4 (stale fill): exactly the OLDEST vintage tier's prefix
+    # in registration order — no newer name may take a slot an older
+    # one needs, and the trimmed tail must lead the next plan.
+    stale = list(registry._WINDOW_STALE)
+    assert stale, "stale group empty — rotation stopped"
+    vintages = {latest_green[n] for n in stale if n in latest_green}
+    assert len(vintages) == 1, f"mixed stale vintages: {vintages}"
+    vintage = min(vintages)
+    # the stale group is a registration-order prefix of its tier
+    tier_in_order = [n for n in order if latest_green.get(n) == vintage]
+    assert stale == tier_in_order[: len(stale)], (
+        "stale fill is not the oldest-first registration-order prefix"
+    )
+    # anything older than the stale vintage would have to be IN the
+    # window already (no skipped tier)
+    older = {n for n, r in latest_green.items() if r < vintage}
+    assert older <= window, sorted(older - window)
 
-    # the sentinel is r8-green, and every window name is oracled
-    assert latest_green.get("cross_source_dup_matrix") == 8
+    # structural window invariants
+    assert len(registry._WINDOW) == 50
+    assert len(set(registry._WINDOW)) == 50
     missing_oracle = [n for n in registry._WINDOW if n not in registry.ORACLE]
     assert not missing_oracle, missing_oracle
 

@@ -1,0 +1,377 @@
+"""Round-10 operators: corpus spectrum, skip-gram mining, hashed
+linear quality classifier, batch sessionization.
+
+Four additions a large-scale training-data pipeline runs between the
+existing round-9 corpus-statistics tier and the curation tier:
+
+- ``token_freq_spectrum`` — the frequency-of-frequencies (Zipf)
+  spectrum: how many vocabulary TYPES sit in each power-of-two
+  occurrence band. The diagnostic a tokenizer team reads next to
+  ``vocab_growth_curve`` (how fast the vocabulary grows) to decide
+  where the vocabulary's long tail starts (Baayen 2001, "Word
+  Frequency Distributions" — public method; the floor-log2 binning
+  reuses quality_lm_ops' ``length(bin(n)) - 1`` identity).
+- ``skipgram_cooccurrence`` — the word2vec/GloVe training-pair
+  extraction (Mikolov et al. 2013; Pennington et al. 2014 — public
+  methods): within-±{WINDOW} token windows, (center, context) pair
+  counts with 1/distance weighting, top pairs by weighted count.
+  Distance weights are exact scaled integers (SCALE div d with d a
+  per-branch LITERAL, so both engines interpolate the same python
+  quotient — no runtime division at all).
+- ``quality_linear_score`` — model-BASED quality filtering: a hashed
+  bag-of-words linear classifier (the fasttext/CCNet "looks like
+  reference text" filter family — Joulin et al. 2016, Wenzek et al.
+  2020 — public methods), the third standard quality family next to
+  the heuristic ``quality_score``/``gopher_quality_flags`` and the
+  LM-based ``ccnet_perplexity_bands``. Weights are md5-derived
+  integers (the similarity tier's standing trick) so the logit is an
+  exact integer sum — order-independent, hash-stable — and the
+  accept decision is an integer cross-multiply, never a division.
+- ``session_stats`` — batch sessionization of the events stream:
+  gap-rule session assignment (new session when the within-user gap
+  exceeds {SESSION_GAP_MINUTES} minutes) + per-user session
+  statistics, the batch twin of stream_session_window's streaming
+  state machine. All duration arithmetic in exact epoch micros.
+
+Reference-semantics lineage: the reference's event rollups are
+GROUP-BY summaries over a raw event table
+(airflow/dags/config/mau_summary.py:4-9, run by
+airflow/dags/Build_Summary.py:71-77); session_stats is that shape
+with the window-function session-id assignment the reference's
+warehouse SQL would use, and the three text operators extend the
+LLM-pipeline tier per the brief.
+
+Scale shape (100 TB): token_freq_spectrum and skipgram_cooccurrence
+are map-side stream builds (slice + arrays_zip, zero raw-token
+shuffles) into vocabulary-cardinality partial aggregates — the
+spectrum's second groupBy runs on ~64 rows (one per log2 bin), and
+the skip-gram top-k is TakeOrdered, not a global sort.
+quality_linear_score is one explode + one corpus-partitioned groupBy
+on doc_id (partial sums map-side); the weight lookup is a pure md5
+expression, no weight table to join or broadcast. session_stats
+windows partition on user_id — the natural key the events table
+would be bucketed by — and never sees a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..registry import query
+from ._oracle_shared import _DUCK_TOKS
+
+_DUCK_D = f"d AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)"
+
+# ---------------------------------------------------- freq spectrum
+
+# Spark bin() and DuckDB bin() both render the minimal binary string
+# of a positive integer, so floor(log2(n)) = length(bin(n)) - 1 in
+# both engines (the quality_lm_ops identity).
+
+
+@query(
+    "token_freq_spectrum",
+    oracle=f"""
+    WITH {_DUCK_D},
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+    )
+    SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bin_log2,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM uc
+    GROUP BY freq_bin_log2
+    ORDER BY freq_bin_log2
+    """,
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequencies: vocabulary types and total
+    occurrences per power-of-two occurrence band (band = floor-log2
+    of the type's corpus count, exact via the bin()-length identity).
+
+    Scale shape: one map-side token pass into a vocabulary-sized
+    count table (map-side partial counts), then a ~64-row groupBy —
+    the spectrum itself is log2(max_count) rows, a driver-readable
+    diagnostic no matter the corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    uc = (
+        docs.select(F.explode(textfn.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        uc.select(
+            (F.length(F.bin("c")) - 1).cast("long").alias("freq_bin_log2"),
+            "c",
+        )
+        .groupBy("freq_bin_log2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("freq_bin_log2")
+    )
+
+
+# ----------------------------------------------- skip-gram mining
+
+WINDOW = 3  # ± context window in tokens (word2vec default band)
+SKIPGRAM_SCALE = 1000  # fixed-point scale for the 1/d weights
+TOP_SKIPGRAMS = 100
+
+
+@query(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH {_DUCK_D},
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT unnest(list_transform(
+              generate_series(1, len(toks) - {d}),
+              i -> toks[i] || ' ' || toks[i + {d}]
+            )) AS pair, {SKIPGRAM_SCALE // d} AS w
+            FROM d WHERE len(toks) > {d}'''
+        for d in range(1, WINDOW + 1)
+      )}
+    )
+    SELECT split_part(pair, ' ', 1) AS tok_a,
+           split_part(pair, ' ', 2) AS tok_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(w) AS BIGINT) AS weight_milli
+    FROM pairs
+    GROUP BY pair
+    ORDER BY weight_milli DESC, n_pairs DESC, tok_a, tok_b
+    LIMIT {TOP_SKIPGRAMS}
+    """,
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair extraction: directional (center,
+    context-at-distance-d) pairs for d = 1..{WINDOW}, weighted
+    1/d in exact milli-units (SCALE div d folded at PLAN time — d is
+    a per-branch literal, so Spark and DuckDB interpolate the same
+    python integer and no engine divides anything). Top
+    {TOP_SKIPGRAMS} pairs by weighted count — the corpus's strongest
+    co-occurrence structure, the input statistic GloVe factorizes.
+
+    Scale shape: {WINDOW} map-side passes over the projected text
+    column (slice + arrays_zip per distance — the corpus_stats
+    bigram shape generalized to distance d), one UNION feeding ONE
+    vocabulary²-bounded partial aggregate keyed on the pair; top-k
+    is TakeOrdered. No token-stream shuffle, no window functions, no
+    self-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(textfn.tokenize("text").alias("toks"))
+    parts = []
+    for d in range(1, WINDOW + 1):
+        parts.append(
+            toked.filter(F.size("toks") > d)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("toks", 1, F.size("toks") - d).alias("a"),
+                        F.slice("toks", d + 1, F.size("toks") - d).alias(
+                            "b"
+                        ),
+                    )
+                ).alias("p"),
+                F.lit(SKIPGRAM_SCALE // d).cast("long").alias("w"),
+            )
+            .select("p.a", "p.b", "w")
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return (
+        pairs.groupBy(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("w").cast("long").alias("weight_milli"),
+        )
+        .orderBy(
+            F.desc("weight_milli"), F.desc("n_pairs"), "tok_a", "tok_b"
+        )
+        .limit(TOP_SKIPGRAMS)
+    )
+
+
+# ------------------------------------- hashed linear quality score
+
+# md5-derived per-token weight in [-1000, 1000]: feature hashing into
+# the 16-bit md5-prefix space with a random-but-fixed weight vector —
+# the fasttext-style linear scorer reduced to exact integers. The
+# salt pins the weight vector; both engines recompute it from md5.
+QL_SALT = "qlw1"
+QL_WEIGHT_MOD = 2001
+QL_WEIGHT_SHIFT = 1000
+# accept iff logit * SCALE >= THRESH_MILLI * n_tokens (cross-multiply
+# — no division, exact on negative logits where div/// would differ)
+QL_SCALE = 1000
+QL_THRESH_MILLI = 50
+
+_QL_W_DUCK = (
+    f"CAST(CAST(('0x' || substr(md5('{QL_SALT}|' || tok), 1, 4))"
+    f" AS UBIGINT) AS BIGINT) % {QL_WEIGHT_MOD} - {QL_WEIGHT_SHIFT}"
+)
+_QL_W_SPARK = (
+    f"CAST(conv(substring(md5(concat('{QL_SALT}|', tok)), 1, 4), 16, 10)"
+    f" AS BIGINT) % {QL_WEIGHT_MOD} - {QL_WEIGHT_SHIFT}"
+)
+
+
+@query(
+    "quality_linear_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum({_QL_W_DUCK}) AS BIGINT) AS logit
+      FROM t GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.logit, 0) AS logit,
+           coalesce(s.logit, 0) * {QL_SCALE}
+             >= {QL_THRESH_MILLI} * coalesce(s.n_tokens, 0) AS accepted
+    FROM documents d LEFT JOIN s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering: per-document logit of a
+    hashed bag-of-words linear model (weights = md5-derived integers
+    in [-{QL_WEIGHT_SHIFT}, {QL_WEIGHT_SHIFT}], module constants),
+    accept iff the length-normalized score clears
+    {QL_THRESH_MILLI} milli-units — decided by integer
+    cross-multiply so negative logits never meet a div/floor
+    divergence. Empty documents score (0, 0, accepted) on both
+    engines via the LEFT JOIN zero-fill.
+
+    In production the weight vector comes from a trained classifier
+    (fasttext / logistic head); the md5 derivation stands in for the
+    trained weights with the same execution shape — per-token weight
+    is a pure expression evaluated inside the explode pass, NOT a
+    weight-table join, so scoring is one map-side pass + one
+    doc-keyed partial-sum groupBy regardless of vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(textfn.tokenize("text")).alias("tok")
+    )
+    scored = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.expr(_QL_W_SPARK)).cast("long").alias("logit"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+            (
+                F.coalesce("logit", F.lit(0)) * QL_SCALE
+                >= F.lit(QL_THRESH_MILLI) * F.coalesce("n_tokens", F.lit(0))
+            ).alias("accepted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- sessionization
+
+SESSION_GAP_MINUTES = 30
+_GAP_US = SESSION_GAP_MINUTES * 60_000_000
+
+
+@query(
+    "session_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN t_us - lag(t_us) OVER w > {_GAP_US}
+                  OR lag(t_us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+    ),
+    sess AS (
+      SELECT user_id, t_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(t_us) - min(t_us) AS BIGINT) AS duration_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(duration_us) AS BIGINT) AS total_session_us,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization: a new session starts when the
+    within-user gap exceeds {SESSION_GAP_MINUTES} minutes; per user,
+    session count, event count, summed session duration (exact epoch
+    micros), and the largest session. The batch twin of
+    stream_session_window — identical session boundaries, computed
+    by lag + running-sum windows instead of timeout state.
+
+    Tie-safety: equal timestamps within a user give gap 0 under ANY
+    tie order, so the lag-based flags are deterministic even though
+    the sort is not total. Scale shape: both windows and both
+    groupBys partition on user_id — one shuffle layout end to end,
+    the key the events table would be bucketed by; no global
+    window, no skew (user activity is the natural partition grain)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    flagged = ev.select(
+        "user_id",
+        "t_us",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w) > _GAP_US)
+            | F.lag("t_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "t_us",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("duration_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("duration_us").cast("long").alias("total_session_us"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.quality_lm_ops",  # 3 (→194)
     "programmers_data_spark.queries.batching_ops",  # 2 (→196)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→199)
+    "programmers_data_spark.queries.round10_ops",  # 4 (→203)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -123,7 +124,12 @@ _WINDOW_LEADS = (
 # Group 2 — round-10 NEW registrations (never driver-checked;
 # appended as they land this round, displacing _WINDOW_STALE tail
 # names one-for-one to hold the window at exactly 50).
-_WINDOW_NEW = ()
+_WINDOW_NEW = (
+    "token_freq_spectrum",
+    "skipgram_cooccurrence",
+    "quality_linear_score",
+    "session_stats",
+)
 
 # Group 3 — r9-green sentinels sitting directly on the round-10
 # diff: collocation_lift's lift arithmetic was widened to
@@ -178,10 +184,9 @@ _WINDOW_STALE = (
     "embedding_sq8",
     "mau_sketch_rollup",
     "segment_overlap_sketch",
-    "cms_heavy_hitters",
-    "rolling_7d_revenue",
-    "daily_revenue_dense",
-    "ewma_daily_revenue",
+    # (tail names cms_heavy_hitters, rolling_7d_revenue,
+    # daily_revenue_dense, ewma_daily_revenue trimmed one-for-one by
+    # round-10 registrations — they lead the r11 stale backlog)
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -24,6 +24,90 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
 
 
+# ------------------------------------- round-10 serial references
+#
+# The adversarial-fixture sweeps in test_edge_fixtures.py give every
+# new oracle cross-ENGINE coverage automatically; these add a third,
+# structurally independent implementation (plain python dicts) for
+# the two round-10 queries whose Spark and DuckDB forms share their
+# shape (same lag/run-sum windows, same md5 weight expression) — a
+# shared-shape bug would pass cross-engine parity but not this.
+
+
+def test_session_stats_serial_reference(spark, sf_smoke):
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round10_ops as r10
+
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS t_us")
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.t_us)
+    expected = {}
+    for uid, ts in by_user.items():
+        ts.sort()
+        sessions: list[list[int]] = []
+        for t in ts:
+            if sessions and t - sessions[-1][-1] <= r10._GAP_US:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        expected[uid] = (
+            len(sessions),
+            len(ts),
+            sum(s[-1] - s[0] for s in sessions),
+            max(len(s) for s in sessions),
+        )
+    got = {
+        r.user_id: (
+            r.n_sessions, r.n_events, r.total_session_us,
+            r.max_session_events,
+        )
+        for r in r10.session_stats(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_quality_linear_score_serial_reference(spark, sf_smoke):
+    import hashlib
+
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round10_ops as r10
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def w(tok: str) -> int:
+        h = hashlib.md5(f"{r10.QL_SALT}|{tok}".encode()).hexdigest()[:4]
+        return int(h, 16) % r10.QL_WEIGHT_MOD - r10.QL_WEIGHT_SHIFT
+
+    expected = {}
+    for r in docs:
+        toks = [t for t in r.text.strip().split() if t]
+        logit = sum(w(t) for t in toks)
+        expected[r.doc_id] = (
+            len(toks),
+            logit,
+            logit * r10.QL_SCALE >= r10.QL_THRESH_MILLI * len(toks),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.logit, r.accepted)
+        for r in r10.quality_linear_score(spark, sf_smoke).collect()
+    }
+    assert got == expected
+    # the weight vector is genuinely signed (a one-sided vector would
+    # make the accept rule vacuous)
+    toks = {t for r in docs for t in r.text.split()}
+    signs = {w(t) > 0 for t in toks} | {w(t) < 0 for t in toks}
+    assert signs == {True, False}
+
+
 # --------------------------------------------- lift overflow regime
 
 

@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import textfn
-from ..registry import query
+from ..registry import ORACLE, query
 from ._oracle_shared import _DUCK_TOKS
 
 _DUCK_D = f"d AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)"
@@ -374,4 +374,79 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").cast("long").alias("max_session_events"),
         )
         .orderBy("user_id")
+    )
+
+
+# -------------------------------------------- dup-cluster profile
+
+
+@query(
+    "neardup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({ORACLE["dedup_minhash"]}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(src, dst) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def neardup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the LSH near-dup graph: connected
+    components over the PUBLISHED verified pair set (the artifact
+    every dedup composer reads — dedup_ops.verified_pair_store), then
+    a histogram of component sizes. The curation-run health report:
+    a fat tail here means boilerplate families, not isolated dups,
+    and predicts how much dedup_keep_canonical will remove.
+
+    Differs from dedup_clusters by operating on the REAL production
+    pair source — the banded MinHash pipeline output at corpus scale
+    — rather than that query's capped brute-force ground-truth
+    subset; the oracle recomputes the full MinHash pair set (the
+    composed dedup_minhash SQL, already hash-certified) and resolves
+    components with a recursive CTE.
+
+    Scale shape: component resolution is iterative join+min-agg on
+    the EDGE list (corpus-independent — near-dup pairs, not docs;
+    operators.connected_components_auto localCheckpoints per round),
+    and everything after lives on one-row-per-cluster then
+    one-row-per-size frames. Singleton docs never enter the graph —
+    cluster_size ≥ 2 by construction — keeping the vertex set
+    pair-bounded too."""
+    from ..operators import connected_components_auto
+    from .dedup_ops import verified_pair_store
+
+    pairs = verified_pair_store(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_auto(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )

@@ -53,7 +53,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.quality_lm_ops",  # 3 (→194)
     "programmers_data_spark.queries.batching_ops",  # 2 (→196)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→199)
-    "programmers_data_spark.queries.round10_ops",  # 4 (→203)
+    "programmers_data_spark.queries.round10_ops",  # 5 (→204)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -129,6 +129,7 @@ _WINDOW_NEW = (
     "skipgram_cooccurrence",
     "quality_linear_score",
     "session_stats",
+    "neardup_cluster_profile",
 )
 
 # Group 3 — r9-green sentinels sitting directly on the round-10
@@ -183,10 +184,10 @@ _WINDOW_STALE = (
     "semantic_dedup_recall",
     "embedding_sq8",
     "mau_sketch_rollup",
-    "segment_overlap_sketch",
-    # (tail names cms_heavy_hitters, rolling_7d_revenue,
-    # daily_revenue_dense, ewma_daily_revenue trimmed one-for-one by
-    # round-10 registrations — they lead the r11 stale backlog)
+    # (tail names segment_overlap_sketch, cms_heavy_hitters,
+    # rolling_7d_revenue, daily_revenue_dense, ewma_daily_revenue
+    # trimmed one-for-one by round-10 registrations — they lead the
+    # r11 stale backlog)
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

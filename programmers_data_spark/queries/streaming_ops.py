@@ -784,3 +784,157 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     _LATE_AUDIT_CACHE[key] = result
     return result
+
+
+# ------------------------------------------- dedup-horizon accounting
+
+# Dedup horizon for the audit: 7 days against the fixture's ~30-day
+# event span, so all three outcomes (dedup, late-drop, re-admission)
+# occur. Interpolated into BOTH engines (micros in the oracle).
+DEDUP_HORIZON_DAYS = 7
+_HORIZON_US = DEDUP_HORIZON_DAYS * 86_400_000_000
+
+# audit result memo per (applicationId, sf_dir) — *_CACHE contract
+_DEDUP_AUDIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "stream_dedup_horizon_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id // 2 AS dedup_key, event_id % 2 AS leg,
+             epoch_us(ts) AS t_us
+      FROM events
+    ),
+    wm AS (
+      SELECT max(t_us) // 1000 * 1000 - {_HORIZON_US} AS wm_us
+      FROM e WHERE leg = 0
+    ),
+    ev AS (SELECT dedup_key, t_us AS t_even FROM e WHERE leg = 0),
+    od AS (SELECT dedup_key, t_us AS t_odd FROM e WHERE leg = 1),
+    j AS (
+      SELECT coalesce(ev.dedup_key, od.dedup_key) AS dedup_key,
+             t_even, t_odd, wm_us
+      FROM ev FULL JOIN od ON ev.dedup_key = od.dedup_key
+      CROSS JOIN wm
+    )
+    SELECT dedup_key,
+           CAST(CASE WHEN t_even IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN t_odd IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS n_arrivals,
+           CAST(CASE WHEN t_even IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN t_odd IS NOT NULL
+                       AND t_odd > coalesce(wm_us, 0)
+                       AND (t_even IS NULL OR
+                            (t_even + 999) // 1000 * 1000
+                              + {_HORIZON_US} <= coalesce(wm_us, 0))
+                       THEN 1 ELSE 0 END
+                AS BIGINT) AS n_emitted
+    FROM j
+    ORDER BY dedup_key
+    """,
+)
+def stream_dedup_horizon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark under watermark MOVEMENT — the
+    semantics stream_dedup's single doubled batch cannot exercise: a
+    two-leg at-least-once replay (every logical record arrives once
+    per delivery leg — leg 0 = even event_ids first, leg 1 = odd
+    second) against a {DEDUP_HORIZON_DAYS}-day dedup horizon. Per
+    logical key the audit reports how many copies arrived and how
+    many the engine emitted: 1 when the second leg was deduped OR
+    dropped as late, 2 when the key's state had already been evicted
+    (first leg older than the horizon) and the second leg was
+    re-admitted — the at-least-once residue a downstream exact dedup
+    still has to catch.
+
+    The oracle recomputes the engine's own rules, pinned empirically
+    at microsecond grain (tests/test_round10.py): the watermark in
+    force during leg 1 is floor-to-MILLIS(max leg-0 event time) −
+    horizon (Spark tracks watermarks in ms); a leg-1 row is late iff
+    its event time is ≤ that watermark; and leg-0 state is evicted
+    iff ceil-to-MILLIS(its event time) + horizon ≤ the watermark. A
+    hash match certifies all three boundaries, not just row counts.
+
+    Honesty note: the fixture generates events in rough timestamp
+    order, so a key's two legs carry near-equal event times and only
+    the dedup and late-drop outcomes occur on driver data; the
+    eviction/re-admission boundary is exercised cross-engine by
+    tests/test_round10.py's synthetic fixture, whose rows straddle
+    every ms boundary above at ±1 µs.
+
+    Scale shape: streaming state is one small row per key inside the
+    horizon (the point of dropDuplicatesWithinWatermark vs unbounded
+    dropDuplicates); the audit join is key-cardinality. At 100 TB the
+    same plan binds to a Kafka source; keys = message ids."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..catalog import load_table
+    from ..storeutil import store_base
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DEDUP_AUDIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("event_id div 2").alias("dedup_key"),
+        (F.col("event_id") % 2).alias("leg"),
+        "ts",
+    )
+    base = store_base("SPARK_GRAFT_DEDUP_AUDIT_STORE", "spark_graft_dedup")
+    os.makedirs(base, exist_ok=True)
+    src = os.path.join(tempfile.mkdtemp(prefix="dedup_", dir=base), "src")
+
+    # leg 0 lands BEFORE the stream starts; leg 1 between drains —
+    # arrival order, and therefore the watermark trajectory, is exact
+    ev.filter(F.col("leg") == 0).coalesce(1).write.parquet(
+        f"{src}/b0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", f"{DEDUP_HORIZON_DAYS} days")
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+    )
+    sink = f"dedup_audit_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # leg 0: fills state, sets watermark
+        ev.filter(F.col("leg") == 1).coalesce(1).write.parquet(
+            f"{src}/b1.parquet"
+        )
+        q.processAllAvailable()  # leg 1: dedup/late/re-admit HERE
+    finally:
+        q.stop()
+
+    emitted = (
+        spark.table(sink)
+        .groupBy("dedup_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_emitted"))
+    )
+    arrivals = ev.groupBy("dedup_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals")
+    )
+    result = (
+        arrivals.join(emitted, "dedup_key", "left")
+        .select(
+            "dedup_key",
+            "n_arrivals",
+            F.coalesce("n_emitted", F.lit(0)).cast("long").alias(
+                "n_emitted"
+            ),
+        )
+        .orderBy("dedup_key")
+        .persist()
+    )
+    result.count()  # materialize, then free the memory-sink view
+    spark.catalog.dropTempView(sink)
+    _DEDUP_AUDIT_CACHE[key] = result
+    return result

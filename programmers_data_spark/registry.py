@@ -32,28 +32,28 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.text_ops",  # 15 (→28)
     "programmers_data_spark.queries.dedup_ops",  # 7 (→35)
     "programmers_data_spark.queries.round3_ops",  # 11 (→46)
-    "programmers_data_spark.queries.streaming_ops",  # 13 incl. the
+    "programmers_data_spark.queries.streaming_ops",  # 14 incl. the
     #   unconditionally-registered, call-time-gated tws query and its
-    #   dependency-free applyInPandasWithState twin (→59)
-    "programmers_data_spark.queries.summary",  # 5 (→64)
-    "programmers_data_spark.queries.text_quality_ops",  # 8 (→72)
-    "programmers_data_spark.queries.curation_ops",  # 10 (→82)
-    "programmers_data_spark.queries.extras",  # 25 (→107)
-    "programmers_data_spark.queries.similarity_ops",  # 11 (→118)
-    "programmers_data_spark.queries.multimodal_ops",  # 6 (→124)
-    "programmers_data_spark.queries.analytics",  # 19 (→143)
-    "programmers_data_spark.queries.subqueries",  # 8 (→151)
-    "programmers_data_spark.queries.accuracy_ops",  # 6 (→157)
-    "programmers_data_spark.queries.sampling_ops",  # 11 (→168)
-    "programmers_data_spark.queries.retrieval_ops",  # 11 (→179)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→182)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→185)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→189)
-    "programmers_data_spark.queries.interchange_ops",  # 2 (→191)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→194)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→196)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→199)
-    "programmers_data_spark.queries.round10_ops",  # 5 (→204)
+    #   dependency-free applyInPandasWithState twin (→60)
+    "programmers_data_spark.queries.summary",  # 5 (→65)
+    "programmers_data_spark.queries.text_quality_ops",  # 8 (→73)
+    "programmers_data_spark.queries.curation_ops",  # 10 (→83)
+    "programmers_data_spark.queries.extras",  # 25 (→108)
+    "programmers_data_spark.queries.similarity_ops",  # 11 (→119)
+    "programmers_data_spark.queries.multimodal_ops",  # 6 (→125)
+    "programmers_data_spark.queries.analytics",  # 19 (→144)
+    "programmers_data_spark.queries.subqueries",  # 8 (→152)
+    "programmers_data_spark.queries.accuracy_ops",  # 6 (→158)
+    "programmers_data_spark.queries.sampling_ops",  # 11 (→169)
+    "programmers_data_spark.queries.retrieval_ops",  # 11 (→180)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→183)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→186)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→190)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→192)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→195)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→197)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→200)
+    "programmers_data_spark.queries.round10_ops",  # 5 (→205)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -130,6 +130,7 @@ _WINDOW_NEW = (
     "quality_linear_score",
     "session_stats",
     "neardup_cluster_profile",
+    "stream_dedup_horizon_audit",
 )
 
 # Group 3 — r9-green sentinels sitting directly on the round-10
@@ -183,11 +184,10 @@ _WINDOW_STALE = (
     "bloom_decontam_misses",
     "semantic_dedup_recall",
     "embedding_sq8",
-    "mau_sketch_rollup",
-    # (tail names segment_overlap_sketch, cms_heavy_hitters,
-    # rolling_7d_revenue, daily_revenue_dense, ewma_daily_revenue
-    # trimmed one-for-one by round-10 registrations — they lead the
-    # r11 stale backlog)
+    # (tail names mau_sketch_rollup, segment_overlap_sketch,
+    # cms_heavy_hitters, rolling_7d_revenue, daily_revenue_dense,
+    # ewma_daily_revenue trimmed one-for-one by round-10
+    # registrations — they lead the r11 stale backlog)
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

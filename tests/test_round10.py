@@ -35,6 +35,9 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def test_session_stats_serial_reference(spark, sf_smoke):
+    from programmers_data_spark import registry
+
+    registry.load_all()  # composed oracles resolve at module import
     from programmers_data_spark.catalog import load_table
     from programmers_data_spark.queries import round10_ops as r10
 
@@ -74,6 +77,9 @@ def test_session_stats_serial_reference(spark, sf_smoke):
 def test_quality_linear_score_serial_reference(spark, sf_smoke):
     import hashlib
 
+    from programmers_data_spark import registry
+
+    registry.load_all()  # composed oracles resolve at module import
     from programmers_data_spark.catalog import load_table
     from programmers_data_spark.queries import round10_ops as r10
 
@@ -163,6 +169,85 @@ def test_collocation_lift_overflow_regime(spark):
     finally:
         con.close()
     assert got_duck == expected
+
+
+# ---------------------------------- dedup-horizon boundary fixture
+
+
+def test_stream_dedup_horizon_boundaries(spark, tmp_path):
+    """The engine-rule boundaries the driver fixture cannot reach
+    (its legs carry near-equal timestamps): a synthetic events table
+    where odd legs straddle the late boundary at ±1 µs, even-leg
+    state straddles the eviction boundary across the ceil-to-ms
+    rounding, and one key has no even leg at all. compare_to_oracle
+    over this fixture certifies all three pinned rules cross-engine —
+    watermark floor-to-ms, late iff ts ≤ watermark, evicted iff
+    ceil-to-ms(ts) + horizon ≤ watermark."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries import streaming_ops as so
+    from programmers_data_spark.testing import compare_to_oracle
+
+    def D(days: int, us: int = 0) -> dt.datetime:
+        return dt.datetime(2024, 1, 1) + dt.timedelta(
+            days=days, microseconds=us
+        )
+
+    H = so.DEDUP_HORIZON_DAYS
+    # max even ts = D(4*H, 1500) → watermark = D(3*H) + 1ms
+    rows = [
+        # (event_id, ts): key = id div 2, leg = id % 2
+        (0, D(4 * H, 1500)), (1, D(4 * H, 1600)),      # dup (in state)
+        (2, D(0)), (3, D(3 * H, 900)),                 # late by 100us
+        (4, D(0)), (5, D(3 * H, 1000)),                # late AT wm exactly
+        (6, D(0)), (7, D(3 * H, 1001)),                # re-admit +1us past wm
+        (8, D(2 * H, 1000)), (9, D(4 * H)),            # evict: ms-grain expiry == wm
+        (10, D(2 * H, 1001)), (11, D(4 * H)),          # retain: ceil-ms pushes past wm
+        (12, D(2 * H, 200)), (13, D(4 * H)),           # evict: ceil-ms expiry == wm
+        (15, D(4 * H)),                                # odd leg only, on time
+        (16, D(1)),                                    # even leg only
+        (19, D(0)),                                    # odd leg only, late
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": 1,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "dedup_edge"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+
+    df = so.stream_dedup_horizon_audit(spark, str(d))
+    res = compare_to_oracle(
+        "stream_dedup_horizon_audit",
+        df,
+        registry.ORACLE["stream_dedup_horizon_audit"],
+        str(d),
+    )
+    assert res.ok, str(res)
+    got = {r.dedup_key: (r.n_arrivals, r.n_emitted) for r in df.collect()}
+    assert got == {
+        0: (2, 1),   # dup
+        1: (2, 1),   # late by 100us
+        2: (2, 1),   # late at watermark exactly
+        3: (2, 2),   # 1us past watermark, even evicted → re-admitted
+        4: (2, 2),   # eviction at exact ms-grain expiry == wm
+        5: (2, 1),   # ceil-to-ms keeps state alive → dup
+        6: (2, 2),   # ceil-to-ms expiry lands exactly on wm → evicted
+        7: (1, 1),   # odd-only, on time
+        8: (1, 1),   # even-only
+        9: (1, 0),   # odd-only, late → never emitted at all
+    }
 
 
 # ------------------------------------------------- citation audit

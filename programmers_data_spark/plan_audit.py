@@ -72,6 +72,8 @@ BOUNDED_CARTESIAN = frozenset({
     "dup_rate_threshold_sweep",  # 5-row literal threshold frame
     "sq8_topk_recall",         # broadcast bounded query set x corpus
     #                            (dequantized), composes embedding_topk
+    "mrl_truncation_recall",   # broadcast bounded query set x corpus
+    #                            (truncated), composes embedding_topk
     "dedup_clusters",          # capped (doc_id<120) ground-truth twin
     "dedup_keep_canonical",    # same capped twin
     "embedding_topk",          # broadcast bounded query set x corpus

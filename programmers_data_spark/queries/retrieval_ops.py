@@ -1081,6 +1081,133 @@ def sq8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- MRL truncation-recall contract
+
+# Matryoshka truncation: keep the first MRL_DIMS of the 64-dim
+# embedding (Kusupati et al. 2022, "Matryoshka Representation
+# Learning" — public method). 16 of 64 dims = the same 4x compression
+# SQ8 buys by quantizing, bought by truncating instead; this contract
+# prices the OTHER axis of the compression tradeoff.
+MRL_DIMS = 16
+
+
+def _mrl_recall_oracle() -> str:
+    from ..registry import ORACLE
+
+    from .similarity_ops import N_QUERIES, TOPK
+
+    return f"""
+    WITH exact AS ({ORACLE["embedding_topk"]}),
+    tr AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[])[1:{MRL_DIMS}] AS emb
+      FROM embeddings WHERE {_DUCK_NONZERO}
+    ),
+    trn AS (
+      SELECT vec_id, emb FROM tr
+      WHERE list_dot_product(emb, emb) > 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM trn a JOIN trn b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    trtop AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rank
+        FROM scored
+      ) WHERE rank <= {TOPK}
+    )
+    SELECT e.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) * 1000 // {TOPK} AS BIGINT)
+             AS recall_milli
+    FROM exact e LEFT JOIN trtop t
+      ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@query("mrl_truncation_recall", oracle=_mrl_recall_oracle())
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation accuracy contract (Matryoshka-style): per
+    query, overlap between exact-float cosine top-k on FULL vectors
+    and top-k on the first {MRL_DIMS}-of-64 dims — what 4x dimension
+    compression costs in ranking fidelity, the twin axis to
+    sq8_topk_recall's 4x byte compression. Truncation is closed-form
+    (a slice), so like SQ8 the ENTIRE contract has full hash parity:
+    both engines rank the identical truncated corpus by the identical
+    serial-fold cosine. On the synthetic (isotropic) fixture vectors
+    the measured recall is ~0.10-0.15 — random embeddings spread
+    information evenly across dims, so truncation is maximally lossy
+    here; MRL-trained vectors front-load it (that gap is exactly what
+    the contract exists to measure — per-model, before serving).
+
+    Scale shape: truncation is a map-only slice (in production a
+    projected parquet read — the scan itself shrinks 4x, which is the
+    point of MRL for a first-stage retriever); the top-k is the
+    bounded-broadcast query-set scan; the comparison joins two
+    N_QUERIES*k-row frames. Truncated vectors that lose their norm
+    entirely are defined out on both engines (the standing
+    zero-vector rule — unreachable on real data, total on degenerate
+    fixtures)."""
+    from ..functions.vectors import cosine, sq_norm
+    from .similarity_ops import N_QUERIES, TOPK, embedding_topk
+
+    tr = (
+        load_vectors(spark, sf_dir)
+        .select("vec_id", F.slice("emb", 1, MRL_DIMS).alias("emb"))
+        .filter(sq_norm("emb") > 0)
+    )
+    queries = tr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        tr.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "emb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    trtop = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").alias("t_query_id"),
+            F.col("neighbor_id").alias("t_neighbor_id"),
+        )
+    )
+    exact = embedding_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(
+        trtop,
+        (F.col("query_id") == F.col("t_query_id"))
+        & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("t_neighbor_id").cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000 div {TOPK}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------- positional phrase match
 
 # How many corpus-derived query phrases the demo resolves. The

@@ -45,15 +45,15 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.subqueries",  # 8 (→152)
     "programmers_data_spark.queries.accuracy_ops",  # 6 (→158)
     "programmers_data_spark.queries.sampling_ops",  # 11 (→169)
-    "programmers_data_spark.queries.retrieval_ops",  # 11 (→180)
-    "programmers_data_spark.queries.sketch_ops",  # 3 (→183)
-    "programmers_data_spark.queries.timeseries_ops",  # 3 (→186)
-    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→190)
-    "programmers_data_spark.queries.interchange_ops",  # 2 (→192)
-    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→195)
-    "programmers_data_spark.queries.batching_ops",  # 2 (→197)
-    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→200)
-    "programmers_data_spark.queries.round10_ops",  # 5 (→205)
+    "programmers_data_spark.queries.retrieval_ops",  # 12 (→181)
+    "programmers_data_spark.queries.sketch_ops",  # 3 (→184)
+    "programmers_data_spark.queries.timeseries_ops",  # 3 (→187)
+    "programmers_data_spark.queries.tokenizer_ops",  # 4 (→191)
+    "programmers_data_spark.queries.interchange_ops",  # 2 (→193)
+    "programmers_data_spark.queries.quality_lm_ops",  # 3 (→196)
+    "programmers_data_spark.queries.batching_ops",  # 2 (→198)
+    "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
+    "programmers_data_spark.queries.round10_ops",  # 5 (→206)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -131,6 +131,7 @@ _WINDOW_NEW = (
     "session_stats",
     "neardup_cluster_profile",
     "stream_dedup_horizon_audit",
+    "mrl_truncation_recall",
 )
 
 # Group 3 — r9-green sentinels sitting directly on the round-10
@@ -183,11 +184,10 @@ _WINDOW_STALE = (
     "bloom_decontam",
     "bloom_decontam_misses",
     "semantic_dedup_recall",
-    "embedding_sq8",
-    # (tail names mau_sketch_rollup, segment_overlap_sketch,
-    # cms_heavy_hitters, rolling_7d_revenue, daily_revenue_dense,
-    # ewma_daily_revenue trimmed one-for-one by round-10
-    # registrations — they lead the r11 stale backlog)
+    # (tail names embedding_sq8, mau_sketch_rollup,
+    # segment_overlap_sketch, cms_heavy_hitters, rolling_7d_revenue,
+    # daily_revenue_dense, ewma_daily_revenue trimmed one-for-one by
+    # round-10 registrations — they lead the r11 stale backlog)
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

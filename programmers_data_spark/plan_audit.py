@@ -30,6 +30,7 @@ PYTHON_TIER = frozenset({
     "embedding_neardup_lsh", "ann_lsh_topk", "ivf_topk",
     "ann_recall_at5",  # composes ann_lsh_topk's signature pass
     "ivf_recall_at5",  # composes ivf_topk's cell-assignment pass
+    "ivf_probe_sweep",  # same index build + probe-all Arrow pass
     "lsh_neardup_recall",  # composes both near-dup GEMM kernels
     "token_heavy_hitters",  # Arrow candidate pass (per-batch top-K)
     "multimodal_decode", "multimodal_features",
@@ -70,6 +71,9 @@ BOUNDED_CARTESIAN = frozenset({
     #                            the phase division
     "cross_source_dup_matrix",  # 1-row pair-total broadcast
     "dup_rate_threshold_sweep",  # 5-row literal threshold frame
+    "ivf_probe_sweep",         # 5-row literal nprobe grid BNLJ +
+    #                            broadcast bounded query set x corpus
+    #                            at the full-probe endpoint
     "sq8_topk_recall",         # broadcast bounded query set x corpus
     #                            (dequantized), composes embedding_topk
     "mrl_truncation_recall",   # broadcast bounded query set x corpus
@@ -108,6 +112,8 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "vocab_growth_curve",  # 1-row bounds agg + <=N_CHECKPOINTS-row
     #                        running-sum window
     "ivf_recall_at5",
+    "ivf_probe_sweep",  # 1-row query/exact-count aggs + 5-row
+    #                     verdict window
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",

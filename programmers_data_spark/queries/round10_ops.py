@@ -656,3 +656,155 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ------------------------------------------------ IVF probe sweep
+
+# nprobe grid for the tuning curve; the top value equals the cell
+# count, where probing everything must reproduce exact search.
+PROBE_GRID = (1, 2, 4, 8, 16)
+
+
+def _ivf_sweep_oracle() -> str:
+    from ._oracle_shared import _DUCK_NONZERO
+    from .similarity_ops import N_QUERIES
+
+    values = ", ".join(f"({p})" for p in PROBE_GRID)
+    return f"""
+    WITH g(nprobe) AS (VALUES {values}),
+    q AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
+      WHERE vec_id < {N_QUERIES} AND {_DUCK_NONZERO}
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe, n_queries,
+           TRUE AS overlap_nondecreasing,
+           TRUE AS full_probe_exact
+    FROM g CROSS JOIN q ORDER BY nprobe
+    """
+
+
+@query("ivf_probe_sweep", oracle=_ivf_sweep_oracle())
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe tuning curve as a CONTRACT (the
+    dup_rate_threshold_sweep pattern applied to ANN): for each nprobe
+    in {PROBE_GRID}, recall overlap against the exact top-k, with two
+    theorem-level verdicts the oracle pins. (1) overlap is
+    NONDECREASING in nprobe: probe lists are rank-nested per query,
+    and an exact-top-k member present in any candidate set always
+    survives into the candidate top-k (at most k-1 items outrank it
+    globally under the total (cos, vec_id) order), so supersets never
+    lose hits. (2) probing ALL cells reproduces exact search — the
+    sweep's endpoint must equal embedding_topk on the nonzero corpus.
+    A broken quantizer, dead probe-join, or rank-order bug flips a
+    verdict and the hash. The recall magnitudes themselves stay
+    Spark-side (seeded k-means isn't ANSI-recomputable — the
+    ivf_recall_at5 precedent); the sweep audits the SAME index
+    ivf_topk serves from (similarity_ops.ivf_index).
+
+    Scale shape: one probe-ALL pass over the bounded query set (the
+    audit's cost is the full-probe endpoint — N_QUERIES × corpus,
+    exactly embedding_topk's bounded-broadcast contract scan); the
+    5-row grid fans candidates out by a probe_rank ≤ nprobe BNLJ
+    (bounded side = the literal grid); per-(nprobe, query) top-k is
+    a window on the candidate table; verdict folds live on 5 rows."""
+    import numpy as np
+
+    from ..operators import bounded_global_window
+    from ..functions.vectors import cosine
+    from .similarity_ops import (
+        N_QUERIES,
+        TOPK,
+        embedding_topk,
+        ivf_index,
+        load_vectors,
+    )
+
+    corpus, bc, n_cells = ivf_index(spark, sf_dir)
+    emb = load_vectors(spark, sf_dir)
+
+    def probe_all(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            order = np.argsort(-(x @ cents.T), axis=1)
+            out = []
+            for j in range(cents.shape[0]):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": pdf["vec_id"],
+                            "q_emb": pdf["emb"],
+                            "cell": order[:, j],
+                            "probe_rank": j + 1,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).mapInPandas(
+        probe_all,
+        schema="query_id long, q_emb array<double>, cell int,"
+        " probe_rank int",
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in PROBE_GRID], "nprobe long"
+    )
+    fanned = cands.join(
+        F.broadcast(grid), F.col("probe_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc(cosine("q_emb", "emb")), "vec_id"
+    )
+    top = (
+        fanned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact = embedding_topk(spark, sf_dir).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("neighbor_id").alias("e_neighbor_id"),
+    )
+    overlap = (
+        top.join(
+            exact,
+            (F.col("query_id") == F.col("e_query_id"))
+            & (F.col("neighbor_id") == F.col("e_neighbor_id")),
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    nq = emb.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_rows")
+    )
+    gw = bounded_global_window("nprobe")
+    summary = (
+        grid.join(overlap, "nprobe", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe",
+            "n_queries",
+            (
+                F.lag("n_overlap").over(gw).isNull()
+                | (F.col("n_overlap") >= F.lag("n_overlap").over(gw))
+            ).alias("overlap_nondecreasing"),
+            (
+                (F.col("nprobe") < F.lit(n_cells))
+                | (F.col("n_overlap") == F.col("n_exact_rows"))
+            ).alias("full_probe_exact"),
+        )
+        .orderBy("nprobe")
+    )
+    return summary

@@ -412,22 +412,12 @@ _IVF_CELLS = 16
 _IVF_PROBES = 4
 
 
-@query("ivf_topk")  # rows-only: k-means cell assignment isn't ANSI SQL
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file index): a small k-means coarse
-    quantizer partitions the corpus into cells; each query scans only
-    its ``_IVF_PROBES`` nearest cells. The other standard ANN scale
-    path next to LSH (ann_lsh_topk): cells adapt to the data
-    distribution where hyperplanes are data-oblivious.
-
-    Training is deterministic: centroids seed from evenly-strided
-    sample vectors, then 5 Lloyd iterations on a bounded sample
-    (driver-side numpy — the coarse quantizer is metadata, like a
-    broadcast dim table; the corpus-wide assignment pass is the
-    distributed mapInPandas GEMM). At 100 TB: cells ∝ sqrt(N),
-    assignment is map-only, and each cell's posting list is a
-    bucketed table the probe-join prunes to.
-    """
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """The IVF coarse quantizer + cell-assigned corpus, shared by
+    ivf_topk and the round-10 probe sweep: returns (corpus DataFrame
+    with (vec_id, emb, cell), centroids broadcast, n_cells).
+    Training is byte-identical to what ivf_topk always did — the
+    sweep must audit the SAME index the operator serves from."""
     import numpy as np
 
     emb = load_vectors(spark, sf_dir)
@@ -465,6 +455,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.mapInPandas(
         assign_cells, schema="vec_id long, emb array<double>, cell int"
     )
+    return corpus, bc, k
+
+
+@query("ivf_topk")  # rows-only: k-means cell assignment isn't ANSI SQL
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file index): a small k-means coarse
+    quantizer partitions the corpus into cells; each query scans only
+    its ``_IVF_PROBES`` nearest cells. The other standard ANN scale
+    path next to LSH (ann_lsh_topk): cells adapt to the data
+    distribution where hyperplanes are data-oblivious.
+
+    Training is deterministic: centroids seed from evenly-strided
+    sample vectors, then 5 Lloyd iterations on a bounded sample
+    (driver-side numpy — the coarse quantizer is metadata, like a
+    broadcast dim table; the corpus-wide assignment pass is the
+    distributed mapInPandas GEMM, factored into ``ivf_index`` so the
+    probe sweep audits the same index). At 100 TB: cells ∝ sqrt(N),
+    assignment is map-only, and each cell's posting list is a
+    bucketed table the probe-join prunes to.
+    """
+    import numpy as np
+
+    emb = load_vectors(spark, sf_dir)
+    corpus, bc, _k = ivf_index(spark, sf_dir)
 
     def probe_cells(batches):
         import pandas as pd

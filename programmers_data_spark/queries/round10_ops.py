@@ -808,3 +808,101 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nprobe")
     )
     return summary
+
+
+# --------------------------------------------- lang-ID confidence
+
+# A prediction is "confident" when the best profile leads the runner-
+# up by at least this many stopword hits (absolute-margin rule — the
+# standard abstention criterion for a shallow classifier).
+LANG_MARGIN_MIN = 2
+
+
+def _lang_margin_oracle() -> str:
+    from ..functions.textfn import LANG_PROFILES
+
+    hits = {
+        lang: (
+            "len(list_filter(lt, t -> t IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    structs = ", ".join(
+        f"struct_pack(score := CAST({h} AS BIGINT), lang := '{lang}')"
+        for lang, h in hits.items()
+    )
+    return f"""
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t != '') AS lt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, list_sort([{structs}]) AS s FROM lt
+    )
+    SELECT doc_id,
+           CASE WHEN s[-1].score > 0 THEN s[-1].lang ELSE 'und' END
+             AS pred_lang,
+           s[-1].score AS top_hits,
+           CAST(s[-1].score - s[-2].score AS BIGINT) AS margin,
+           s[-1].score > 0
+             AND s[-1].score - s[-2].score >= {LANG_MARGIN_MIN}
+             AS confident
+    FROM ranked
+    ORDER BY doc_id
+    """
+
+
+@query("lang_confidence_margin", oracle=_lang_margin_oracle())
+def lang_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with an ABSTENTION signal — the margin between the
+    best and runner-up stopword profiles, the confidence rule a
+    production lang filter routes on (confident → keep/route,
+    marginal → send to the expensive model or drop). Pure integer hit
+    counts, so the whole decision has hash parity; ties inside the
+    profile ranking break on the struct's (score, lang) lexicographic
+    order, identical in Spark's array_max/array_sort and DuckDB's
+    struct list_sort (the standing argmax-tie idiom).
+
+    Extends lang_id_heuristic/doc_lang_mix (argmax only) with the
+    runner-up distance. Scale shape: one map-side pass — tokenize
+    once, one counted filter per profile (|profiles| bounded), sort a
+    5-element array; no joins, no shuffle except the output sort."""
+    from ..functions.textfn import LANG_PROFILES
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfn.tokenize(F.lower(F.col("text")))
+
+    def _hits(words: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    structs = F.array(
+        *[
+            F.struct(
+                _hits(words).cast("long").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+    ranked = docs.select(
+        "doc_id", F.reverse(F.array_sort(structs)).alias("s")
+    )
+    top = F.col("s")[0]
+    second = F.col("s")[1]
+    return ranked.select(
+        "doc_id",
+        F.when(top["score"] > 0, top["lang"])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        top["score"].alias("top_hits"),
+        (top["score"] - second["score"]).cast("long").alias("margin"),
+        (
+            (top["score"] > 0)
+            & (top["score"] - second["score"] >= LANG_MARGIN_MIN)
+        ).alias("confident"),
+    ).orderBy("doc_id")

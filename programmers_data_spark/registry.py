@@ -53,7 +53,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.quality_lm_ops",  # 3 (→196)
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
-    "programmers_data_spark.queries.round10_ops",  # 8 (→209)
+    "programmers_data_spark.queries.round10_ops",  # 9 (→210)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -135,6 +135,7 @@ _WINDOW_NEW = (
     "cdc_apply_tombstones",
     "dedup_keep_best_quality",
     "ivf_probe_sweep",
+    "lang_confidence_margin",
 )
 
 # Group 3 — r9-green sentinels sitting directly on the round-10
@@ -183,8 +184,7 @@ _WINDOW_STALE = (
     "mixture_resample",
     "split_leakage_check",
     "inverted_postings",
-    "bm25_topk",
-    # (tail names bloom_decontam, bloom_decontam_misses, semantic_dedup_recall,
+    # (tail names bm25_topk, bloom_decontam, bloom_decontam_misses, semantic_dedup_recall,
     # embedding_sq8, mau_sketch_rollup, segment_overlap_sketch,
     # cms_heavy_hitters, rolling_7d_revenue, daily_revenue_dense,
     # ewma_daily_revenue trimmed one-for-one by round-10

@@ -869,8 +869,13 @@ def lang_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Extends lang_id_heuristic/doc_lang_mix (argmax only) with the
     runner-up distance. Scale shape: one map-side pass — tokenize
-    once, one counted filter per profile (|profiles| bounded), sort a
-    5-element array; no joins, no shuffle except the output sort."""
+    ONCE, then one bounded array filter per profile. Measured at
+    sf0.1: this form 0.68s vs 1.40s for the lookaround regexp_count
+    alternative (lang_id's idiom) — lang_id pays the regex because
+    inlining tokenization would re-split per profile, but with a
+    single shared token array the interpreted filters beat five
+    full-text regex passes. Then sort a 5-element struct array; no
+    joins, no shuffle except the output sort."""
     from ..functions.textfn import LANG_PROFILES
 
     docs = load_table(spark, sf_dir, "documents")

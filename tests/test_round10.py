@@ -114,6 +114,73 @@ def test_quality_linear_score_serial_reference(spark, sf_smoke):
     assert signs == {True, False}
 
 
+def test_skipgram_serial_reference(spark, sf_smoke):
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round10_ops as r10
+
+    docs = load_table(spark, sf_smoke, "documents").select("text").collect()
+    counts: dict[tuple[str, str], list[int]] = {}
+    for r in docs:
+        toks = [t for t in r.text.strip().split() if t]
+        for d in range(1, r10.WINDOW + 1):
+            w = r10.SKIPGRAM_SCALE // d
+            for i in range(len(toks) - d):
+                key = (toks[i], toks[i + d])
+                agg = counts.setdefault(key, [0, 0])
+                agg[0] += 1
+                agg[1] += w
+    expected = sorted(
+        ((a, b, n, wt) for (a, b), (n, wt) in counts.items()),
+        key=lambda r: (-r[3], -r[2], r[0], r[1]),
+    )[: r10.TOP_SKIPGRAMS]
+    got = [
+        (r.tok_a, r.tok_b, r.n_pairs, r.weight_milli)
+        for r in r10.skipgram_cooccurrence(spark, sf_smoke).collect()
+    ]
+    assert got == expected
+
+
+def test_cdc_tombstones_serial_reference(spark, sf_smoke):
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round10_ops as r10
+
+    rows = (
+        load_table(spark, sf_smoke, "events")
+        .selectExpr(
+            "user_id", "event_id", "value", "unix_micros(ts) AS t_us",
+            "event_type = 'error' AS is_del",
+        )
+        .collect()
+    )
+    feed: dict[int, list] = {}
+    for r in rows:
+        feed.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, ops in feed.items():
+        ops.sort(key=lambda r: (r.t_us, r.event_id))
+        last = ops[-1]
+        if not last.is_del:
+            expected[uid] = (
+                last.value,
+                last.t_us,
+                len(ops),
+                sum(1 for o in ops if o.is_del),
+            )
+    got = {
+        r.user_id: (r.last_value, r.last_ts_us, r.n_ops, r.n_deletes)
+        for r in r10.cdc_apply_tombstones(spark, sf_smoke).collect()
+    }
+    assert got == expected
+    # tombstone semantics actually exercised: some keys were erased
+    assert len(got) < len(feed)
+
+
 # --------------------------------------------- lift overflow regime
 
 

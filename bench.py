@@ -163,6 +163,11 @@ def main() -> None:
     # tail (~10 queries) bounds the extra wall time to ~30s while
     # removing the noisiest class of permanent-record samples.
     timings: dict[str, float] = {}
+    # names whose recorded value is min-of-2 via the slow-tail re-time
+    # (r10 ADVICE: the re-time is one-sided — it can only lower
+    # recorded values — so cross-round comparisons need to know which
+    # non-headline numbers are min-of-2 vs single-sample)
+    retimed: list[str] = []
     for name in names:
         _reset(spark)
         _force(registry.QUERIES[name](spark, sf_dir))
@@ -174,6 +179,7 @@ def main() -> None:
             _force(registry.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         if runs == 1 and best > SLOW_RETIME_SECS:
+            retimed.append(name)
             _reset(spark)
             t0 = time.perf_counter()
             _force(registry.QUERIES[name](spark, sf_dir))
@@ -203,6 +209,7 @@ def main() -> None:
                 # details are only comparable after normalizing by it
                 "host_speed_md5_64mb": _host_speed_index(),
                 "queries": timings,
+                "retimed": sorted(retimed),
             },
             f,
             indent=1,
@@ -233,6 +240,11 @@ def main() -> None:
                 # (single-sample driver noise protection — SCALE.md
                 # "Bench drift, round 9"); non-headline stay 1-run
                 "headline_timing": "min-of-2",
+                # non-headline readings that crossed SLOW_RETIME_SECS
+                # and were re-timed min-of-2 this run — only these
+                # tail numbers are min-of-2; the rest of the
+                # non-headline tier is single-sample (r10 ADVICE)
+                "retimed": sorted(retimed),
                 # fixed pure-CPU reference (seconds, lower = faster
                 # host) — divide cross-round query times by the ratio
                 # of host_speed_md5_64mb values before calling a move

@@ -297,19 +297,20 @@ _GAP_US = SESSION_GAP_MINUTES * 60_000_000
     "session_stats",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, epoch_us(ts) AS t_us FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
     ),
     flagged AS (
-      SELECT user_id, t_us,
+      SELECT user_id, event_id, t_us,
              CASE WHEN t_us - lag(t_us) OVER w > {_GAP_US}
                   OR lag(t_us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
     ),
     sess AS (
       SELECT user_id, t_us,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY t_us, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ),
@@ -338,17 +339,22 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lag + running-sum windows instead of timeout state.
 
     Tie-safety: equal timestamps within a user give gap 0 under ANY
-    tie order, so the lag-based flags are deterministic even though
-    the sort is not total. Scale shape: both windows and both
+    tie order, so the lag-based flags are deterministic — and the
+    window ORDER BY carries event_id as a secondary key in BOTH
+    engines, making the sort total so the running-sum pass assigns
+    tie rows to the same session cross-engine (r10 ADVICE: flags
+    alone don't pin session membership when a tie group straddles a
+    boundary). Scale shape: both windows and both
     groupBys partition on user_id — one shuffle layout end to end,
     the key the events table would be bucketed by; no global
     window, no skew (user activity is the natural partition grain)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("t_us")
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
     )
-    w = Window.partitionBy("user_id").orderBy("t_us")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     flagged = ev.select(
         "user_id",
+        "event_id",
         "t_us",
         F.when(
             (F.col("t_us") - F.lag("t_us").over(w) > _GAP_US)

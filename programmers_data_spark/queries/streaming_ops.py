@@ -807,7 +807,11 @@ _DEDUP_AUDIT_CACHE: dict[tuple[str, str], DataFrame] = {}
       FROM events
     ),
     wm AS (
-      SELECT max(t_us) // 1000 * 1000 - {_HORIZON_US} AS wm_us
+      -- greatest(0, ...): Spark's watermark is monotone
+      -- nondecreasing FROM 0, so it never goes negative even when
+      -- max event time falls within the horizon of epoch
+      SELECT greatest(0, max(t_us) // 1000 * 1000 - {_HORIZON_US})
+               AS wm_us
       FROM e WHERE leg = 0
     ),
     ev AS (SELECT dedup_key, t_us AS t_even FROM e WHERE leg = 0),
@@ -849,8 +853,12 @@ def stream_dedup_horizon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle recomputes the engine's own rules, pinned empirically
     at microsecond grain (tests/test_round10.py): the watermark in
-    force during leg 1 is floor-to-MILLIS(max leg-0 event time) −
-    horizon (Spark tracks watermarks in ms); a leg-1 row is late iff
+    force during leg 1 is max(0, floor-to-MILLIS(max leg-0 event
+    time) − horizon) — Spark tracks watermarks in ms and the value
+    is monotone nondecreasing from 0, hence the clamp (r10 ADVICE:
+    unclamped, a leg-0 max within the horizon of epoch would make
+    the modeled watermark negative where the engine's stays 0); a
+    leg-1 row is late iff
     its event time is ≤ that watermark; and leg-0 state is evicted
     iff ceil-to-MILLIS(its event time) + horizon ≤ the watermark. A
     hash match certifies all three boundaries, not just row counts.

@@ -21,7 +21,10 @@ import re
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REFERENCE_ROOT = "/root/reference"
+# overridable so the suite runs on hosts without the reference
+# checkout (r10 ADVICE: the audit should skip, not fail, off-sandbox)
+REFERENCE_ROOT = os.environ.get("SPARK_GRAFT_REFERENCE_ROOT",
+                                "/root/reference")
 
 
 # ------------------------------------- round-10 serial references
@@ -349,7 +352,12 @@ def test_reference_citations_exist():
     """Every cited reference path exists and every cited line range
     is inside the file — the survey/docstring citations are the
     parity contract the judge spot-checks, so a fabricated one is a
-    correctness defect, not a typo."""
+    correctness defect, not a typo. Skips (not fails) when the
+    reference checkout is absent on this host."""
+    import pytest
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip(f"reference checkout not present at {REFERENCE_ROOT}")
     cites = _cited_paths()
     assert cites, "citation scan found nothing — regex or layout broke"
     bad = []

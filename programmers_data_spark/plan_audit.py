@@ -46,6 +46,9 @@ PYTHON_TIER = frozenset({
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
     "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator
     "bpe_contract",  # composes bpe_encoded_counts' Arrow encoder
+    "unigram_encoded_counts",  # Arrow Viterbi encoder IS the operator
+    "ivf_incremental_assign",  # Arrow batch-assign GEMM + the full
+    #                            index's assignment pass it audits
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose
@@ -127,6 +130,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "volume_anomaly_days",
     "daily_revenue_dense",  # 1-row min/max bounds agg feeds the spine
     "ewma_daily_revenue",   # bounded daily series folds in one row
+    "ivf_incremental_assign",  # 1-row contract aggregate
 })
 
 _PYTHON_MARKERS = (

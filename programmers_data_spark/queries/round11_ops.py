@@ -1,0 +1,599 @@
+"""Round-11 operators: the unigram-LM tokenizer family (Kudo 2018,
+SentencePiece's second training algorithm, next to the BPE family in
+tokenizer_ops) and incremental IVF index maintenance.
+
+Unigram-LM splits the same way the BPE trainer does (SURVEY §2.8's
+scale discipline; reference anchor: the tokenizer tier extends the
+text-analysis family the same way tokenizer_ops does):
+
+1. DISTRIBUTED: one corpus pass reduces text to the (word, count)
+   table — the only corpus-sized step (map-side-combined groupBy,
+   frequency-ranked VOCAB_CAP bound, Heaps'-law-sized).
+2. BOUNDED: seed-vocabulary selection and EM run over the capped
+   word TABLE driver-side (metadata-sized state, the
+   `learn_bpe_merges` / IVF-codebook posture); expected counts come
+   from the standard lattice forward-backward DP.
+3. DISTRIBUTED: Viterbi re-encoding applies the learned piece
+   probabilities per word via a broadcast dict inside one map-only
+   Arrow pass (`unigram_encoded_counts`).
+
+Correctness structure (the accuracy-twin pattern):
+- `unigram_seed_vocab` — full hash parity: count-weighted substring
+  frequency ranking is plain SQL.
+- `unigram_em_contract` — full hash parity for the E-STEP MACHINERY:
+  on the FULL sub-word lattice (every piece of length <= L present,
+  uniform weights) the forward/backward segmentation counts have a
+  closed form — alpha[j] = T(j) and beta[i] = T(n-i) where T is the
+  L-generalized Fibonacci sequence (T(0)=1, T(i)=sum of the previous
+  L values; L=4 -> tetranacci) — so per-occurrence expected
+  occupancy alpha[j]*beta[i]/alpha[n] is re-derivable in SQL from a
+  literal T table. The Spark side runs the trainer's ACTUAL DP
+  (`_forward`/`_backward`, the same code the EM loop uses); the hash
+  match proves the DP against the closed form — an off-by-one in
+  either recurrence breaks it. All arithmetic is exact: integer
+  lattice counts, one fixed-point floor-division per occurrence
+  (HUGEINT on the DuckDB side — the collocation_lift widening
+  lesson applied at design time).
+- `unigram_lm_probs` (rows-only) — the real EM: float posteriors
+  are summation-order-defined, not portable SQL (the k-means/BPE
+  precedent); determinism within an engine is still exact (fixed
+  iteration order), property-tested serially.
+- `unigram_encoded_counts` (rows-only) — Viterbi under the learned
+  model; invariants (token count between ceil(chars/L) and chars)
+  are property-tested.
+
+`ivf_incremental_assign` closes the ANN tier's last operational gap
+at 100 TB: every index op so far rebuilds; real pipelines assign NEW
+arrivals to the EXISTING trained coarse quantizer (no retrain). The
+contract audits the same `similarity_ops.ivf_index` the serving
+queries share, via the incremental ≡ full invariant
+(`incr_mau_refresh` / `neardup_incremental` precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import textfn
+from ..registry import query
+from ._oracle_shared import _DUCK_NONZERO, _DUCK_TOKS
+from .tokenizer_ops import VOCAB_CAP, _word_counts
+
+# Piece length bound L: the lattice fans out by at most L edges per
+# position, seeds enumerate O(n*L) substrings per word. 4 is the
+# SentencePiece-ish default regime for a toy vocab; production runs
+# 8-16 with the same shapes.
+UNI_MAX_PIECE_LEN = 4
+# Seed vocabulary cap (multi-char pieces, frequency-ranked,
+# ties -> lexicographically smallest piece).
+UNI_SEED_CAP = 512
+# The EM contract covers words of length <= this bound: the oracle's
+# closed-form T table is a literal VALUES list, so its domain must be
+# pinned at authoring time (fixture words top out at 8 chars; the
+# filter is applied identically on BOTH engines, so a regenerated
+# fixture with longer words narrows the contract, never breaks it).
+UNI_CONTRACT_MAXLEN = 16
+# Fixed-point scale for expected-occupancy mass: one floor-division
+# per occurrence on both engines (integer div is exact and
+# order-independent where float division would not be portable).
+UNI_SCALE = 1_000_000
+# EM refinement rounds for the rows-only probability table.
+UNI_EM_ITERS = 2
+
+
+def _tetranacci(n_max: int, span: int = UNI_MAX_PIECE_LEN) -> list[int]:
+    """T(0)=1; T(i) = sum of the previous ``span`` values — the
+    number of compositions of i into parts of size <= span, i.e. the
+    number of segmentations of an i-char word when EVERY piece of
+    length <= span is available."""
+    t = [1]
+    for i in range(1, n_max + 1):
+        t.append(sum(t[max(0, i - span) : i]))
+    return t
+
+
+def _forward(word: str, max_len: int, weight) -> list:
+    """Lattice forward pass: alpha[i] = total weight of segmentations
+    of word[:i]; ``weight(piece)`` returns the piece's weight (falsy
+    excludes it). With weight ≡ 1 this counts segmentations — the
+    quantity the EM contract pins against the closed form."""
+    n = len(word)
+    a = [0] * (n + 1)
+    a[0] = 1
+    for i in range(1, n + 1):
+        s = 0
+        for k in range(1, min(i, max_len) + 1):
+            w = weight(word[i - k : i])
+            if w:
+                s += a[i - k] * w
+        a[i] = s
+    return a
+
+
+def _backward(word: str, max_len: int, weight) -> list:
+    """Lattice backward pass: beta[i] = total weight of segmentations
+    of word[i:]."""
+    n = len(word)
+    b = [0] * (n + 1)
+    b[n] = 1
+    for i in range(n - 1, -1, -1):
+        s = 0
+        for k in range(1, min(n - i, max_len) + 1):
+            w = weight(word[i : i + k])
+            if w:
+                s += b[i + k] * w
+        b[i] = s
+    return b
+
+
+# Capped word-count table, collected once per (application, sf_dir)
+# and shared by the whole unigram family — the *_CACHE contract
+# (bench._reset clears it, so isolated timing still charges each
+# query the corpus pass).
+_WC_CACHE: dict[tuple[str, str], list[tuple[str, int]]] = {}
+
+
+def _capped_word_counts(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows = (
+        _word_counts(spark, sf_dir)
+        .orderBy(F.desc("c"), "word")
+        .limit(VOCAB_CAP)
+        .collect()
+    )
+    out = [(r.word, r.c) for r in rows]
+    _WC_CACHE[key] = out
+    return out
+
+
+def _seed_pieces(
+    word_counts: list[tuple[str, int]],
+    cap: int = UNI_SEED_CAP,
+    max_len: int = UNI_MAX_PIECE_LEN,
+) -> list[tuple[str, int]]:
+    """Count-weighted substring-occurrence frequencies (every
+    occurrence position counts, matching the SQL position
+    enumeration), top ``cap`` with ties to the lexicographically
+    smallest piece. Pure function — the driver check and the
+    distributed query must agree with it exactly."""
+    freq: dict[str, int] = {}
+    for w, c in word_counts:
+        for k in range(2, max_len + 1):
+            for j in range(len(w) - k + 1):
+                p = w[j : j + k]
+                freq[p] = freq.get(p, 0) + c
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:cap]
+
+
+@query(
+    "unigram_seed_vocab",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_DUCK_TOKS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+    ),
+    capped AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {VOCAB_CAP}
+    ),
+    occ AS (
+      SELECT substr(word, start, plen) AS piece, c
+      FROM (
+        SELECT word, c, plen,
+               CAST(unnest(range(1, length(word) - plen + 2)) AS INT)
+                 AS start
+        FROM (
+          SELECT word, c,
+                 CAST(unnest([{", ".join(str(k) for k in range(2, UNI_MAX_PIECE_LEN + 1))}]) AS INT)
+                   AS plen
+          FROM capped
+        )
+        WHERE length(word) >= plen
+      )
+    )
+    SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+    FROM occ GROUP BY piece
+    ORDER BY freq DESC, piece LIMIT {UNI_SEED_CAP}
+    """,
+)
+def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed vocabulary (Kudo 2018 §3's seeding step,
+    substring-frequency flavor): the top {UNI_SEED_CAP} substrings of
+    length 2..{UNI_MAX_PIECE_LEN} by count-weighted occurrence
+    frequency over the capped word table; ties break to the
+    lexicographically smallest piece, so the ranking is a pure
+    function of the word counts.
+
+    Scale shape: the corpus collapses to the word table first (the
+    only corpus-sized step); substring enumeration explodes the
+    CAPPED table only — O(VOCAB_CAP * maxlen * L) rows, bounded
+    metadata regardless of corpus size — and the top-{UNI_SEED_CAP}
+    is a TakeOrdered, not a global sort."""
+    capped = (
+        _word_counts(spark, sf_dir)
+        .orderBy(F.desc("c"), "word")
+        .limit(VOCAB_CAP)
+    )
+    occ = (
+        capped.select(
+            "word",
+            "c",
+            F.explode(
+                F.sequence(F.lit(2), F.lit(UNI_MAX_PIECE_LEN))
+            ).alias("plen"),
+        )
+        .filter(F.length("word") >= F.col("plen"))
+        .select(
+            "c",
+            "word",
+            "plen",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("word") - F.col("plen") + F.lit(1)
+                )
+            ).alias("start"),
+        )
+        .select(F.expr("substr(word, start, plen)").alias("piece"), "c")
+    )
+    return (
+        occ.groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "piece")
+        .limit(UNI_SEED_CAP)
+        .orderBy(F.desc("freq"), "piece")
+    )
+
+
+def _unigram_contract_oracle() -> str:
+    t = _tetranacci(UNI_CONTRACT_MAXLEN)
+    fib_vals = ", ".join(f"({i}, {v})" for i, v in enumerate(t))
+    plens = ", ".join(str(k) for k in range(2, UNI_MAX_PIECE_LEN + 1))
+    return f"""
+    WITH t AS (
+      SELECT {_DUCK_TOKS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+    ),
+    capped AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {VOCAB_CAP}
+    ),
+    short AS (
+      SELECT word, c FROM capped
+      WHERE length(word) <= {UNI_CONTRACT_MAXLEN}
+    ),
+    occ AS (
+      SELECT substr(word, start, plen) AS piece, c,
+             start - 1 AS j, start - 1 + plen AS i,
+             length(word) AS n
+      FROM (
+        SELECT word, c, plen,
+               CAST(unnest(range(1, length(word) - plen + 2)) AS INT)
+                 AS start
+        FROM (
+          SELECT word, c, CAST(unnest([{plens}]) AS INT) AS plen
+          FROM short
+        )
+        WHERE length(word) >= plen
+      )
+    ),
+    fib(fn, tn) AS (VALUES {fib_vals}),
+    seed AS (
+      SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+      FROM occ GROUP BY piece
+      ORDER BY freq DESC, piece LIMIT {UNI_SEED_CAP}
+    ),
+    mass AS (
+      SELECT occ.piece,
+             CAST(sum(
+               (CAST(occ.c AS HUGEINT) * fj.tn * fi.tn * {UNI_SCALE})
+                 // fw.tn
+             ) AS BIGINT) AS occ_mass
+      FROM occ
+      JOIN fib fj ON fj.fn = occ.j
+      JOIN fib fi ON fi.fn = occ.n - occ.i
+      JOIN fib fw ON fw.fn = occ.n
+      GROUP BY occ.piece
+    )
+    SELECT seed.piece, seed.freq,
+           CAST(coalesce(mass.occ_mass, 0) AS BIGINT) AS occ_mass
+    FROM seed LEFT JOIN mass ON seed.piece = mass.piece
+    ORDER BY seed.piece
+    """
+
+
+@query("unigram_em_contract", oracle=_unigram_contract_oracle())
+def unigram_em_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable contract for the unigram-LM E-step machinery
+    (the `bpe_contract` pattern): on the FULL lattice — every piece
+    of length <= {UNI_MAX_PIECE_LEN} available at uniform weight —
+    the forward/backward DP the EM loop runs must reproduce the
+    closed form alpha[j] = T(j), beta[i] = T(n-i), alpha[n] = T(n)
+    with T the {UNI_MAX_PIECE_LEN}-generalized Fibonacci sequence.
+    Per seed piece the contract reports its expected-occupancy MASS:
+    sum over occurrences (word w, start j, end i) of
+    floor(c_w * alpha[j] * beta[i] * {UNI_SCALE} / alpha[n]) — the
+    uniform-model E-step's per-occurrence posterior, fixed-point so
+    every term is an exact integer on both engines. The Spark side
+    computes alpha/beta with the trainer's ACTUAL `_forward` /
+    `_backward` code; the oracle re-derives them from a literal T
+    table — an off-by-one in either recurrence, a wrong lattice
+    bound, or a weighting bug flips the hash.
+
+    Covers words of length <= {UNI_CONTRACT_MAXLEN} (both engines
+    filter identically; see UNI_CONTRACT_MAXLEN). Scale shape: one
+    distributed word-count pass (shared `_WC_CACHE` collect), then
+    bounded driver DP over the capped table — the BPE-trainer
+    posture."""
+    wc = [
+        (w, c)
+        for w, c in _capped_word_counts(spark, sf_dir)
+        if len(w) <= UNI_CONTRACT_MAXLEN
+    ]
+    seed = _seed_pieces(wc)
+    mass = {p: 0 for p, _ in seed}
+    one = lambda piece: 1  # noqa: E731 — uniform full-lattice weight
+    for w, c in wc:
+        n = len(w)
+        a = _forward(w, UNI_MAX_PIECE_LEN, one)
+        b = _backward(w, UNI_MAX_PIECE_LEN, one)
+        total = a[n]
+        for k in range(2, UNI_MAX_PIECE_LEN + 1):
+            for j in range(n - k + 1):
+                p = w[j : j + k]
+                if p in mass:
+                    mass[p] += (c * a[j] * b[j + k] * UNI_SCALE) // total
+    rows = [(p, f, mass[p]) for p, f in seed]
+    return spark.createDataFrame(
+        sorted(rows), "piece string, freq long, occ_mass long"
+    ).orderBy("piece")
+
+
+# Trained piece probabilities, shared by the probs query and the
+# Viterbi encoder — *_CACHE contract.
+_THETA_CACHE: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def train_unigram_lm(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """EM for the unigram LM (Kudo 2018 §3.2, fixed vocabulary — no
+    pruning rounds, the fixture vocab is already tiny): vocab = all
+    single characters of the capped word table (guarantees every word
+    segments) + the seed pieces; initialize theta proportional to
+    count-weighted occurrence frequency; then UNI_EM_ITERS rounds of
+    lattice forward-backward E-step + renormalizing M-step. Floats
+    are summation-order-defined, hence rows-only downstream — but the
+    iteration order here is fully deterministic (word table sorted by
+    (-count, word); vocab in insertion order), so repeated runs are
+    bit-identical within an engine."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _THETA_CACHE.get(key)
+    if cached is not None:
+        return cached
+    wc = _capped_word_counts(spark, sf_dir)
+    char_freq: dict[str, int] = {}
+    for w, c in wc:
+        for ch in w:
+            char_freq[ch] = char_freq.get(ch, 0) + c
+    vocab: dict[str, float] = dict(
+        sorted(char_freq.items())
+    )  # chars first, sorted — deterministic insertion order
+    for p, f in _seed_pieces(wc):
+        vocab[p] = float(f)
+    total = sum(vocab.values())
+    theta = {p: f / total for p, f in vocab.items()}
+    for _ in range(UNI_EM_ITERS):
+        e = {p: 0.0 for p in theta}
+        for w, c in wc:
+            n = len(w)
+            a = _forward(w, UNI_MAX_PIECE_LEN, theta.get)
+            b = _backward(w, UNI_MAX_PIECE_LEN, theta.get)
+            norm = a[n]
+            if not norm:  # unreachable: chars cover every word
+                continue
+            for k in range(1, UNI_MAX_PIECE_LEN + 1):
+                for j in range(n - k + 1):
+                    p = w[j : j + k]
+                    th = theta.get(p)
+                    if th:
+                        e[p] += c * (a[j] * th * b[j + k]) / norm
+        etot = sum(e.values())
+        theta = {p: v / etot for p, v in e.items()}
+    _THETA_CACHE[key] = theta
+    return theta
+
+
+@query("unigram_lm_probs")  # rows-only: float EM posteriors aren't ANSI SQL
+def unigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM probability table: (piece, piece_len,
+    prob) after {UNI_EM_ITERS} EM rounds — the artifact a unigram
+    tokenizer ships (SentencePiece's .model piece scores). Rows-only
+    by design (float posteriors; the k-means/BPE precedent); the
+    E-step MACHINERY is hash-certified by `unigram_em_contract`, and
+    tests pin a serial reference plus the EM likelihood-monotonicity
+    property."""
+    theta = train_unigram_lm(spark, sf_dir)
+    rows = [(p, len(p), v) for p, v in sorted(theta.items())]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len int, prob double"
+    ).orderBy("piece")
+
+
+@query("unigram_encoded_counts")  # rows-only: applies the float EM model
+def unigram_encoded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the LEARNED unigram LM —
+    Viterbi (most-probable) segmentation per word, the inference side
+    of SentencePiece's unigram algorithm and the third tokenizer
+    this engine can report fertility for (whitespace, BPE, unigram).
+    The piece log-probabilities broadcast (metadata-sized); encoding
+    is one map-only Arrow pass with a per-batch word cache — Zipf
+    repetition makes most lookups cache hits (the
+    `bpe_encoded_counts` shape exactly).
+
+    Viterbi ties break toward the shortest last piece (k ascending,
+    strict improvement) — deterministic, so the rows-only check is
+    stable across runs."""
+    import math
+
+    import pandas as pd
+
+    theta = train_unigram_lm(spark, sf_dir)
+    logp = {p: math.log(v) for p, v in theta.items() if v > 0}
+    bc = spark.sparkContext.broadcast(logp)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfn.tokenize("text").alias("words")
+    )
+
+    def enc(batches):
+        lp = bc.value
+        max_len = UNI_MAX_PIECE_LEN
+        neg_inf = float("-inf")
+
+        def viterbi_tokens(word: str) -> int:
+            n = len(word)
+            best = [(neg_inf, 0)] * (n + 1)
+            best[0] = (0.0, 0)
+            for i in range(1, n + 1):
+                acc = neg_inf
+                toks = 0
+                for k in range(1, min(i, max_len) + 1):
+                    s = lp.get(word[i - k : i])
+                    if s is not None and best[i - k][0] != neg_inf:
+                        cand = best[i - k][0] + s
+                        if cand > acc:
+                            acc, toks = cand, best[i - k][1] + 1
+                best[i] = (acc, toks)
+            # chars outside the trained vocab (possible only if the
+            # word table was capped below the corpus vocabulary):
+            # honest fallback = one token per character
+            return best[n][1] if best[n][0] != neg_inf else n
+
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            n_tokens = []
+            n_words = []
+            for words in pdf["words"]:
+                t = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = viterbi_tokens(w)
+                    t += cache[w]
+                n_tokens.append(t)
+                n_words.append(len(words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                }
+            )
+
+    return docs.mapInPandas(
+        enc, schema="doc_id long, n_words long, n_tokens long"
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------ incremental IVF assign
+
+# Deterministic "today's batch": vec_id % 10 == 7 — the same residue
+# convention as curation_ops._NEW_BATCH_RESIDUE, so the embedding
+# batch aligns with the document batch in an end-to-end incremental
+# ingest story.
+IVF_BATCH_RESIDUE = 7
+
+
+def ivf_assign_batch(batch: DataFrame, bc) -> DataFrame:
+    """The OPERATIONAL incremental path: assign a batch of vectors to
+    the existing trained IVF cells (broadcast centroids, one map-only
+    Arrow GEMM over the batch — no corpus rescan, no retrain). Kept
+    as a standalone helper so the plan test can prove the batch-only
+    scan shape independent of the audit query below."""
+    import numpy as np
+
+    def assign(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
+            x = np.array(list(pdf["emb"]), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            cell = np.argmax(x @ cents.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+
+    return batch.mapInPandas(assign, schema="vec_id long, cell int")
+
+
+@query(
+    "ivf_incremental_assign",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(0 AS BIGINT) AS n_cell_mismatch,
+           TRUE AS cells_valid
+    FROM embeddings
+    WHERE vec_id % 10 = {IVF_BATCH_RESIDUE} AND {_DUCK_NONZERO}
+    """,
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the IVF analogue of
+    `neardup_incremental`: NEW-batch vectors (vec_id % 10 ==
+    {IVF_BATCH_RESIDUE}) are assigned to the EXISTING trained cells
+    of the same `similarity_ops.ivf_index` every serving query reads,
+    with no retrain and no corpus rescan on the operational path
+    (`ivf_assign_batch`). The contract audits the incremental ≡ full
+    invariant (`incr_mau_refresh` precedent): the batch-only
+    assignment must agree vector-for-vector with the full index
+    build's assignment restricted to the batch, every vector must
+    receive exactly one cell, and every cell id must be a trained
+    cell. The oracle pins the batch cardinality from SQL and the
+    three theorem-level verdicts (mismatches = 0, assigned = batch,
+    cells valid); cell IDs themselves stay Spark-side (seeded k-means
+    isn't ANSI-recomputable — the ivf_recall_at5 precedent).
+
+    Scale shape: the operational leg scans ONLY the batch (filter
+    pushed onto the embeddings scan) against broadcast centroids —
+    cost proportional to arrivals, not index size; the full-leg
+    rescan exists only inside this audit, exactly like
+    neardup_incremental's full-rebuild oracle."""
+    from .similarity_ops import ivf_index, load_vectors
+
+    corpus, bc, n_cells = ivf_index(spark, sf_dir)
+    batch = load_vectors(spark, sf_dir).filter(
+        F.col("vec_id") % 10 == IVF_BATCH_RESIDUE
+    )
+    inc = ivf_assign_batch(batch, bc)
+    full_b = corpus.filter(
+        F.col("vec_id") % 10 == IVF_BATCH_RESIDUE
+    ).select("vec_id", F.col("cell").alias("cell_full"))
+    joined = inc.join(full_b, "vec_id", "full")
+    return joined.agg(
+        F.count("cell_full").cast("long").alias("n_batch"),
+        F.count("cell").cast("long").alias("n_assigned"),
+        F.sum(
+            F.when(
+                F.col("cell").isNull()
+                | F.col("cell_full").isNull()
+                | (F.col("cell") != F.col("cell_full")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cell_mismatch"),
+        F.coalesce(
+            (F.min("cell") >= 0) & (F.max("cell") < F.lit(n_cells)),
+            F.lit(True),
+        ).alias("cells_valid"),
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
+    "programmers_data_spark.queries.round11_ops",  # 5 (→215)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -95,6 +96,11 @@ ROWS_ONLY = frozenset({
     "bpe_encoded_counts", "bpe_merges",
     "dedup_semantic", "ivf_topk",
     "mau_approx", "pq_topk",
+    # round 11: float EM posteriors / Viterbi under them aren't ANSI
+    # SQL (k-means/BPE precedent); the E-step machinery is
+    # hash-certified by unigram_em_contract, seeding by
+    # unigram_seed_vocab.
+    "unigram_lm_probs", "unigram_encoded_counts",
 })
 
 # The first 50 names get_queries() yields — i.e. the names the

@@ -1,0 +1,357 @@
+"""Round-11 tests: the unigram-LM tokenizer family and incremental
+IVF assignment.
+
+Structure mirrors test_round10: the adversarial-fixture sweeps give
+every oracled query cross-engine coverage automatically; these add
+structurally independent serial references (closed forms, brute-force
+enumerations) for the algorithmic cores, the EM's
+likelihood-monotonicity property, Viterbi bounds, and the plan test
+proving the incremental IVF path scans only the batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+# ----------------------------------------------- lattice DP core
+
+
+def _brute_segmentations(word: str, max_len: int) -> list[tuple[str, ...]]:
+    """Exhaustive segmentation enumeration — the ground truth the DP
+    must reproduce. Exponential; only for short words in tests."""
+    if not word:
+        return [()]
+    out = []
+    for k in range(1, min(len(word), max_len) + 1):
+        for rest in _brute_segmentations(word[k:], max_len):
+            out.append((word[:k],) + rest)
+    return out
+
+
+def test_forward_backward_match_brute_force():
+    from programmers_data_spark.queries import round11_ops as r11
+
+    one = lambda p: 1  # noqa: E731
+    for word in ["a", "ab", "abc", "abcd", "table", "streams"]:
+        segs = _brute_segmentations(word, r11.UNI_MAX_PIECE_LEN)
+        a = r11._forward(word, r11.UNI_MAX_PIECE_LEN, one)
+        b = r11._backward(word, r11.UNI_MAX_PIECE_LEN, one)
+        n = len(word)
+        assert a[n] == len(segs) == b[0]
+        # occupancy identity: alpha[j] * beta[i] counts exactly the
+        # segmentations containing a piece spanning [j, i)
+        for j in range(n):
+            for i in range(j + 1, min(j + r11.UNI_MAX_PIECE_LEN, n) + 1):
+                piece = word[j:i]
+                n_containing = sum(
+                    1
+                    for s in segs
+                    for (pos, p) in _with_positions(s)
+                    if pos == j and p == piece
+                )
+                assert a[j] * b[i] == n_containing, (word, j, i)
+
+
+def _with_positions(seg: tuple[str, ...]):
+    pos = 0
+    for p in seg:
+        yield pos, p
+        pos += len(p)
+
+
+def test_forward_matches_generalized_fibonacci():
+    """The closed form the oracle uses: full-lattice alpha[i] = T(i)."""
+    from programmers_data_spark.queries import round11_ops as r11
+
+    t = r11._tetranacci(r11.UNI_CONTRACT_MAXLEN)
+    one = lambda p: 1  # noqa: E731
+    word = "x" * r11.UNI_CONTRACT_MAXLEN
+    a = r11._forward(word, r11.UNI_MAX_PIECE_LEN, one)
+    b = r11._backward(word, r11.UNI_MAX_PIECE_LEN, one)
+    assert a == t
+    assert b == list(reversed(t))
+
+
+# ----------------------------------------------- seed + contract
+
+
+def test_seed_pieces_serial_reference():
+    from programmers_data_spark.queries import round11_ops as r11
+
+    wc = [("abab", 10), ("aba", 5), ("zz", 1)]
+    seed = dict(r11._seed_pieces(wc, cap=100, max_len=3))
+    # 'ab': 2 occurrences in abab (10 each) + 1 in aba (5) = 25
+    assert seed["ab"] == 25
+    assert seed["ba"] == 15
+    assert seed["aba"] == 15  # positions 0 in abab + 0 in aba
+    assert seed["bab"] == 10
+    assert seed["zz"] == 1
+    # cap + tie-break: freq desc then piece asc
+    top = r11._seed_pieces(wc, cap=2, max_len=3)
+    assert top == [("ab", 25), ("aba", 15)]
+
+
+def test_em_contract_mass_hand_example():
+    """Hand-check the fixed-point occupancy for one tiny word table:
+    word 'aa' (count 3): segmentations {a|a, aa} -> T-counts
+    alpha=[1,1,2]; piece 'aa' occupies (j=0,i=2) in 1 of 2
+    segmentations -> mass = floor(3 * 1*1 * SCALE / 2)."""
+    from programmers_data_spark.queries import round11_ops as r11
+
+    one = lambda p: 1  # noqa: E731
+    a = r11._forward("aa", r11.UNI_MAX_PIECE_LEN, one)
+    b = r11._backward("aa", r11.UNI_MAX_PIECE_LEN, one)
+    assert a == [1, 1, 2]
+    mass = (3 * a[0] * b[2] * r11.UNI_SCALE) // a[2]
+    assert mass == (3 * r11.UNI_SCALE) // 2
+
+
+# ------------------------------------------------------- EM model
+
+
+def test_unigram_em_serial_reference(spark, sf_smoke):
+    """The trained theta is a probability distribution; every vocab
+    piece is a substring of some capped word; all single chars of the
+    corpus are present (total segmentability); and the EM posteriors
+    re-derive from an independent serial E-step re-implementation."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries import round11_ops as r11
+
+    theta = r11.train_unigram_lm(spark, sf_smoke)
+    assert abs(sum(theta.values()) - 1.0) < 1e-9
+    wc = r11._capped_word_counts(spark, sf_smoke)
+    words = [w for w, _ in wc]
+    chars = {ch for w in words for ch in w}
+    assert chars <= set(theta)
+    for p in theta:
+        assert any(p in w for w in words), p
+
+    # independent E-step: brute-force enumeration of segmentations
+    # (words are <= 8 chars in the fixtures) instead of the DP
+    def brute_estep(th):
+        e = {p: 0.0 for p in th}
+        for w, c in wc:
+            segs = [
+                s
+                for s in _brute_segmentations(w, r11.UNI_MAX_PIECE_LEN)
+                if all(p in th for p in s)
+            ]
+            weights = [math.prod(th[p] for p in s) for s in segs]
+            z = sum(weights)
+            for s, wt in zip(segs, weights):
+                for p in s:
+                    e[p] += c * wt / z
+        return e
+
+    # run the reference EM from the same init and compare
+    char_freq: dict[str, int] = {}
+    for w, c in wc:
+        for ch in w:
+            char_freq[ch] = char_freq.get(ch, 0) + c
+    vocab: dict[str, float] = dict(sorted(char_freq.items()))
+    for p, f in r11._seed_pieces(wc):
+        vocab[p] = float(f)
+    total = sum(vocab.values())
+    ref = {p: f / total for p, f in vocab.items()}
+    for _ in range(r11.UNI_EM_ITERS):
+        e = brute_estep(ref)
+        z = sum(e.values())
+        ref = {p: v / z for p, v in e.items()}
+    assert set(ref) == set(theta)
+    for p in ref:
+        assert theta[p] == pytest.approx(ref[p], rel=1e-9, abs=1e-12), p
+
+
+def test_unigram_em_likelihood_monotone(spark, sf_smoke):
+    """EM's defining property: corpus log-likelihood is nondecreasing
+    across iterations (checked over the actual capped word table with
+    the production DP)."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries import round11_ops as r11
+
+    wc = r11._capped_word_counts(spark, sf_smoke)
+
+    def loglik(th):
+        ll = 0.0
+        for w, c in wc:
+            a = r11._forward(w, r11.UNI_MAX_PIECE_LEN, th.get)
+            ll += c * math.log(a[len(w)])
+        return ll
+
+    char_freq: dict[str, int] = {}
+    for w, c in wc:
+        for ch in w:
+            char_freq[ch] = char_freq.get(ch, 0) + c
+    vocab: dict[str, float] = dict(sorted(char_freq.items()))
+    for p, f in r11._seed_pieces(wc):
+        vocab[p] = float(f)
+    total = sum(vocab.values())
+    theta = {p: f / total for p, f in vocab.items()}
+    prev = loglik(theta)
+    for _ in range(3):
+        e = {p: 0.0 for p in theta}
+        for w, c in wc:
+            n = len(w)
+            a = r11._forward(w, r11.UNI_MAX_PIECE_LEN, theta.get)
+            b = r11._backward(w, r11.UNI_MAX_PIECE_LEN, theta.get)
+            norm = a[n]
+            for k in range(1, r11.UNI_MAX_PIECE_LEN + 1):
+                for j in range(n - k + 1):
+                    th = theta.get(w[j : j + k])
+                    if th:
+                        e[w[j : j + k]] += c * (a[j] * th * b[j + k]) / norm
+        z = sum(e.values())
+        theta = {p: v / z for p, v in e.items()}
+        cur = loglik(theta)
+        assert cur >= prev - 1e-9
+        prev = cur
+
+
+def test_viterbi_encode_bounds(spark, sf_smoke):
+    """Every doc's unigram token count is between ceil(chars/L) (all
+    max-length pieces) and chars (all single chars), and n_words
+    matches the whitespace tokenizer."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.functions import textfn
+    from programmers_data_spark.queries import round11_ops as r11
+
+    enc = registry.QUERIES["unigram_encoded_counts"](spark, sf_smoke)
+    chars = (
+        load_table(spark, sf_smoke, "documents")
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.transform(textfn.tokenize("text"), F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n_chars"),
+            textfn.token_count("text").alias("n_words_ref"),
+        )
+    )
+    rows = enc.join(chars, "doc_id").collect()
+    assert rows
+    L = r11.UNI_MAX_PIECE_LEN
+    for r in rows:
+        assert r.n_words == r.n_words_ref
+        assert r.n_tokens <= r.n_chars
+        assert r.n_tokens >= -(-r.n_chars // L), r
+
+
+def test_viterbi_picks_most_probable_segmentation():
+    """Serial check of the encoder's Viterbi against brute force on a
+    synthetic model (independent of Spark)."""
+    import itertools
+
+    model = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.05, "abab": 0.2}
+    lp = {p: math.log(v) for p, v in model.items()}
+
+    def brute_best(word, max_len):
+        best = None
+        for seg in _brute_segmentations(word, max_len):
+            if all(p in lp for p in seg):
+                score = sum(lp[p] for p in seg)
+                if best is None or score > best[0]:
+                    best = (score, len(seg))
+        return best
+
+    def viterbi(word, max_len):
+        neg_inf = float("-inf")
+        best = [(neg_inf, 0)] * (len(word) + 1)
+        best[0] = (0.0, 0)
+        for i in range(1, len(word) + 1):
+            acc, toks = neg_inf, 0
+            for k in range(1, min(i, max_len) + 1):
+                s = lp.get(word[i - k : i])
+                if s is not None and best[i - k][0] != neg_inf:
+                    cand = best[i - k][0] + s
+                    if cand > acc:
+                        acc, toks = cand, best[i - k][1] + 1
+            best[i] = (acc, toks)
+        return best[len(word)]
+
+    for word in ["".join(p) for p in itertools.product("ab", repeat=6)]:
+        bs = brute_best(word, 4)
+        vs = viterbi(word, 4)
+        if bs is None:
+            assert vs[0] == float("-inf")
+        else:
+            assert vs[0] == pytest.approx(bs[0], rel=1e-12)
+
+
+# ---------------------------------------------- incremental IVF
+
+
+def test_ivf_assign_batch_scans_only_the_batch(spark, sf_smoke):
+    """The operational incremental path must plan as: one embeddings
+    scan with the batch predicate -> Arrow GEMM. No join, no second
+    scan, no corpus-sized anything."""
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries.round11_ops import (
+        IVF_BATCH_RESIDUE,
+        ivf_assign_batch,
+    )
+    from programmers_data_spark.queries.similarity_ops import (
+        ivf_index,
+        load_vectors,
+    )
+
+    _corpus, bc, _k = ivf_index(spark, sf_smoke)
+    batch = load_vectors(spark, sf_smoke).filter(
+        F.col("vec_id") % 10 == IVF_BATCH_RESIDUE
+    )
+    inc = ivf_assign_batch(batch, bc)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert f"% 10) = {IVF_BATCH_RESIDUE}" in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_ivf_incremental_matches_full_assignment(spark, sf_smoke):
+    """Value-level incremental ≡ full: the contract's verdict row
+    says 0 mismatches; this checks the underlying per-vector
+    agreement directly (not just the aggregate)."""
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries.round11_ops import (
+        IVF_BATCH_RESIDUE,
+        ivf_assign_batch,
+    )
+    from programmers_data_spark.queries.similarity_ops import (
+        ivf_index,
+        load_vectors,
+    )
+
+    corpus, bc, n_cells = ivf_index(spark, sf_smoke)
+    batch = load_vectors(spark, sf_smoke).filter(
+        F.col("vec_id") % 10 == IVF_BATCH_RESIDUE
+    )
+    inc = {r.vec_id: r.cell for r in ivf_assign_batch(batch, bc).collect()}
+    full = {
+        r.vec_id: r.cell
+        for r in corpus.filter(
+            F.col("vec_id") % 10 == IVF_BATCH_RESIDUE
+        ).collect()
+    }
+    assert inc == full
+    assert inc, "empty batch would make the test vacuous"
+    assert all(0 <= c < n_cells for c in inc.values())

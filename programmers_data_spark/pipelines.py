@@ -265,7 +265,12 @@ def curate_corpus(
     clusters it can drop more than the minimum), ``"canonical"``
     resolves connected components over the pair graph and keeps
     exactly the minimum doc_id per cluster (one more iterative pass;
-    maximal survivors). Either way no surviving pair is a near-dup.
+    maximal survivors), ``"best_quality"`` resolves the same
+    components but keeps the member with the best hashed-linear
+    quality logit (ties to the smaller doc_id) — the
+    dedup_keep_best_quality rule, composed through the same
+    `quality_logits` classifier pass the registered query certifies.
+    Every strategy leaves no surviving pair a near-dup.
 
     Returns the funnel (docs surviving each stage) — the same
     numbers the curation_funnel query reports — and publishes the
@@ -322,6 +327,41 @@ def curate_corpus(
         near_losers = labels.filter(
             F.col("vertex") != F.col("component")
         ).select(F.col("vertex").alias("doc_id"))
+    elif near_dup == "best_quality":
+        from pyspark.sql.window import Window
+
+        from .operators import connected_components_auto
+        from .queries.round10_ops import quality_logits
+
+        labels = connected_components_auto(
+            pairs_alive.select("doc_a", "doc_b"), "doc_a", "doc_b"
+        )
+        members = labels.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        # score the ALIVE corpus text (the docs this run will publish)
+        # with the same classifier pass dedup_keep_best_quality runs;
+        # empty-tokenizing members zero-fill, matching the query
+        scored = members.join(
+            quality_logits(exact.select("doc_id", "text")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("logit"), "doc_id"
+            )
+        )
+        near_losers = (
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") > 1)
+            .select("doc_id")
+        )
     elif near_dup == "greedy":
         near_losers = pairs_alive.select(
             F.col("doc_b").alias("doc_id")

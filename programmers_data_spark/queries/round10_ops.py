@@ -226,6 +226,23 @@ _QL_W_SPARK = (
 )
 
 
+def quality_logits(docs: DataFrame) -> DataFrame:
+    """Hashed-linear quality logit per doc over an arbitrary
+    (doc_id, text) frame — the classifier pass shared by
+    quality_linear_score, dedup_keep_best_quality, and
+    pipelines.curate_corpus's quality-aware keeper stage (r10 VERDICT
+    ask #7: the pipeline must compose the SAME scoring code the
+    registered queries certify). Docs whose text tokenizes to nothing
+    are absent from the result; consumers left-join and zero-fill."""
+    return (
+        docs.select(
+            "doc_id", F.explode(textfn.tokenize("text")).alias("tok")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_QL_W_SPARK)).cast("long").alias("logit"))
+    )
+
+
 @query(
     "quality_linear_score",
     oracle=f"""
@@ -632,11 +649,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
     )
     aug = dedup_ops._augmented_docs(spark, sf_dir)
-    scores = (
-        aug.select("doc_id", F.explode(textfn.tokenize("text")).alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr(_QL_W_SPARK)).cast("long").alias("logit"))
-    )
+    scores = quality_logits(aug)
     m = labels.join(scores, "doc_id", "left").select(
         "doc_id",
         "cluster_id",

@@ -296,3 +296,155 @@ def test_curate_corpus_canonical_strategy(spark, sf_smoke, tmp_path):
         curate_corpus(
             spark, sf_smoke, str(tmp_path / "x"), near_dup="nope"
         )
+
+
+def test_curate_corpus_best_quality_strategy(spark, sf_smoke, tmp_path):
+    """Quality-aware near-dup removal (r10 VERDICT ask #7): one
+    survivor per alive cluster (same count as canonical), no
+    surviving verified pair, the survivor is exactly the max-logit /
+    min-id member of its alive cluster, and for clusters that are
+    identical between the pipeline's scoped pair graph and the
+    registered dedup_keep_best_quality query's graph, the keeper
+    matches the query's keeper — the composition contract."""
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.pipelines import curate_corpus
+    from programmers_data_spark.publish import read_versioned
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries.dedup_ops import (
+        dedup_minhash,
+        verified_pair_store,
+    )
+    from programmers_data_spark.queries.round10_ops import quality_logits
+    from programmers_data_spark.queries.text_quality_ops import (
+        gopher_quality_flags,
+    )
+
+    registry.load_all()
+
+    canonical = curate_corpus(
+        spark, sf_smoke, str(tmp_path / "c"), near_dup="canonical"
+    )
+    best = curate_corpus(
+        spark, sf_smoke, str(tmp_path / "b"), near_dup="best_quality"
+    )
+    assert best["near_deduped"] == canonical["near_deduped"]
+    assert best["quality_gated"] == canonical["quality_gated"]
+
+    published = {
+        r.doc_id
+        for r in read_versioned(spark, str(tmp_path / "b"))
+        .select("doc_id")
+        .collect()
+    }
+    for pair in dedup_minhash(spark, sf_smoke).collect():
+        assert not (pair.doc_a in published and pair.doc_b in published)
+
+    # recompute the pipeline's alive-at-near-dup set with the same
+    # registered stages it composes
+    docs = load_table(spark, sf_smoke, "documents")
+    kept = (
+        gopher_quality_flags(spark, sf_smoke)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = docs.join(kept, "doc_id", "semi")
+    canon = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    alive = {
+        r.doc_id for r in gated.join(canon, "doc_id", "semi")
+        .select("doc_id").collect()
+    }
+
+    # clusters over the pair store scoped to alive docs
+    store_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in verified_pair_store(spark, sf_smoke).collect()
+    ]
+    scoped = [
+        (a, b) for a, b in store_pairs if a in alive and b in alive
+    ]
+    logits = {
+        r.doc_id: r.logit
+        for r in quality_logits(
+            gated.join(canon, "doc_id", "semi").select("doc_id", "text")
+        ).collect()
+    }
+
+    def components(edges):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: set[int] = set()
+        comps = []
+        for v in adj:
+            if v in seen:
+                continue
+            comp, stack = set(), [v]
+            while stack:
+                u = stack.pop()
+                if u in comp:
+                    continue
+                comp.add(u)
+                stack.extend(adj[u] - comp)
+            seen |= comp
+            comps.append(frozenset(comp))
+        return comps
+
+    pipeline_clusters = components(scoped)
+    assert pipeline_clusters, "no alive near-dup cluster — vacuous"
+    for comp in pipeline_clusters:
+        expect = min(comp, key=lambda d: (-logits.get(d, 0), d))
+        survivors = comp & published
+        assert survivors == {expect}, (sorted(comp), survivors, expect)
+
+    # composition contract vs the registered query: identical cluster
+    # -> identical keeper (query clusters live on the AUGMENTED pair
+    # graph, so only clusters unchanged by scoping/augmentation apply)
+    query_keepers = {}
+    for r in registry.QUERIES["dedup_keep_best_quality"](
+        spark, sf_smoke
+    ).collect():
+        query_keepers.setdefault(r.cluster_id, r.keeper_doc_id)
+    query_clusters = {
+        frozenset(c): k
+        for c, k in _query_cluster_sets(store_pairs).items()
+    }
+    checked = 0
+    for comp in pipeline_clusters:
+        if comp in query_clusters:
+            cluster_id = min(comp)
+            if cluster_id in query_keepers:
+                survivor = next(iter(comp & published))
+                assert survivor == query_keepers[cluster_id], comp
+                checked += 1
+    assert checked > 0, "no cluster overlapped the registered query"
+
+
+def _query_cluster_sets(pairs):
+    """Connected components of the full (unscoped) pair store, keyed
+    by member frozenset -> min id (the query's cluster_id rule)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set[int] = set()
+    out: dict[tuple, int] = {}
+    for v in adj:
+        if v in seen:
+            continue
+        comp, stack = set(), [v]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        out[tuple(sorted(comp))] = min(comp)
+    return out

@@ -597,3 +597,150 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("cells_valid"),
     )
+
+
+# --------------------------------------- streaming upsert publish
+
+# Number of replay micro-batches: the event-time range splits into
+# this many CONTIGUOUS epoch slices (cutoffs at min + k*(max-min)//N
+# micros), so batch order == event-time order on ANY fixture — a
+# calendar-day rule would break contiguity the moment a regenerated
+# fixture spans months — and the upserted store's final state has a
+# closed form (global keep-latest).
+UPSERT_PUB_N_SLICES = 3
+
+# final store snapshot memo per (applicationId, sf_dir) — *_CACHE
+# contract (bench._reset clears it; each timed run replays the
+# stream + all three upserts).
+_UPSERT_PUB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "stream_upsert_publish",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+             ) AS rn
+      FROM e
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           ts_us AS last_ts_us
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming -> publish-layer composition: a streaming
+    source applied to the store via foreachBatch + the K7 keyed
+    upsert (publish.incremental_upsert — the same MERGE-shaped
+    strategy the reference's MySQL_to_Redshift_v2.py:51-63 load uses,
+    here driven by a stream instead of a dated batch). This is the
+    missing lifecycle piece between the streaming tier (stateful
+    aggregation queries) and the load-strategy tier (batch K1-K8):
+    continuous ingestion into a keyed serving table.
+
+    Replay protocol (the stream_late_data_audit conventions): events
+    split into {UPSERT_PUB_N_SLICES} TIME-CONTIGUOUS micro-batches
+    (epoch-range slices — contiguous on any fixture span), each
+    dropped between processAllAvailable() drains so batch order is
+    exact; foreachBatch reduces its batch to one row per key (latest
+    by (ts, event_id) — the within-batch half of the K6 rule) and
+    upserts into the parquet store. Because slices partition event
+    time, upsert-wins-latest composes across batches into a closed
+    form: the final store is EXACTLY the global keep-latest
+    snapshot, which the oracle computes in one window — full hash
+    parity for an end-to-end streaming ingest. Equal-timestamp rows
+    always share a slice (slicing is a pure function of ts), so the
+    within-batch (ts, event_id) order is total where it matters.
+
+    Scale shape: each micro-batch pays one per-key window over the
+    BATCH (not the store) plus the anti-join merge (broadcast delta
+    vs bucketed store — MERGE INTO economics on a transactional
+    format); store size is key cardinality, not event volume. At
+    100 TB the same foreachBatch binds to a Kafka source with the
+    slices replaced by real trigger intervals."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..publish import incremental_upsert
+    from ..storeutil import store_base
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _UPSERT_PUB_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    base = store_base("SPARK_GRAFT_UPSERT_PUB_STORE", "spark_graft_upub")
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="upub_", dir=base)
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]  # bounded 2-value scalar
+    lo, hi = bounds.lo, bounds.hi
+    if lo is None:  # empty feed: empty snapshot, no replay needed
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_event_id long, last_value double,"
+            " last_ts_us long",
+        )
+    n = UPSERT_PUB_N_SLICES
+    cuts = [lo + k * (hi - lo) // n for k in range(1, n)]
+    t = F.unix_micros("ts")
+    slices = [ev.filter(t < cuts[0])]
+    for a, b in zip(cuts, cuts[1:]):
+        slices.append(ev.filter((t >= a) & (t < b)))
+    slices.append(ev.filter(t >= cuts[-1]))
+
+    latest_w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        delta = (
+            bdf.withColumn("rn", F.row_number().over(latest_w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+                F.unix_micros("ts").alias("last_ts_us"),
+            )
+        )
+        incremental_upsert(bdf.sparkSession, store, delta, ["user_id"])
+
+    slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{src}/*")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # slice 0 establishes the store
+        for i, sl in enumerate(slices[1:], start=1):
+            sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+            q.processAllAvailable()  # one upsert per arrival slice
+    finally:
+        q.stop()
+
+    result = spark.read.parquet(store).orderBy("user_id").persist()
+    result.count()  # materialize before the temp source can age out
+    _UPSERT_PUB_CACHE[key] = result
+    return result

@@ -54,7 +54,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
-    "programmers_data_spark.queries.round11_ops",  # 5 (→215)
+    "programmers_data_spark.queries.round11_ops",  # 6 (→216)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation

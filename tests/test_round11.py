@@ -355,3 +355,113 @@ def test_ivf_incremental_matches_full_assignment(spark, sf_smoke):
     assert inc == full
     assert inc, "empty batch would make the test vacuous"
     assert all(0 <= c < n_cells for c in inc.values())
+
+
+# ------------------------------------------ stream_upsert_publish
+
+
+def test_stream_upsert_publish_matches_keep_latest(spark, sf_smoke):
+    """Per-key values in the final store equal the batch-free global
+    keep-latest rule (the oracle's claim, re-derived serially)."""
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.catalog import load_table
+
+    snap = {
+        r.user_id: (r.last_event_id, r.last_value, r.last_ts_us)
+        for r in registry.QUERIES["stream_upsert_publish"](
+            spark, sf_smoke
+        ).collect()
+    }
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "user_id", "event_id", "value",
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .collect()
+    )
+    best: dict[int, tuple] = {}
+    for r in ev:
+        k = (r.t_us, r.event_id)
+        if r.user_id not in best or k > best[r.user_id][:2]:
+            best[r.user_id] = (r.t_us, r.event_id, r.value)
+    assert set(snap) == set(best)
+    for uid, (t_us, eid, val) in best.items():
+        assert snap[uid] == (eid, val, t_us), uid
+
+
+def test_stream_upsert_publish_retains_across_batches(spark, tmp_path):
+    """The foreachBatch upsert must be a real MERGE, not a last-batch
+    overwrite. The driver fixture's users are all active to the end,
+    so retention is forced with a synthetic feed: one user goes quiet
+    after the first slice, one after the second, one stays active —
+    the final store must keep each quiet user's early row through the
+    later upserts (slice coverage over the whole grid)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    from programmers_data_spark.queries import round11_ops as r11
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 90 hourly slots; user 1 events in hours 0-9, user 2 in 30-39,
+    # user 3 everywhere — slice cuts fall at hours ~29.67 and ~59.33
+    eid = 0
+    for h in range(90):
+        active = [3]
+        if h < 10:
+            active.append(1)
+        if 30 <= h < 40:
+            active.append(2)
+        for uid in active:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + dt.timedelta(hours=h),
+                    "user_id": uid,
+                    "event_type": "click",
+                    "value": float(uid * 1000 + h),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "feed"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    snap = {
+        r.user_id: (r.last_value, r.last_ts_us)
+        for r in registry.QUERIES["stream_upsert_publish"](
+            spark, str(d)
+        ).collect()
+    }
+    # user 1's last event (hour 9, slice 0) survived two later upserts
+    assert snap[1][0] == 1000.0 + 9
+    # user 2's last event (hour 39, slice 1) survived the final upsert
+    assert snap[2][0] == 2000.0 + 39
+    # user 3 reflects the true latest
+    assert snap[3][0] == 3000.0 + 89
+    n = r11.UPSERT_PUB_N_SLICES
+    utc = dt.timezone.utc  # fixture timestamps are instants; don't
+    # let the host TZ shift the cut comparison
+    lo = min(r["ts"] for r in rows).replace(tzinfo=utc).timestamp()
+    hi = max(r["ts"] for r in rows).replace(tzinfo=utc).timestamp()
+    cuts = [lo + k * (hi - lo) / n for k in range(1, n)]
+    hours = {
+        uid: (ts_us / 1e6 - lo) / 3600 for uid, (_v, ts_us) in snap.items()
+    }
+    slices = {
+        uid: sum(1 for c in cuts if ts_us / 1e6 >= c)
+        for uid, (_v, ts_us) in snap.items()
+    }
+    assert set(slices.values()) == set(range(n)), (slices, hours)

@@ -60,25 +60,31 @@ _QUERY_MODULES = (
 # The round the current _WINDOW below is authored FOR. The rotation
 # bookkeeping test (tests/test_round9.py::
 # test_rotation_backlog_arithmetic) derives every expected count from
-# the CORRECTNESS_r0*.json records with round < WINDOW_ROUND — the
+# the CORRECTNESS_r*.json records with round < WINDOW_ROUND — the
 # record state the plan was authored against — so the driver dropping
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
-# ROUND-11 ROTATION PLAN: the backlog after this window is the r6
-# names trimmed from _WINDOW_STALE's tail to make room for round-10
-# registrations (see _WINDOW_STALE comment), then the 45-name r7
-# tier, then the r8 tier. Take any round-11 NEW registrations FIRST
-# (never-driver-checked outranks stale refreshes — the standing
-# principle), then 2-3 round-10-green sentinels on whatever the r11
-# diff touches, then backlog names in (vintage, registration-order)
-# order to fill 50. Keep stream_tws_value_stats OUTSIDE the window
-# (honestly gated: google.protobuf absent, installs disallowed —
-# semantics driver-certified r6 via the applyInPandasWithState twin).
-# Bump WINDOW_ROUND to 11 in the same commit that rewrites the
-# groups — the bookkeeping test keys on it.
+# ROUND-12 ROTATION PLAN: the backlog after this window is the
+# 15-name r7 tail trimmed from _WINDOW_STALE (table_profile,
+# curation_funnel, neardup_incremental, event_path_trigrams,
+# rfm_segments, hard_negatives, rrf_fusion, label_centroid_drift,
+# multimodal_audio_meta, source_temperature_weights,
+# token_budget_allocation, curriculum_phases, training_manifest,
+# tfidf_shingle_pairs, bpe_contract), then the 49-name r8 tier, then
+# r9. Take any round-12 NEW registrations FIRST (never-driver-checked
+# outranks stale refreshes — the standing principle), then 2-3
+# round-11-green sentinels on whatever the r12 diff touches, then
+# backlog names in (vintage, registration-order) order to fill 50 —
+# older tiers drained COMPLETELY before the next begins (the
+# bookkeeping test enforces the multi-tier oldest-first rule since
+# r11). Keep stream_tws_value_stats OUTSIDE the window (honestly
+# gated: google.protobuf absent, installs disallowed — semantics
+# driver-certified r6 via the applyInPandasWithState twin). Bump
+# WINDOW_ROUND to 12 in the same commit that rewrites the groups —
+# the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
 # centroid training isn't summation-order-portable SQL, BPE merge
@@ -104,97 +110,93 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the
-# driver verifies this round (round WINDOW_ROUND = 10; r9 VERDICT
+# driver verifies this round (round WINDOW_ROUND = 11; r10 VERDICT
 # ask #2). The window is the concatenation of four explicit groups
 # so the bookkeeping test can check each group's defining property
 # against the record instead of hand-kept counts.
 
-# Group 1 — the eight round-9 registrations that did not fit the r9
-# window and have NEVER been driver-checked; they lead, per the
-# standing never-checked-outranks-stale principle.
-# orc_partitioned_roundtrip enters with its partition-pruning plan
-# test (tests/test_round9.py::
-# test_orc_roundtrip_tree_prunes_partitions) — the interchange cert
-# is layout-adversarial, not fixture luck.
-_WINDOW_LEADS = (
-    "dup_span_scrub",
-    "sq8_topk_recall",
-    "phrase_match_positional",
-    "embedding_chunk_pool",
-    "vocab_growth_curve",
-    "orc_partitioned_roundtrip",
-    "stream_late_data_audit",
-    "dup_rate_threshold_sweep",
-)
+# Group 1 — never-driver-checked registrations from earlier rounds:
+# none remain (every r10 registration got its r10 row).
+_WINDOW_LEADS = ()
 
-# Group 2 — round-10 NEW registrations (never driver-checked;
-# appended as they land this round, displacing _WINDOW_STALE tail
-# names one-for-one to hold the window at exactly 50).
+# Group 2 — round-11 NEW registrations (never driver-checked;
+# appended as they land this round). unigram_lm_probs and
+# unigram_encoded_counts are declared rows-only (registry.ROWS_ONLY)
+# and take window slots for the driver's weaker rows-only record —
+# the r6 ANN-internals precedent — while their hash-certified twins
+# (unigram_em_contract, unigram_seed_vocab) ride in the same window.
 _WINDOW_NEW = (
-    "token_freq_spectrum",
-    "skipgram_cooccurrence",
-    "quality_linear_score",
-    "session_stats",
-    "neardup_cluster_profile",
-    "stream_dedup_horizon_audit",
-    "mrl_truncation_recall",
-    "cdc_apply_tombstones",
-    "dedup_keep_best_quality",
-    "ivf_probe_sweep",
-    "lang_confidence_margin",
+    "unigram_seed_vocab",
+    "unigram_em_contract",
+    "unigram_lm_probs",
+    "unigram_encoded_counts",
+    "ivf_incremental_assign",
+    "stream_upsert_publish",
 )
 
-# Group 3 — r9-green sentinels sitting directly on the round-10
-# diff: collocation_lift's lift arithmetic was widened to
-# DECIMAL(38,0)/HUGEINT this round (r9 VERDICT ask #5), and
-# source_bigram_overlap shares the same module's _bigrams /
-# _DUCK_BIGRAMS builders — together they re-certify the changed
-# corpus_stats_ops module end-to-end.
+# Group 3 — r10-green sentinels sitting directly on the round-11
+# diff: session_stats gained the event_id secondary sort key in both
+# engines (r10 ADVICE #1), stream_dedup_horizon_audit's oracle gained
+# the watermark zero-clamp (r10 ADVICE #2), and
+# dedup_keep_best_quality now scores through the factored
+# quality_logits helper the curate_corpus pipeline composes (r10
+# VERDICT ask #7) — together they re-certify every touched query
+# path end-to-end.
 _WINDOW_SENTINELS = (
-    "collocation_lift",
-    "source_bigram_overlap",
+    "session_stats",
+    "stream_dedup_horizon_audit",
+    "dedup_keep_best_quality",
 )
 
-# Group 4 — oldest stale tier, in registration order: the r6-vintage
-# names (latest green driver row is r6 — nothing older remains after
-# r9 refreshed the whole r5 tier). The full tier is 40 names; the
-# tail is trimmed one-for-one as _WINDOW_NEW grows, and trimmed
-# names lead the r11 stale backlog.
+# Group 4 — stale tiers oldest-first, in registration order: the
+# ENTIRE 11-name r6 remainder (the tail trimmed from the r10 window;
+# latest green driver row r6 — oldest vintage in the record), then
+# the first 30 of the 45-name r7 tier. The 15 trimmed r7 tail names
+# lead the r12 backlog (see the ROUND-12 ROTATION PLAN above).
 _WINDOW_STALE = (
-    "scd2_intervals",
-    "incr_mau_refresh",
-    "token_heavy_hitters",
-    "fuzzy_match_pairs",
-    "stream_stateful_value_stats",
-    "dau",
-    "channel_firstlast",
-    "nps",
-    "funnel_signup_purchase",
-    "ohlc_daily",
-    "nation_pagerank",
-    "mad_outliers",
-    "ingest_freshness",
-    "volume_anomaly_days",
-    "embedding_topk",
-    "embedding_neardup",
-    "label_quality_profile",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_features",
-    "ivf_recall_at5",
-    "quantile_sketch_error",
-    "pq_recall_at5",
-    "train_val_split",
-    "token_budget_sample",
-    "mixture_resample",
-    "split_leakage_check",
-    "inverted_postings",
-    # (tail names bm25_topk, bloom_decontam, bloom_decontam_misses, semantic_dedup_recall,
-    # embedding_sq8, mau_sketch_rollup, segment_overlap_sketch,
-    # cms_heavy_hitters, rolling_7d_revenue, daily_revenue_dense,
-    # ewma_daily_revenue trimmed one-for-one by round-10
-    # registrations — they lead the r11 stale backlog)
+    # r6 remainder — complete (11)
+    "bm25_topk",
+    "bloom_decontam",
+    "bloom_decontam_misses",
+    "semantic_dedup_recall",
+    "embedding_sq8",
+    "mau_sketch_rollup",
+    "segment_overlap_sketch",
+    "cms_heavy_hitters",
+    "rolling_7d_revenue",
+    "daily_revenue_dense",
+    "ewma_daily_revenue",
+    # r7 tier prefix (30 of 45, registration order)
+    "dedup_keep_latest",
+    "upsert_keyed",
+    "distinct_rows",
+    "csv_parse_project",
+    "json_nested_project",
+    "epoch_to_date",
+    "ts_format",
+    "daily_filter",
+    "clean_currency",
+    "null_fill",
+    "token_count",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "doc_winnow_fingerprint",
+    "corpus_clean",
+    "winnow_collision_pairs",
+    "dedup_exact",
+    "dedup_minhash",
+    "repetition_profile",
+    "gopher_quality_flags",
+    "dedup_prefix",
+    "stratified_sample",
+    "shingle_novelty",
+    "code_fraction_by_source",
+    "decontam_overlap",
+    "doc_commonness",
+    "dedup_incremental",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

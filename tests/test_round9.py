@@ -365,7 +365,7 @@ def test_jsonl_roundtrip_detects_row_loss(spark, tmp_path, monkeypatch):
 
 def test_rotation_backlog_arithmetic():
     """The window's four groups must each satisfy their defining
-    property against the CORRECTNESS_r0*.json record AS OF the round
+    property against the CORRECTNESS_r*.json record AS OF the round
     the plan was authored for (records with round < WINDOW_ROUND) —
     hand counts got this wrong twice (r7 ADVICE #3, r8 VERDICT
     defect #1), and the r9 version of this test hand-pinned the
@@ -373,30 +373,48 @@ def test_rotation_backlog_arithmetic():
     CORRECTNESS_r09.json (r9 VERDICT defect #1: the test policed
     bookkeeping drift by BEING a bookkeeping snapshot). Slicing the
     record to rounds before WINDOW_ROUND makes the assertions stable
-    under any number of later driver record drops."""
+    under any number of later driver record drops.
+
+    Round-11 revisions, both record-derived like everything else:
+    the glob is now CORRECTNESS_r*.json (the r9 original's r0* prefix
+    silently dropped CORRECTNESS_r10.json and every later two-digit
+    round from the slice); the stale fill may drain MULTIPLE tiers
+    oldest-first (each older tier complete, only the newest included
+    tier a registration-order prefix) now that the oldest tier is
+    smaller than the fill; and rows-only registrations may hold
+    window slots (they get the driver's weaker rows-only record —
+    the r6 precedent for the ANN internals) without counting toward
+    any green-vintage arithmetic."""
     import glob
     import json
+    import re
 
     from programmers_data_spark import registry
 
     registry.load_all()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest_green: dict[str, int] = {}
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    recorded: set[str] = set()  # any driver row at all, green or not
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert files, "driver record missing"
+
+    def round_of(path: str) -> int:
+        m = re.search(r"_r0*(\d+)\.json$", os.path.basename(path))
+        assert m, path
+        return int(m.group(1))
+
     for f in files:
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        rnd = round_of(f)
         if rnd >= registry.WINDOW_ROUND:
             continue  # landed after the plan was authored
-        for name, row in json.load(open(f)).items():
+        rows = json.load(open(f))
+        recorded |= set(rows)
+        for name, row in rows.items():
             if row.get("hash_match"):
                 latest_green[name] = rnd
     # the plan must actually be authored against an existing record
     # prefix (WINDOW_ROUND == latest record round + 1)
-    rounds = sorted(
-        int(os.path.basename(f).split("_r0")[1].split(".")[0])
-        for f in files
-    )
+    rounds = sorted(round_of(f) for f in files)
     assert registry.WINDOW_ROUND >= rounds[-1] + 1, (
         f"WINDOW_ROUND {registry.WINDOW_ROUND} is stale: record "
         f"r{rounds[-1]} already exists — rotate the window groups and "
@@ -404,19 +422,31 @@ def test_rotation_backlog_arithmetic():
     )
 
     window = set(registry._WINDOW)
-    order = list(registry.QUERIES)
+    # registration order must be derived CANONICALLY — list(QUERIES)
+    # insertion order shifts when an earlier test imports a query
+    # module directly before load_all() (found in r11: the full-file
+    # run reordered the r7 tier and broke the prefix assertion that
+    # passed standalone). (module position, definition line) is the
+    # same order a fresh interpreter's load_all() produces.
+    mod_idx = {m.rsplit(".", 1)[-1]: i
+               for i, m in enumerate(registry._QUERY_MODULES)}
+    order = sorted(
+        registry.QUERIES,
+        key=lambda n: (
+            mod_idx[registry.QUERIES[n].__module__.rsplit(".", 1)[-1]],
+            registry.QUERIES[n].__code__.co_firstlineno,
+        ),
+    )
 
-    # Group 1+2 (leads + new): never driver-checked, oracled. Every
-    # never-checked oracled registration is in the window except the
-    # honestly-gated TWS query — none may be forgotten.
+    # Group 1+2 (leads + new): never driver-checked, each either
+    # oracled or a declared rows-only query. Every never-checked
+    # registration is in the window except the honestly-gated TWS
+    # query — none may be forgotten.
     for n in registry._WINDOW_LEADS + registry._WINDOW_NEW:
         assert n in registry.QUERIES, n
-        assert n in registry.ORACLE, n
-        assert n not in latest_green, (n, latest_green.get(n))
-    never_checked = {
-        n for n in order
-        if n not in latest_green and n in registry.ORACLE
-    } - {"stream_tws_value_stats"}
+        assert n in registry.ORACLE or n in registry.ROWS_ONLY, n
+        assert n not in recorded, n
+    never_checked = set(order) - recorded - {"stream_tws_value_stats"}
     assert never_checked <= window, sorted(never_checked - window)
 
     # Group 3 (sentinels): green in the round immediately before the
@@ -426,29 +456,45 @@ def test_rotation_backlog_arithmetic():
             n, latest_green.get(n)
         )
 
-    # Group 4 (stale fill): exactly the OLDEST vintage tier's prefix
-    # in registration order — no newer name may take a slot an older
-    # one needs, and the trimmed tail must lead the next plan.
+    # Group 4 (stale fill): drains green-vintage tiers oldest-first
+    # in registration order — every included tier but the newest must
+    # be COMPLETE (no newer name takes a slot an older one needs),
+    # the newest may be a registration-order prefix whose trimmed
+    # tail leads the next plan.
     stale = list(registry._WINDOW_STALE)
     assert stale, "stale group empty — rotation stopped"
-    vintages = {latest_green[n] for n in stale if n in latest_green}
-    assert len(vintages) == 1, f"mixed stale vintages: {vintages}"
-    vintage = min(vintages)
-    # the stale group is a registration-order prefix of its tier
-    tier_in_order = [n for n in order if latest_green.get(n) == vintage]
-    assert stale == tier_in_order[: len(stale)], (
-        "stale fill is not the oldest-first registration-order prefix"
+    assert all(n in latest_green for n in stale), (
+        [n for n in stale if n not in latest_green]
     )
-    # anything older than the stale vintage would have to be IN the
-    # window already (no skipped tier)
-    older = {n for n, r in latest_green.items() if r < vintage}
+    stale_vintages = [latest_green[n] for n in stale]
+    assert stale_vintages == sorted(stale_vintages), (
+        "stale fill not oldest-first"
+    )
+    newest = max(stale_vintages)
+    for v in sorted(set(stale_vintages)):
+        tier = [n for n in order if latest_green.get(n) == v]
+        got = [n for n in stale if latest_green[n] == v]
+        if v < newest:
+            assert got == tier, (
+                f"tier r{v} not fully drained before r{newest} began"
+            )
+        else:
+            assert got == tier[: len(got)], (
+                f"tier r{v} fill is not the registration-order prefix"
+            )
+    # anything older than the oldest stale vintage would have to be
+    # IN the window already (no skipped tier)
+    older = {n for n, r in latest_green.items() if r < min(stale_vintages)}
     assert older <= window, sorted(older - window)
 
     # structural window invariants
     assert len(registry._WINDOW) == 50
     assert len(set(registry._WINDOW)) == 50
-    missing_oracle = [n for n in registry._WINDOW if n not in registry.ORACLE]
-    assert not missing_oracle, missing_oracle
+    unoracled = [
+        n for n in registry._WINDOW
+        if n not in registry.ORACLE and n not in registry.ROWS_ONLY
+    ]
+    assert not unoracled, unoracled
 
     # the gated TWS query never burns a window slot
     assert "stream_tws_value_stats" not in window

@@ -91,6 +91,8 @@ BOUNDED_CARTESIAN = frozenset({
     "knn_label_vote",          # broadcast bounded query set
     "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
     "rfm_segments",            # 1-row now-date + count broadcasts
+    "scd2_point_in_time",      # 1-row open-interval-cap broadcast
+    #                            (max probe ts) into the range join
     "skew_profile",            # 1-row total broadcast
     "source_vocab_divergence",  # |sources| x capped-vocab grid +
     #                             1-row corpus-total broadcast
@@ -121,6 +123,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",
     "rfm_segments",  # 1-row max-date/count aggs feed the broadcasts
+    "scd2_point_in_time",  # 1-row max-probe-ts cap aggregate
     "skew_profile", "small_qty_revenue",
     "source_temperature_weights",  # bounded per-source fold (1 row)
     "token_budget_allocation",     # composes the fold + 1-row agg

@@ -744,3 +744,660 @@ def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the temp source can age out
     _UPSERT_PUB_CACHE[key] = result
     return result
+
+
+# ===================================================================
+# Round-11 second wave: point-in-time interval lookup, layout-pruning
+# certification, market-basket pair mining, and random-projection
+# dimensionality reduction with its JL accuracy contract.
+# ===================================================================
+
+# --------------------------------------- SCD2 point-in-time lookup
+
+# Residue split: versions (the SCD2 dimension stream) vs probes (the
+# fact stream doing as-of lookups). Disjoint so no probe trivially
+# matches itself.
+PIT_VERSION_RESIDUE = 0
+PIT_PROBE_RESIDUE = 1
+# Bucket width for the binned range join: one week of epoch-micros.
+# Per-user version intervals are event gaps (<< a week on any
+# realistic feed), so interval explode inflation stays ~2x; only the
+# capped open-ended current rows span more buckets.
+PIT_BUCKET_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, user_id, ts_us AS probe_ts_us
+      FROM ev WHERE event_id % 3 = 1
+    ),
+    vers AS (
+      SELECT user_id, event_id AS version_id, event_type AS state_type,
+             value AS state_value, ts_us AS valid_from_us,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS valid_to_us
+      FROM ev WHERE event_id % 3 = 0
+    ),
+    cap AS (SELECT max(probe_ts_us) + 1 AS cap_us FROM probes)
+    SELECT p.probe_id, p.user_id, p.probe_ts_us,
+           v.version_id, v.state_type, v.state_value
+    FROM probes p
+    JOIN (
+      SELECT vers.*, coalesce(valid_to_us, cap_us) AS valid_end_us
+      FROM vers, cap
+    ) v
+      ON p.user_id = v.user_id
+     AND p.probe_ts_us >= v.valid_from_us
+     AND p.probe_ts_us <  v.valid_end_us
+    ORDER BY p.probe_id
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against an SCD2 dimension — the
+    CONSUMING half of the `scd2_intervals` history build (loads.py):
+    each probe event joins the version of its user's state whose
+    [valid_from, valid_to) interval contains the probe timestamp.
+    This is the standard warehouse pattern the reference's keep-latest
+    load (UpdateSymbol_v3.py:77-83) cannot answer — "what was the
+    state WHEN the fact happened", not "what is it now".
+
+    Physical strategy: `operators.range_join` — a pure inequality
+    join would plan BroadcastNestedLoopJoin (O(|probes|x|versions|),
+    a non-starter at 100 TB); the binned rewrite quantizes the time
+    axis into week buckets, explodes each version interval into the
+    buckets it overlaps, hash-joins on (bucket, user_id), and
+    re-checks the exact containment as a residual filter — ONE keyed
+    shuffle, Databricks-range-join-hint economics. Open-ended current
+    versions are capped at max(probe ts)+1 (a 1-row broadcast, the
+    ingest_freshness pattern) so their bucket fan-out is bounded by
+    the fixture span, and the cap can never exclude a probe.
+
+    Tie semantics are total on both engines: versions sharing a
+    (user, ts) get zero-length intervals except the last by event_id
+    (lead over (ts, event_id)), and a zero-length interval matches
+    nothing; a probe AT a version's timestamp matches that version
+    (>= from, < to). Differs from `as_of_join` (merge-scan, latest
+    payload only) by producing the full interval-containment
+    relation from the HISTORY table the warehouse already publishes.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators import range_join
+    from .loads import _events_us
+
+    ev = _events_us(spark, sf_dir)
+    probes = ev.filter(F.col("event_id") % 3 == PIT_PROBE_RESIDUE).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts_us").alias("probe_ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    vers = ev.filter(F.col("event_id") % 3 == PIT_VERSION_RESIDUE).select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("state_type"),
+        F.col("value").alias("state_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    cap = probes.agg((F.max("probe_ts_us") + 1).alias("cap_us"))
+    vers = (
+        vers.crossJoin(F.broadcast(cap))
+        .withColumn("valid_end_us", F.coalesce("valid_to_us", "cap_us"))
+        .drop("valid_to_us", "cap_us")
+    )
+    return (
+        range_join(
+            probes,
+            vers,
+            left_point="probe_ts_us",
+            right_start="valid_from_us",
+            right_end="valid_end_us",
+            bucket_width=PIT_BUCKET_US,
+            equi=["user_id"],
+        )
+        .select(
+            "probe_id",
+            "user_id",
+            "probe_ts_us",
+            "version_id",
+            "state_type",
+            "state_value",
+        )
+        .orderBy("probe_id")
+    )
+
+
+# ------------------------------------ z-order pruning certification
+
+ZP_BITS = 8  # 8 levels per axis -> 16-bit Morton key
+# 256 cells per layout. The cell count is where the z-layout's edge
+# lives: the top 8 interleaved bits carry 4 bits of EACH axis, while
+# 256 linear cells spend all 8 bits on one axis and leave the other
+# entirely unpruned — so for the 2-D band below, linear must scan
+# ~1/4 of the rows (the sc band) where z-order scans ~1/16 (the
+# sc x sp rectangle). At equal SMALL cell counts (e.g. 16) the two
+# layouts tie on this predicate (top-2+2 interleaved bits prune
+# exactly as much as top-4 single-axis bits) — measured before
+# pinning these constants.
+ZP_Z_SHIFT = 8  # z >> 8: top 8 interleaved bits -> 256 z-cells
+ZP_LIN_SHIFT = 0  # scaled sc itself -> 256 linear cells
+# Rectangle predicate in scaled units: the central quarter of each
+# axis (1/16 of the plane).
+ZP_SEL_LO, ZP_SEL_HI = 96, 159
+
+
+def _zp_duck_oracle() -> str:
+    """Mirror of sinks.zorder_value's scale+interleave arithmetic:
+    identical IEEE-double normalization order ((x - mn) / span *
+    levels, floor, cast, least) and the same bit b of column ci ->
+    interleaved position b*ncols + ci convention."""
+    levels = (1 << ZP_BITS) - 1
+    z_terms = " + ".join(
+        f"(((sc >> {b}) & 1) << {2 * b}) + (((sp >> {b}) & 1) << {2 * b + 1})"
+        for b in range(ZP_BITS)
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS mnc,
+             CAST(max(o_custkey) AS DOUBLE) AS mxc,
+             min(o_totalprice) AS mnp, max(o_totalprice) AS mxp
+      FROM orders
+    ),
+    s AS (
+      SELECT least({levels}, CAST(floor(
+               (CAST(o_custkey AS DOUBLE) - mnc)
+               / (CASE WHEN mxc = mnc THEN 1.0 ELSE mxc - mnc END)
+               * {levels}) AS BIGINT)) AS sc,
+             least({levels}, CAST(floor(
+               (o_totalprice - mnp)
+               / (CASE WHEN mxp = mnp THEN 1.0 ELSE mxp - mnp END)
+               * {levels}) AS BIGINT)) AS sp
+      FROM orders, b
+    ),
+    z AS (
+      SELECT sc, sp, {z_terms} AS zval,
+             CASE WHEN sc BETWEEN {ZP_SEL_LO} AND {ZP_SEL_HI}
+                   AND sp BETWEEN {ZP_SEL_LO} AND {ZP_SEL_HI}
+                  THEN 1 ELSE 0 END AS sel
+      FROM s
+    ),
+    cells AS (
+      SELECT layout, file_id,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(sel) AS BIGINT) AS sel_cnt,
+             min(sc) AS mn_sc, max(sc) AS mx_sc,
+             min(sp) AS mn_sp, max(sp) AS mx_sp
+      FROM (
+        SELECT 'zorder' AS layout, zval >> {ZP_Z_SHIFT} AS file_id,
+               sc, sp, sel
+        FROM z
+        UNION ALL
+        SELECT 'linear' AS layout, sc >> {ZP_LIN_SHIFT} AS file_id,
+               sc, sp, sel
+        FROM z
+      )
+      GROUP BY layout, file_id
+    ),
+    flagged AS (
+      SELECT *,
+             mn_sc <= {ZP_SEL_HI} AND mx_sc >= {ZP_SEL_LO}
+             AND mn_sp <= {ZP_SEL_HI} AND mx_sp >= {ZP_SEL_LO} AS scanned
+      FROM cells
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scanned,
+           CAST(sum(CASE WHEN scanned THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(sel_cnt) AS BIGINT) AS rows_selected,
+           CAST(sum(CASE WHEN NOT scanned THEN sel_cnt ELSE 0 END)
+             AS BIGINT) AS missed_selected,
+           sum(CASE WHEN NOT scanned THEN sel_cnt ELSE 0 END) = 0
+             AS prune_sound
+    FROM flagged
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@query("zorder_prune_contract", oracle=_zp_duck_oracle())
+def zorder_prune_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout pruning certification: drives the SAME Morton
+    (Z-order) key expression `sinks.write_zorder` lays files out with
+    (via `sinks.zorder_value` — one source of truth) and certifies,
+    with full hash parity, what the layout buys at scan time. Rows
+    are assigned to 256 fixed z-cells (top 8 interleaved bits — the
+    deterministic stand-in for write_zorder's sampled
+    repartitionByRange file boundaries) and, as the baseline, to 256
+    linear cells (the full 8-bit first sort axis — a plain
+    lexicographic sort layout). For a central rectangle predicate on
+    (o_custkey, o_totalprice), each layout reports how many
+    file-granularity min/max ranges a reader must scan and how many
+    rows that is — the parquet/Delta/Iceberg file-skipping arithmetic
+    made oracle-checkable.
+
+    Two theorem-level verdicts ride in the row: `missed_selected`
+    must be 0 (min/max pruning soundness — no selected row may live
+    in a skipped file, per layout) and `rows_selected` must agree
+    across layouts (layout never changes query results). The
+    files_scanned/rows_scanned columns are the measured tuning curve
+    — on 2-D predicates the z-layout scans a fraction of the linear
+    layout's rows, which is the entire case for OPTIMIZE ZORDER.
+
+    Scale shape: one 2-scalar-per-column bounds aggregate (collected
+    into literals, exactly like write_zorder), then a single map-only
+    projection (pure shift/and/or codegen — the z-key never leaves
+    the JVM), one explode to tag the two layouts, and two tiny keyed
+    aggregates (<=512 cell rows, then 2 layout rows). No Python, no
+    BNLJ, no single-partition funnel."""
+    from ..sinks import zorder_value
+
+    levels = (1 << ZP_BITS) - 1
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    z, bounds = zorder_value(orders, ["o_custkey", "o_totalprice"], bits=ZP_BITS)
+
+    def scaled(col: str) -> F.Column:
+        mn = float(bounds[col][0])
+        mx = float(bounds[col][1])
+        span = (mx - mn) or 1.0
+        return F.least(
+            F.lit(levels),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(mn))
+                / F.lit(span)
+                * levels
+            ).cast("long"),
+        )
+
+    sel = (
+        F.col("sc").between(ZP_SEL_LO, ZP_SEL_HI)
+        & F.col("sp").between(ZP_SEL_LO, ZP_SEL_HI)
+    ).cast("int")
+    tagged = (
+        orders.select(
+            z.alias("zval"),
+            scaled("o_custkey").alias("sc"),
+            scaled("o_totalprice").alias("sp"),
+        )
+        .withColumn("sel", sel)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.shiftright("zval", ZP_Z_SHIFT).alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("linear").alias("layout"),
+                        F.shiftright("sc", ZP_LIN_SHIFT).alias("file_id"),
+                    ),
+                )
+            ).alias("t"),
+            "sc",
+            "sp",
+            "sel",
+        )
+        .select("t.layout", "t.file_id", "sc", "sp", "sel")
+    )
+    cells = tagged.groupBy("layout", "file_id").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("sel").cast("long").alias("sel_cnt"),
+        F.min("sc").alias("mn_sc"),
+        F.max("sc").alias("mx_sc"),
+        F.min("sp").alias("mn_sp"),
+        F.max("sp").alias("mx_sp"),
+    )
+    scanned = (
+        (F.col("mn_sc") <= ZP_SEL_HI)
+        & (F.col("mx_sc") >= ZP_SEL_LO)
+        & (F.col("mn_sp") <= ZP_SEL_HI)
+        & (F.col("mx_sp") >= ZP_SEL_LO)
+    )
+    return (
+        cells.withColumn("scanned", scanned)
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(F.col("scanned"), 1).otherwise(0))
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(F.col("scanned"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("sel_cnt").cast("long").alias("rows_selected"),
+            F.sum(
+                F.when(~F.col("scanned"), F.col("sel_cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("missed_selected"),
+            (
+                F.sum(
+                    F.when(~F.col("scanned"), F.col("sel_cnt")).otherwise(
+                        0
+                    )
+                )
+                == 0
+            ).alias("prune_sound"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ------------------------------------------- market-basket pairs
+
+CP_MIN_PART_ORDERS = 5  # per-part support floor (anti-monotone prune)
+CP_MIN_PAIR_ORDERS = 2  # pair support floor
+CP_TOPK = 100
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS part_orders
+      FROM li GROUP BY 1
+      HAVING count(*) >= {CP_MIN_PART_ORDERS}
+    ),
+    lif AS (
+      SELECT li.l_orderkey, li.l_partkey, sup.part_orders
+      FROM li JOIN sup USING (l_partkey)
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS pair_orders,
+           a.part_orders AS orders_a, b.part_orders AS orders_b
+    FROM lif a
+    JOIN lif b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2, 4, 5
+    HAVING count(*) >= {CP_MIN_PAIR_ORDERS}
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT {CP_TOPK}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (frequent itemsets of size 2 — the
+    distributed A-Priori first level): parts that co-occur in the
+    same order, support-pruned on BOTH levels. The per-part floor is
+    applied FIRST because support is anti-monotone (a pair can never
+    out-support its rarest member), so the self-join runs on the
+    frequent-part projection only — at 100 TB this is the difference
+    between joining the full fact table against itself and joining
+    its (vastly smaller) frequent subset. Per-order pair fan-out is
+    C(order size, 2), bounded by the schema's lines-per-order; a feed
+    with pathological mega-baskets would cap or salt l_orderkey
+    first (the dedup_minhash salting pattern).
+
+    Plan shape: one distinct projection, one support aggregate, one
+    hash self-join on l_orderkey, one pair aggregate, TakeOrdered
+    top-{CP_TOPK} (per-partition heaps, no global sort). Ordering is
+    total ((pair_orders DESC, part_a, part_b) is unique), so the
+    limit is deterministic cross-engine."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("part_orders"))
+        .filter(F.col("part_orders") >= CP_MIN_PART_ORDERS)
+    )
+    lif = li.join(sup, "l_partkey")
+    a = lif.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("orders_a"),
+    )
+    b = lif.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("orders_b"),
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "orders_a", "orders_b")
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= CP_MIN_PAIR_ORDERS)
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        .limit(CP_TOPK)
+        .select("part_a", "part_b", "pair_orders", "orders_a", "orders_b")
+    )
+
+
+# ------------------------- random projection + its JL contract
+
+RP_OUT_DIM = 16  # projected dimensionality (64 -> 16, 4x reduction)
+RP_SCALE = 1024  # power-of-two fixed-point scale: x*1024 and floor
+#                  are exact in float64 for float32-mantissa inputs
+RP_SALT = "rp"
+RP_N_PROBE = 20  # JL contract pair set: vectors with vec_id < 20
+#                  (the similarity tier's N_QUERIES convention)
+
+# Distortion bands for the JL contract, in percent of the expected
+# ratio  d2_proj / (RP_OUT_DIM * d2_orig) = 1. Band k collects pairs
+# whose ratio lies in [edge_k, edge_{k+1}); comparisons are integer
+# cross-multiplies (100*d2_proj >= pct*RP_OUT_DIM*d2_orig), so the
+# banding is exact on both engines. Band -1 holds identical-vector
+# pairs (zero original distance — ratio undefined).
+RP_BAND_PCTS = (50, 75, 100, 125, 150)
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """+1/-1 sign of projection row j, input dim d — md5-derived so
+    DuckDB re-derives the identical matrix (the LSH plane-weight
+    idiom, similarity_ops._md5_plane_weights)."""
+    import hashlib
+
+    h = hashlib.md5(f"{RP_SALT}_{j}_{d}".encode()).hexdigest()
+    return 1 if int(h[:1], 16) < 8 else -1
+
+
+def _rp_comp(vecs: DataFrame) -> DataFrame:
+    """(vec_id, d, qx): fixed-point integer components."""
+    return vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("emb", lambda x: F.floor(x * RP_SCALE).cast("long"))
+        ).alias("d", "qx"),
+    )
+
+
+def _rp_projected(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """(vec_id, j, y): the projected vectors, y_j = sum_d sign(j,d)*q_d
+    — a relational GEMM: explode components, broadcast-join the
+    1024-row sign matrix, partial-aggregate back per (vec_id, j).
+    Map-side combine keeps the shuffle at |corpus| x RP_OUT_DIM rows
+    (never the x1024 fan-out); at extreme scale the same contract is
+    served by an Arrow GEMM kernel (the _signature_kernel shape) —
+    the relational form is kept here because it is pure JVM codegen
+    end to end."""
+    signs = spark.createDataFrame(
+        [
+            (j, d, _rp_sign(j, d))
+            for j in range(RP_OUT_DIM)
+            for d in range(64)
+        ],
+        "j int, d int, w long",
+    )
+    return (
+        _rp_comp(vecs)
+        .join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qx") * F.col("w")).cast("long").alias("y"))
+    )
+
+
+_RP_DUCK_CTES = f"""
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
+    ),
+    comp AS (
+      SELECT vec_id,
+             unnest(list_transform(
+               emb, x -> CAST(floor(x * {RP_SCALE}.0) AS BIGINT)
+             )) AS qx,
+             unnest(range(0, len(emb))) AS d
+      FROM e
+    ),
+    signs AS (
+      SELECT j.j AS j, d.d AS d,
+             CASE WHEN CAST(('0x' || substr(
+               md5(concat('{RP_SALT}_', j.j, '_', d.d)), 1, 1
+             )) AS UBIGINT) < 8 THEN 1 ELSE -1 END AS w
+      FROM range({RP_OUT_DIM}) j(j), range(64) d(d)
+    ),
+    proj AS (
+      SELECT c.vec_id, s.j, CAST(SUM(c.qx * s.w) AS BIGINT) AS y
+      FROM comp c JOIN signs s ON c.d = s.d
+      GROUP BY c.vec_id, s.j
+    )"""
+
+
+@query(
+    "rp_project",
+    oracle=f"""
+    WITH {_RP_DUCK_CTES}
+    SELECT vec_id, j, y FROM proj ORDER BY vec_id, j
+    """,
+)
+def rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss / Achlioptas +-1 construction — the public
+    sketching method behind embedding compression before ANN
+    indexing): project the 64-dim corpus to {RP_OUT_DIM} dims with an
+    md5-derived +-1 sign matrix. Exact integer arithmetic end to end
+    (power-of-two fixed-point components x integer signs — the r8
+    parity technique), so the PRODUCTION output, not a summary of
+    it, hash-matches DuckDB.
+
+    Complements the similarity tier: LSH keeps only the SIGN of each
+    projection (1 bit, for bucketing); this keeps the projected
+    VALUES — the representation you hand to a downstream exact or
+    IVF search in the reduced space, at 1/4 the storage and GEMM
+    cost. `rp_distance_contract` prices what the compression does to
+    pairwise distances.
+
+    Plan: posexplode (codegen) -> 1024-row broadcast sign join ->
+    partial-aggregated GEMM back to (vec_id, j) — one keyed shuffle
+    of |corpus| x {RP_OUT_DIM} rows, no Python, no cartesian."""
+    from .similarity_ops import load_vectors
+
+    return (
+        _rp_projected(spark, load_vectors(spark, sf_dir))
+        .orderBy("vec_id", "j")
+    )
+
+
+def _rp_band_expr(d2o: str, d2p: str) -> str:
+    """SQL band index: -1 for zero original distance, else the count
+    of band edges at or below the ratio (integer cross-multiply)."""
+    hits = " + ".join(
+        f"(CASE WHEN 100 * {d2p} >= {pct} * {RP_OUT_DIM} * {d2o}"
+        " THEN 1 ELSE 0 END)"
+        for pct in RP_BAND_PCTS
+    )
+    return f"CASE WHEN {d2o} = 0 THEN -1 ELSE {hits} END"
+
+
+@query(
+    "rp_distance_contract",
+    oracle=f"""
+    WITH {_RP_DUCK_CTES},
+    pc AS (SELECT * FROM comp WHERE vec_id < {RP_N_PROBE}),
+    pp AS (SELECT * FROM proj WHERE vec_id < {RP_N_PROBE}),
+    d_orig AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2o
+      FROM pc a JOIN pc b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    d_proj AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2p
+      FROM pp a JOIN pp b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT {_rp_band_expr('o.d2o', 'p.d2p')} AS band
+      FROM d_orig o
+      JOIN d_proj p ON o.ida = p.ida AND o.idb = p.idb
+    )
+    GROUP BY band ORDER BY band
+    """,
+)
+def rp_distance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL distance-preservation contract for `rp_project`: over
+    all pairs of the first {RP_N_PROBE} corpus vectors, band the
+    distortion ratio ||P(u-v)||^2 / ({RP_OUT_DIM} * ||u-v||^2) —
+    whose expectation is exactly 1 for a +-1 projection — into fixed
+    buckets. Every quantity is an exact integer (squared distances of
+    integer vectors; band edges decided by integer cross-multiply),
+    so the contract has full hash parity — the measured histogram IS
+    the certified object, the same posture as sq8_topk_recall /
+    mrl_truncation_recall for the other two compression axes
+    (quantization, truncation). Identical-vector pairs (zero original
+    distance, ratio undefined) land in band -1 by construction.
+
+    Bounded by construction: the pair set is C({RP_N_PROBE},2) rows;
+    both distance passes are hash joins on the dimension index (d /
+    j), never a cartesian — the contract costs two keyed joins over
+    {RP_N_PROBE}x64 and {RP_N_PROBE}x{RP_OUT_DIM} component rows."""
+    from .similarity_ops import load_vectors
+
+    probe = load_vectors(spark, sf_dir).filter(
+        F.col("vec_id") < RP_N_PROBE
+    )
+    comp = _rp_comp(probe)
+    proj = _rp_projected(spark, probe)
+
+    def pair_d2(df: DataFrame, axis: str, val: str, out: str) -> DataFrame:
+        a = df.select(
+            F.col("vec_id").alias("ida"), F.col(axis), F.col(val).alias("va")
+        )
+        b = df.select(
+            F.col("vec_id").alias("idb"), F.col(axis), F.col(val).alias("vb")
+        )
+        return (
+            a.join(b, axis)
+            .filter(F.col("ida") < F.col("idb"))
+            .groupBy("ida", "idb")
+            .agg(
+                F.sum(
+                    (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    d_orig = pair_d2(comp, "d", "qx", "d2o")
+    d_proj = pair_d2(proj, "j", "y", "d2p")
+    joined = d_orig.join(d_proj, ["ida", "idb"])
+    hits = None
+    for pct in RP_BAND_PCTS:
+        h = F.when(
+            100 * F.col("d2p") >= pct * RP_OUT_DIM * F.col("d2o"), 1
+        ).otherwise(0)
+        hits = h if hits is None else hits + h
+    band = F.when(F.col("d2o") == 0, F.lit(-1)).otherwise(hits)
+    return (
+        joined.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("band")
+    )

@@ -54,7 +54,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
-    "programmers_data_spark.queries.round11_ops",  # 6 (→216)
+    "programmers_data_spark.queries.round11_ops",  # 11 (→221)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -68,9 +68,11 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 11
 
 # ROUND-12 ROTATION PLAN: the backlog after this window is the
-# 15-name r7 tail trimmed from _WINDOW_STALE (table_profile,
-# curation_funnel, neardup_incremental, event_path_trigrams,
-# rfm_segments, hard_negatives, rrf_fusion, label_centroid_drift,
+# 20-name r7 tail trimmed from _WINDOW_STALE (shingle_novelty,
+# code_fraction_by_source, decontam_overlap, doc_commonness,
+# dedup_incremental, table_profile, curation_funnel,
+# neardup_incremental, event_path_trigrams, rfm_segments,
+# hard_negatives, rrf_fusion, label_centroid_drift,
 # multimodal_audio_meta, source_temperature_weights,
 # token_budget_allocation, curriculum_phases, training_manifest,
 # tfidf_shingle_pairs, bpe_contract), then the 49-name r8 tier, then
@@ -132,6 +134,13 @@ _WINDOW_NEW = (
     "unigram_encoded_counts",
     "ivf_incremental_assign",
     "stream_upsert_publish",
+    # second wave: each displaced one r7-prefix stale slot (new
+    # registrations outrank stale refreshes — the standing rule)
+    "scd2_point_in_time",
+    "zorder_prune_contract",
+    "copurchase_pairs",
+    "rp_project",
+    "rp_distance_contract",
 )
 
 # Group 3 — r10-green sentinels sitting directly on the round-11
@@ -151,7 +160,8 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 11-name r6 remainder (the tail trimmed from the r10 window;
 # latest green driver row r6 — oldest vintage in the record), then
-# the first 30 of the 45-name r7 tier. The 15 trimmed r7 tail names
+# the first 25 of the 45-name r7 tier (the second-wave registrations
+# displaced 5 more prefix slots). The 20 trimmed r7 tail names
 # lead the r12 backlog (see the ROUND-12 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r6 remainder — complete (11)
@@ -192,11 +202,6 @@ _WINDOW_STALE = (
     "gopher_quality_flags",
     "dedup_prefix",
     "stratified_sample",
-    "shingle_novelty",
-    "code_fraction_by_source",
-    "decontam_overlap",
-    "doc_commonness",
-    "dedup_incremental",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -465,3 +465,185 @@ def test_stream_upsert_publish_retains_across_batches(spark, tmp_path):
         for uid, (_v, ts_us) in snap.items()
     }
     assert set(slices.values()) == set(range(n)), (slices, hours)
+
+
+# ------------------- second wave: PIT, z-order, baskets, projection
+
+
+def test_scd2_point_in_time_serial_reference(spark, sf_smoke):
+    """Re-derive every probe's expected match with a plain loop: the
+    matched version must be the user's latest version at or before
+    the probe timestamp (ties among equal version timestamps resolved
+    to the largest event_id — the zero-length-interval rule), and a
+    probe with no earlier version matches nothing."""
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+
+    registry.load_all()
+    got = {
+        r.probe_id: (r.version_id, r.state_type, r.state_value)
+        for r in registry.QUERIES["scd2_point_in_time"](
+            spark, sf_smoke
+        ).collect()
+    }
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .collect()
+    )
+    vers: dict[int, list] = {}
+    for r in ev:
+        if r.event_id % 3 == 0:
+            vers.setdefault(r.user_id, []).append(r)
+    for vs in vers.values():
+        vs.sort(key=lambda r: (r.t_us, r.event_id))
+    expected = {}
+    for r in ev:
+        if r.event_id % 3 != 1:
+            continue
+        cands = [v for v in vers.get(r.user_id, []) if v.t_us <= r.t_us]
+        if cands:
+            best = max(cands, key=lambda v: (v.t_us, v.event_id))
+            expected[r.event_id] = (best.event_id, best.event_type, best.value)
+    assert got == expected
+
+
+def test_scd2_point_in_time_plans_binned_hash_join(spark, sf_smoke):
+    """The range join must compile to a HASH join on (bucket,
+    user_id) — the entire point of the binned rewrite. The only
+    nested-loop node allowed is the 1-row interval-cap broadcast."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["scd2_point_in_time"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row cap
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_zorder_prune_contract_invariants(spark, sf_smoke):
+    """Theorem-level rows: pruning is sound per layout (no selected
+    row in a skipped file) and layout never changes query results;
+    and on the driver fixture the z-layout's 2-D pruning strictly
+    dominates the single-axis linear sort for the 2-D predicate."""
+    from programmers_data_spark import registry
+
+    registry.load_all()
+    rows = {
+        r.layout: r
+        for r in registry.QUERIES["zorder_prune_contract"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(rows) == {"zorder", "linear"}
+    assert all(r.prune_sound and r.missed_selected == 0 for r in rows.values())
+    assert rows["zorder"].rows_selected == rows["linear"].rows_selected
+    assert rows["zorder"].rows_scanned <= rows["linear"].rows_scanned
+    for r in rows.values():
+        assert r.rows_scanned >= r.rows_selected  # scanned superset
+
+
+def test_copurchase_pairs_serial_reference(spark, sf_smoke):
+    """Brute-force the basket pairs with itertools on the collected
+    smoke fixture and compare the full result."""
+    from collections import Counter
+    from itertools import combinations
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round11_ops as r11
+
+    registry.load_all()
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    support = Counter(p for parts in baskets.values() for p in parts)
+    frequent = {p for p, c in support.items() if c >= r11.CP_MIN_PART_ORDERS}
+    pairs = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(p for p in parts if p in frequent), 2):
+            pairs[(a, b)] += 1
+    expected = sorted(
+        (
+            (a, b, c, support[a], support[b])
+            for (a, b), c in pairs.items()
+            if c >= r11.CP_MIN_PAIR_ORDERS
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[: r11.CP_TOPK]
+    got = [
+        (r.part_a, r.part_b, r.pair_orders, r.orders_a, r.orders_b)
+        for r in registry.QUERIES["copurchase_pairs"](
+            spark, sf_smoke
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_rp_projection_serial_reference(spark, sf_smoke):
+    """The relational GEMM equals a numpy re-derivation of
+    floor-quantized components x the md5 sign matrix, for every
+    projected coordinate."""
+    import math
+
+    import numpy as np
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries import round11_ops as r11
+    from programmers_data_spark.queries.similarity_ops import load_vectors
+
+    registry.load_all()
+    vecs = {
+        r.vec_id: r.emb
+        for r in load_vectors(spark, sf_smoke).filter("vec_id < 5").collect()
+    }
+    signs = np.array(
+        [
+            [r11._rp_sign(j, d) for d in range(64)]
+            for j in range(r11.RP_OUT_DIM)
+        ],
+        dtype=np.int64,
+    )
+    got = {
+        (r.vec_id, r.j): r.y
+        for r in registry.QUERIES["rp_project"](spark, sf_smoke)
+        .filter("vec_id < 5")
+        .collect()
+    }
+    for vid, emb in vecs.items():
+        q = np.array([math.floor(x * r11.RP_SCALE) for x in emb], dtype=np.int64)
+        y = signs @ q
+        for j in range(r11.RP_OUT_DIM):
+            assert got[(vid, j)] == y[j], (vid, j)
+
+
+def test_rp_distance_contract_covers_all_pairs(spark, sf_smoke):
+    """Band histogram accounting: every probe pair lands in exactly
+    one band, so the counts must sum to C(n_probe, 2) over the
+    nonzero-filtered probe set; bands are within [-1, len(edges)]."""
+    from programmers_data_spark import registry
+    from programmers_data_spark.queries import round11_ops as r11
+    from programmers_data_spark.queries.similarity_ops import load_vectors
+
+    registry.load_all()
+    n = (
+        load_vectors(spark, sf_smoke)
+        .filter(f"vec_id < {r11.RP_N_PROBE}")
+        .count()
+    )
+    rows = registry.QUERIES["rp_distance_contract"](spark, sf_smoke).collect()
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    assert all(-1 <= r.band <= len(r11.RP_BAND_PCTS) for r in rows)

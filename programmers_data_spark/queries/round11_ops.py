@@ -1401,3 +1401,248 @@ def rp_distance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("band")
     )
+
+
+# ---------------------------------------- triangle counting
+
+# Edge set: the FULL frequent co-purchase pair graph (the
+# copurchase_pairs mining without the top-k presentation cap).
+TRI_MIN_PART_ORDERS = CP_MIN_PART_ORDERS
+TRI_MIN_PAIR_ORDERS = CP_MIN_PAIR_ORDERS
+
+_TRI_DUCK_EDGES = f"""
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS (
+      SELECT l_partkey FROM li GROUP BY 1
+      HAVING count(*) >= {TRI_MIN_PART_ORDERS}
+    ),
+    lif AS (SELECT li.* FROM li JOIN sup USING (l_partkey)),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lif a JOIN lif b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT e1.s AS x, e1.t AS y, e2.t AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e1.t = e2.s
+      JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    )"""
+
+
+@query(
+    "triangle_counts",
+    oracle=f"""
+    WITH {_TRI_DUCK_EDGES},
+    pernode AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT p.node, p.triangles, d.d AS degree
+    FROM pernode p JOIN deg d ON d.node = p.node
+    ORDER BY p.triangles DESC, p.node
+    """,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the frequent co-purchase
+    graph (`copurchase_pairs`' edge set without the presentation
+    cap) — the clustering-coefficient numerator, the standard graph
+    statistic next to the rank (`nation_pagerank`) and components
+    (`dedup_clusters`) the engine already serves.
+
+    Physical strategy is the degree-ORIENTED wedge join (the
+    MapReduce-era standard for making triangle enumeration skew-safe):
+    each undirected edge is directed from its lower-(degree, id)
+    endpoint to its higher one, which (a) enumerates every triangle
+    exactly once as x->y, x->z, y->z and (b) bounds every vertex's
+    out-degree by O(sqrt(m)) — so the wedge self-join on the middle
+    vertex, THE step that explodes on a hub vertex under naive id
+    orientation, stays balanced no matter how skewed the raw degree
+    distribution gets at 100 TB. Both engines run the identical
+    orientation, so the whole pipeline keeps full hash parity.
+
+    Plan: the pair-mining aggregates, one degree aggregate, two hash
+    joins to orient, one wedge self-join on the middle vertex, one
+    closing semi-shaped join on (x, z), explode + count per node. All
+    equi joins, no Python, no cartesian."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_PART_ORDERS)
+        .select("l_partkey")
+    )
+    lif = li.join(sup, "l_partkey")
+    a = lif.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lif.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= TRI_MIN_PAIR_ORDERS)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        pernode.join(deg.select("node", F.col("d").alias("degree")), "node")
+        .select("node", "triangles", "degree")
+        .orderBy(F.desc("triangles"), "node")
+    )
+
+
+# --------------------------------- time-weighted value (TWAP)
+
+# Fixed-point value grain: whole cents (floor(value*100) — the same
+# double on both engines, so the floor is deterministic even though
+# 100 is not a power of two; exactness is not required, only
+# identical results).
+TWV_CENTS = 100
+# Duration grain: whole seconds via integer division (µs div 1e6 —
+# exact and identical on both engines; float division would not be).
+TWV_US_PER_S = 1_000_000
+
+
+@query(
+    "time_weighted_value",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    iv AS (
+      SELECT user_id,
+             CAST(floor(value * {TWV_CENTS}) AS BIGINT) AS cents,
+             (lead(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+              ) - ts_us) // {TWV_US_PER_S} AS dur_s
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN dur_s IS NULL THEN 0 ELSE dur_s END)
+             AS BIGINT) AS total_s,
+           CAST(sum(CASE WHEN dur_s IS NULL THEN 0 ELSE cents * dur_s END)
+             AS BIGINT) AS weighted_cents_s,
+           CASE WHEN sum(CASE WHEN dur_s IS NULL THEN 0 ELSE dur_s END) > 0
+                THEN CAST(sum(CASE WHEN dur_s IS NULL THEN 0
+                                   ELSE cents * dur_s END)
+                     // sum(CASE WHEN dur_s IS NULL THEN 0 ELSE dur_s END)
+                     AS BIGINT)
+                ELSE NULL END AS twap_cents
+    FROM iv
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the
+    irregular-sampling aggregate KDB's wavg and TimescaleDB's
+    time_weight serve natively; Spark has no operator for it): each
+    event sets the user's level until their next event, and the
+    average weights each level by how long it HELD, not by how often
+    it was sampled — the correct read on feeds where active periods
+    oversample (a plain AVG overweights bursts). The last observation
+    per user has no successor and contributes zero held time — the
+    contract averages over each user's OBSERVED span, so the whole
+    query is one lead() window per user partition plus one keyed
+    aggregate: no global state, no broadcast, TWAP at 100 TB costs
+    exactly one shuffle on user_id.
+
+    Parity discipline: levels quantized to whole cents
+    (floor(value*{TWV_CENTS}) — deterministic cross-engine on
+    identical doubles), durations to whole seconds by integer
+    division (µs div 1e6 — the float-divide-then-cast trap from the
+    round-5 lessons avoided on both sides), and the final TWAP is one
+    integer floor-division guarded by an explicit zero-span branch
+    (single-observation users; ANSI mode would throw where DuckDB
+    yields NULL). Sums stay far inside int64: max cents x max span
+    ~ 5e4 x 3e6 s ~ 1.5e11."""
+    from pyspark.sql.window import Window
+
+    from .loads import _events_us
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = (
+        _events_us(spark, sf_dir)
+        .select(
+            "user_id",
+            "ts_us",
+            F.floor(F.col("value") * TWV_CENTS).cast("long").alias("cents"),
+            F.lead("ts_us").over(w).alias("next_us"),
+        )
+        .select(
+            "user_id",
+            "cents",
+            F.expr(f"(next_us - ts_us) div {TWV_US_PER_S}").alias("dur_s"),
+        )
+    )
+    dur = F.coalesce(F.col("dur_s"), F.lit(0))
+    agg = iv.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(dur).cast("long").alias("total_s"),
+        F.sum(F.col("cents") * dur).cast("long").alias("weighted_cents_s"),
+    )
+    return agg.select(
+        "user_id",
+        "n_obs",
+        "total_s",
+        "weighted_cents_s",
+        F.when(
+            F.col("total_s") > 0,
+            F.expr("weighted_cents_s div total_s"),
+        )
+        .cast("long")
+        .alias("twap_cents"),
+    ).orderBy("user_id")

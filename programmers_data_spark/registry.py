@@ -54,7 +54,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
-    "programmers_data_spark.queries.round11_ops",  # 11 (→221)
+    "programmers_data_spark.queries.round11_ops",  # 13 (→223)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -68,7 +68,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 11
 
 # ROUND-12 ROTATION PLAN: the backlog after this window is the
-# 20-name r7 tail trimmed from _WINDOW_STALE (shingle_novelty,
+# 22-name r7 tail trimmed from _WINDOW_STALE (dedup_prefix,
+# stratified_sample, shingle_novelty,
 # code_fraction_by_source, decontam_overlap, doc_commonness,
 # dedup_incremental, table_profile, curation_funnel,
 # neardup_incremental, event_path_trigrams, rfm_segments,
@@ -141,6 +142,8 @@ _WINDOW_NEW = (
     "copurchase_pairs",
     "rp_project",
     "rp_distance_contract",
+    "triangle_counts",
+    "time_weighted_value",
 )
 
 # Group 3 — r10-green sentinels sitting directly on the round-11
@@ -160,9 +163,10 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 11-name r6 remainder (the tail trimmed from the r10 window;
 # latest green driver row r6 — oldest vintage in the record), then
-# the first 25 of the 45-name r7 tier (the second-wave registrations
-# displaced 5 more prefix slots). The 20 trimmed r7 tail names
-# lead the r12 backlog (see the ROUND-12 ROTATION PLAN above).
+# the first 23 of the 45-name r7 tier (the second- and third-wave
+# registrations displaced 7 more prefix slots). The 22 trimmed r7
+# tail names lead the r12 backlog (see the ROUND-12 ROTATION PLAN
+# above).
 _WINDOW_STALE = (
     # r6 remainder — complete (11)
     "bm25_topk",
@@ -200,8 +204,6 @@ _WINDOW_STALE = (
     "dedup_minhash",
     "repetition_profile",
     "gopher_quality_flags",
-    "dedup_prefix",
-    "stratified_sample",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

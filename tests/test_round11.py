@@ -647,3 +647,105 @@ def test_rp_distance_contract_covers_all_pairs(spark, sf_smoke):
     rows = registry.QUERIES["rp_distance_contract"](spark, sf_smoke).collect()
     assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
     assert all(-1 <= r.band <= len(r11.RP_BAND_PCTS) for r in rows)
+
+
+def test_triangle_counts_serial_reference(spark, sf_smoke):
+    """Brute-force the frequent-pair graph's triangles with sets on
+    the collected smoke fixture; per-node counts and degrees must
+    match exactly (and the per-node sum must be 3x the number of
+    distinct triangles)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round11_ops as r11
+
+    registry.load_all()
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    support = Counter(p for parts in baskets.values() for p in parts)
+    frequent = {
+        p for p, c in support.items() if c >= r11.TRI_MIN_PART_ORDERS
+    }
+    pair_cnt = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(
+            sorted(p for p in parts if p in frequent), 2
+        ):
+            pair_cnt[(a, b)] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= r11.TRI_MIN_PAIR_ORDERS}
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_per_node = Counter()
+    n_tri = 0
+    for x in adj:
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in (adj[x] & adj[y]) if n > y):
+                n_tri += 1
+                tri_per_node[x] += 1
+                tri_per_node[y] += 1
+                tri_per_node[z] += 1
+    got = {
+        r.node: (r.triangles, r.degree)
+        for r in registry.QUERIES["triangle_counts"](
+            spark, sf_smoke
+        ).collect()
+    }
+    expected = {
+        n: (c, len(adj[n])) for n, c in tri_per_node.items()
+    }
+    assert got == expected
+    assert sum(c for c, _ in got.values()) == 3 * n_tri
+
+
+def test_time_weighted_value_serial_reference(spark, sf_smoke):
+    """Re-derive the TWAP per user with a plain loop: sort each
+    user's events by (ts, event_id), hold each level for the whole-
+    second gap to the next event, integer-divide at the end."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round11_ops as r11
+
+    registry.load_all()
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "user_id", "event_id", "value",
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .collect()
+    )
+    byuser: dict[int, list] = {}
+    for r in ev:
+        byuser.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, rows in byuser.items():
+        rows.sort(key=lambda r: (r.t_us, r.event_id))
+        total = weighted = 0
+        for cur, nxt in zip(rows, rows[1:]):
+            dur = (nxt.t_us - cur.t_us) // r11.TWV_US_PER_S
+            cents = math.floor(cur.value * r11.TWV_CENTS)
+            total += dur
+            weighted += cents * dur
+        twap = weighted // total if total > 0 else None
+        expected[uid] = (len(rows), total, weighted, twap)
+    got = {
+        r.user_id: (r.n_obs, r.total_s, r.weighted_cents_s, r.twap_cents)
+        for r in registry.QUERIES["time_weighted_value"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected

@@ -47,6 +47,8 @@ PYTHON_TIER = frozenset({
     "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator
     "bpe_contract",  # composes bpe_encoded_counts' Arrow encoder
     "unigram_encoded_counts",  # Arrow Viterbi encoder IS the operator
+    "wordpiece_encoded_counts",  # Arrow greedy-match encoder IS the
+    #                              operator (oracle: recursive CTE)
     "ivf_incremental_assign",  # Arrow batch-assign GEMM + the full
     #                            index's assignment pass it audits
 })
@@ -89,6 +91,8 @@ BOUNDED_CARTESIAN = frozenset({
     "idle_rich_customers",     # Q22 scalar-subquery 1-row broadcast
     "ingest_freshness",        # 1-row global-max broadcast
     "knn_label_vote",          # broadcast bounded query set
+    "ks_drift_by_source",      # <=256-row bucket-CDF + 1-row total
+    #                            broadcasts into the source grid
     "ngram_jaccard",           # capped (doc_id<60) ground-truth twin
     "rfm_segments",            # 1-row now-date + count broadcasts
     "scd2_point_in_time",      # 1-row open-interval-cap broadcast
@@ -119,6 +123,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "ivf_recall_at5",
     "ivf_probe_sweep",  # 1-row query/exact-count aggs + 5-row
     #                     verdict window
+    "ks_drift_by_source",  # <=256-row global-CDF fold + 1-row total
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",

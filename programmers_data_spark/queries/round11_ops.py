@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import textfn
-from ..registry import query
+from ..registry import ORACLE, query
 from ._oracle_shared import _DUCK_NONZERO, _DUCK_TOKS
 from .tokenizer_ops import VOCAB_CAP, _word_counts
 
@@ -1646,3 +1646,333 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_cents"),
     ).orderBy("user_id")
+
+
+# --------------------------------- WordPiece greedy encoder
+
+# WordPiece (Schuster & Nakajima 2012; BERT's tokenizer): encode by
+# GREEDY LONGEST-MATCH-FIRST against a fixed piece vocabulary. The
+# vocabulary here is the unigram seed table (top UNI_SEED_CAP
+# multi-char substrings) plus every single character of the capped
+# word table, so coverage gaps are possible only for characters the
+# capped table never saw — those advance one character and count as
+# UNK (both engines implement the identical rule).
+#
+# Greedy longest-match is a CLOSED-FORM walk (unlike BPE's merge
+# ranks or unigram's float Viterbi): best-piece-length at every
+# (word, position) is one relational max, and the walk is a pure
+# next[] chase — so this THIRD tokenizer family's encoder gets full
+# hash parity via a recursive-CTE oracle where the other two needed
+# rows-only twins.
+
+
+def _wordpiece_vocab(spark: SparkSession, sf_dir: str) -> set[str]:
+    wc = _capped_word_counts(spark, sf_dir)
+    vocab = {p for p, _ in _seed_pieces(wc)}
+    for w, _ in wc:
+        vocab.update(w)
+    return vocab
+
+
+@query(
+    "wordpiece_encoded_counts",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    -- single chars of the capped word table (duplicates the capped
+    -- CTE of the seed oracle; the dual-scale parity sweeps pin the
+    -- two copies together)
+    cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+    ),
+    capped AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {VOCAB_CAP}
+    ),
+    chars AS (
+      SELECT DISTINCT substr(word, i, 1) AS piece
+      FROM capped, range(1, 4096) r(i)
+      WHERE i <= length(word)
+    ),
+    seed AS (
+      SELECT piece FROM ({ORACLE["unigram_seed_vocab"]}) s
+    ),
+    vocab AS (SELECT piece FROM seed UNION SELECT piece FROM chars),
+    words AS (SELECT DISTINCT word FROM occ),
+    -- hashable equi-join form: pre-slice every candidate substring
+    -- (a k=4 slice near the word end yields a shorter string whose
+    -- vocab match is a legitimate shorter match; max(length(piece))
+    -- is unaffected by the duplicate)
+    grid AS (
+      SELECT w.word, CAST(p.pos AS INT) AS pos,
+             substr(w.word, CAST(p.pos AS INT) + 1, CAST(k.k AS INT))
+               AS sub
+      FROM words w,
+           range(0, 4096) p(pos),
+           range(1, {UNI_MAX_PIECE_LEN} + 1) k(k)
+      WHERE p.pos < length(w.word)
+    ),
+    cand AS (
+      SELECT g.word, g.pos,
+             CAST(max(length(v.piece)) AS INT) AS bestlen
+      FROM grid g JOIN vocab v ON g.sub = v.piece
+      GROUP BY g.word, g.pos
+    ),
+    walk(word, pos, n_tok, n_unk) AS (
+      SELECT word, CAST(0 AS INT), 0, 0 FROM words
+      UNION ALL
+      SELECT w.word,
+             w.pos + CAST(coalesce(c.bestlen, 1) AS INT),
+             w.n_tok + 1,
+             w.n_unk + CASE WHEN c.bestlen IS NULL THEN 1 ELSE 0 END
+      FROM walk w LEFT JOIN cand c ON c.word = w.word AND c.pos = w.pos
+      WHERE w.pos < length(w.word)
+    ),
+    done AS (
+      SELECT word, n_tok, n_unk FROM walk WHERE pos >= length(word)
+    ),
+    perdoc AS (
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(d.n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(d.n_unk) AS BIGINT) AS n_unk
+      FROM occ o JOIN done d ON d.word = o.word
+      GROUP BY o.doc_id
+    )
+    SELECT doc.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_unk, 0) AS n_unk
+    FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def wordpiece_encoded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a greedy WordPiece encoder —
+    the third tokenizer family (whitespace/BPE/unigram/WordPiece all
+    reportable now), and the only subword encoder here whose FULL
+    output is hash-checked: greedy longest-match-first is a
+    deterministic next[]-chase, so the oracle re-derives every
+    word's segmentation with one relational best-piece-length max
+    plus a recursive-CTE walk — no rows-only concession.
+
+    A character with no vocabulary entry (possible only when the
+    capped word table undersamples the corpus alphabet) advances one
+    position and counts as UNK — the same totalizing rule on both
+    engines, so degenerate fixtures narrow the vocabulary without
+    breaking parity.
+
+    Scale shape: the vocabulary is metadata (seed pieces + alphabet,
+    broadcast); encoding is one map-only Arrow pass over the
+    pre-tokenized docs with a per-batch word cache (Zipf: mostly
+    hits) — the bpe_encoded_counts / unigram_encoded_counts shape
+    exactly; no shuffle beyond the final orderBy."""
+    import pandas as pd
+
+    vocab = _wordpiece_vocab(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(vocab)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfn.tokenize("text").alias("words")
+    )
+
+    def enc(batches):
+        vs = bc.value
+        max_len = UNI_MAX_PIECE_LEN
+
+        def greedy(word: str) -> tuple[int, int]:
+            pos, ntok, nunk = 0, 0, 0
+            n = len(word)
+            while pos < n:
+                for k in range(min(max_len, n - pos), 0, -1):
+                    if word[pos : pos + k] in vs:
+                        pos += k
+                        ntok += 1
+                        break
+                else:
+                    pos += 1
+                    ntok += 1
+                    nunk += 1
+            return ntok, nunk
+
+        for pdf in batches:
+            cache: dict[str, tuple[int, int]] = {}
+            n_words, n_tokens, n_unk = [], [], []
+            for words in pdf["words"]:
+                t = u = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = greedy(w)
+                    tw, uw = cache[w]
+                    t += tw
+                    u += uw
+                n_words.append(len(words))
+                n_tokens.append(t)
+                n_unk.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                    "n_unk": n_unk,
+                }
+            )
+
+    return docs.mapInPandas(
+        enc, schema="doc_id long, n_words long, n_tokens long, n_unk long"
+    ).orderBy("doc_id")
+
+
+# --------------------------- two-sample KS drift per source
+
+# Bucketing: n_chars div 4, capped at 255 — the distributed_rank /
+# banding discipline: the KS max must be evaluated on every CDF jump
+# of EITHER sample, and bucketing bounds that evaluation grid at 256
+# rows regardless of corpus size (a per-pair global sort of raw
+# values would put one source pair's worth of data in one partition
+# at 100 TB). The statistic is then the exact KS of the BUCKETED
+# distributions — a defined contract, like the rank-space
+# approx_percentile bounds.
+KS_BUCKET_W = 4
+KS_N_BUCKETS = 256
+# CDF fractions in parts-per-million via integer division: keeps
+# every quantity int64 at any corpus size (cum * 1e6 <= 9e18 up to
+# ~9e12 docs; widen to DECIMAL(38,0) beyond — the collocation_lift
+# playbook), at the cost of a <=1 ppm floor artifact on each side.
+KS_PPM = 1_000_000
+# Drift verdict threshold: D >= 0.10.
+KS_FLAG_PPM = 100_000
+
+
+@query(
+    "ks_drift_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             least({KS_N_BUCKETS - 1}, n_chars // {KS_BUCKET_W}) AS b
+      FROM documents
+    ),
+    sb AS (
+      SELECT source, b, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY source, b
+    ),
+    gb AS (
+      SELECT b, CAST(sum(c) AS BIGINT) AS gc FROM sb GROUP BY b
+    ),
+    gcum AS (
+      SELECT b, gc,
+             CAST(sum(gc) OVER (ORDER BY b) AS BIGINT) AS gcd
+      FROM gb
+    ),
+    srcs AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sb
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n FROM gb),
+    grid AS (
+      SELECT s.source, s.n_s, g.b, g.gcd, t.n
+      FROM srcs s, gcum g, tot t
+    ),
+    scum AS (
+      SELECT gr.source, gr.n_s, gr.b, gr.gcd, gr.n,
+             CAST(sum(coalesce(sb.c, 0)) OVER (
+               PARTITION BY gr.source ORDER BY gr.b
+             ) AS BIGINT) AS scd
+      FROM grid gr
+      LEFT JOIN sb ON sb.source = gr.source AND sb.b = gr.b
+    ),
+    ks AS (
+      SELECT source, n_s,
+             max(abs(
+               (scd * {KS_PPM}) // n_s
+               - ((gcd - scd) * {KS_PPM}) // (n - n_s)
+             )) AS ks_ppm
+      FROM scum
+      WHERE n_s > 0 AND n - n_s > 0
+      GROUP BY source, n_s
+    )
+    SELECT s.source, s.n_s AS n_docs,
+           CAST(k.ks_ppm AS BIGINT) AS ks_ppm,
+           k.ks_ppm >= {KS_FLAG_PPM} AS drift_flag
+    FROM srcs s LEFT JOIN ks k ON k.source = s.source
+    ORDER BY s.source
+    """,
+)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift gate: the two-sample
+    Kolmogorov-Smirnov statistic of each source's document-length
+    distribution against the REST of the corpus — the standard
+    continuous-feature drift test next to the token-level divergence
+    the engine already serves (`source_vocab_divergence` is
+    total-variation over vocabulary; this is max-CDF-gap over a
+    numeric feature, the one that catches a source whose documents
+    silently shrink). A source with ks_ppm >= {KS_FLAG_PPM} (D >=
+    0.10) raises drift_flag — the route-to-quarantine verdict a
+    production intake pipeline keys on.
+
+    Exactness: lengths bucket to a fixed {KS_N_BUCKETS}-cell grid
+    (div {KS_BUCKET_W}, capped), the rest-CDF is derived as
+    global-minus-source (one pass — no per-pair data duplication),
+    and both CDFs are integer ppm fractions, so the reported
+    statistic is the exact KS of the bucketed distributions and
+    hash-matches cross-engine. Single-source corpora define the
+    statistic out (NULL, flag NULL) on both engines.
+
+    Scale shape: one (source, bucket) count aggregate, a <=
+    {KS_N_BUCKETS}-row global CDF fold, a sources x buckets grid
+    (dimension x 256 — the source_vocab_divergence allowlist shape)
+    carrying per-source windows of {KS_N_BUCKETS} rows each, one
+    final per-source max. The raw corpus is read once; nothing
+    per-pair, nothing sorted globally."""
+    from pyspark.sql.window import Window
+
+    from ..operators import bounded_global_window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.least(
+            F.lit(KS_N_BUCKETS - 1),
+            F.expr(f"n_chars div {KS_BUCKET_W}"),
+        ).alias("b"),
+    )
+    sb = d.groupBy("source", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gb = sb.groupBy("b").agg(F.sum("c").cast("long").alias("gc"))
+    # <= 256 rows by construction: the bucket grid
+    gcum = gb.select(
+        "b",
+        F.sum("gc").over(bounded_global_window("b")).cast("long").alias("gcd"),
+    )
+    srcs = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = gb.agg(F.sum("gc").cast("long").alias("n"))
+    grid = srcs.crossJoin(F.broadcast(gcum)).crossJoin(F.broadcast(tot))
+    w = Window.partitionBy("source").orderBy("b")
+    scum = (
+        grid.join(sb, ["source", "b"], "left")
+        .withColumn(
+            "scd",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w).cast("long"),
+        )
+    )
+    gap = F.abs(
+        F.expr(f"(scd * {KS_PPM}) div n_s")
+        - F.expr(f"((gcd - scd) * {KS_PPM}) div (n - n_s)")
+    )
+    ks = (
+        scum.filter((F.col("n_s") > 0) & (F.col("n") - F.col("n_s") > 0))
+        .groupBy("source", "n_s")
+        .agg(F.max(gap).cast("long").alias("ks_ppm"))
+    )
+    return (
+        srcs.join(ks.select("source", "ks_ppm"), "source", "left")
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            "ks_ppm",
+            (F.col("ks_ppm") >= KS_FLAG_PPM).alias("drift_flag"),
+        )
+        .orderBy("source")
+    )

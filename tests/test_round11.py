@@ -749,3 +749,133 @@ def test_time_weighted_value_serial_reference(spark, sf_smoke):
         ).collect()
     }
     assert got == expected
+
+
+def test_wordpiece_greedy_hand_examples():
+    """The greedy rule on a constructed vocab: longest match first,
+    UNK advances one char."""
+    from programmers_data_spark.queries import round11_ops as r11
+
+    vocab = {"ab", "abc", "a", "b", "c", "d"}
+    max_len = r11.UNI_MAX_PIECE_LEN
+
+    def greedy(word):
+        pos = ntok = nunk = 0
+        while pos < len(word):
+            for k in range(min(max_len, len(word) - pos), 0, -1):
+                if word[pos : pos + k] in vocab:
+                    pos += k
+                    ntok += 1
+                    break
+            else:
+                pos += 1
+                ntok += 1
+                nunk += 1
+        return ntok, nunk
+
+    assert greedy("abc") == (1, 0)      # whole-word piece wins
+    assert greedy("abd") == (2, 0)      # ab + d (greedy, not a+b+d)
+    assert greedy("abx") == (2, 1)      # ab + UNK(x)
+    assert greedy("xxx") == (3, 3)      # all UNK, one char each
+
+
+def test_wordpiece_encoded_counts_serial_reference(spark, sf_smoke):
+    """Re-encode every document serially with the same vocab and the
+    same greedy rule; totals must match the Arrow kernel exactly."""
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.functions import textfn
+    from programmers_data_spark.queries import round11_ops as r11
+
+    registry.load_all()
+    vocab = r11._wordpiece_vocab(spark, sf_smoke)
+    max_len = r11.UNI_MAX_PIECE_LEN
+
+    def greedy(word):
+        pos = ntok = nunk = 0
+        while pos < len(word):
+            for k in range(min(max_len, len(word) - pos), 0, -1):
+                if word[pos : pos + k] in vocab:
+                    pos += k
+                    ntok += 1
+                    break
+            else:
+                pos += 1
+                ntok += 1
+                nunk += 1
+        return ntok, nunk
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", textfn.tokenize("text").alias("words"))
+        .collect()
+    )
+    expected = {}
+    for r in docs:
+        t = u = 0
+        for w in r.words:
+            tw, uw = greedy(w)
+            t += tw
+            u += uw
+        expected[r.doc_id] = (len(r.words), t, u)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_unk)
+        for r in registry.QUERIES["wordpiece_encoded_counts"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected
+    # the seed-derived vocab covers the fixture alphabet: no UNKs
+    # on the driver fixtures (degenerate fixtures may differ)
+    assert all(u == 0 for _, _, u in got.values())
+
+
+def test_ks_drift_serial_reference(spark, sf_smoke):
+    """Recompute the bucketed two-sample KS per source with plain
+    dict arithmetic (source CDF vs rest CDF in ppm, max over the
+    global bucket grid)."""
+    from collections import Counter
+
+    from programmers_data_spark import registry
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries import round11_ops as r11
+
+    registry.load_all()
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    per = Counter()
+    for r in docs:
+        b = min(r11.KS_N_BUCKETS - 1, r.n_chars // r11.KS_BUCKET_W)
+        per[(r.source, b)] += 1
+    sources = sorted({s for s, _ in per})
+    buckets = sorted({b for _, b in per})
+    n = len(docs)
+    n_src = Counter(r.source for r in docs)
+    expected = {}
+    for s in sources:
+        ns = n_src[s]
+        if ns == 0 or n - ns == 0:
+            expected[s] = (ns, None, None)
+            continue
+        scum = gcum = 0
+        best = 0
+        for b in buckets:
+            scum += per.get((s, b), 0)
+            gcum += sum(per.get((t, b), 0) for t in sources)
+            rest = gcum - scum
+            gap = abs(
+                (scum * r11.KS_PPM) // ns
+                - (rest * r11.KS_PPM) // (n - ns)
+            )
+            best = max(best, gap)
+        expected[s] = (ns, best, best >= r11.KS_FLAG_PPM)
+    got = {
+        r.source: (r.n_docs, r.ks_ppm, r.drift_flag)
+        for r in registry.QUERIES["ks_drift_by_source"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected

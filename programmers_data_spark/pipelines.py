@@ -245,50 +245,34 @@ def sql_to_sheet(
     return sinks.export_rows(sources.read_sql(spark, sql), deliver, max_rows=max_rows)
 
 
-def curate_corpus(
-    spark: SparkSession,
-    sf_dir: str,
-    table_dir: str,
-    keep_generations: int = 2,
-    near_dup: str = "greedy",
-) -> dict[str, int]:
-    """End-to-end corpus curation: Gopher quality gate → exact content
-    dedup → MinHash near-dup removal → leakage-safe train/val split →
-    versioned publish. Each stage is the SAME code path the
-    individually-oracled queries run (gopher_quality_flags,
-    dedup_exact's hash-min rule, dedup_minhash's banded pairs,
-    train_val_split), composed into the production job shape: one
-    pipeline a training-data team would schedule, not a demo.
+# stage-frame memo per (applicationId, sf_dir, strategy) — *_CACHE
+# contract (bench._reset sweeps every module-level *_CACHE): repeated
+# calls (the pipeline plus the registered funnel contract, or several
+# counts against the same frames) must not re-run the eager component
+# resolution inside connected_components_auto.
+_STAGES_CACHE: dict[tuple, dict] = {}
 
-    ``near_dup`` picks the removal strategy: ``"greedy"`` drops the
-    higher doc_id of every verified pair (cheapest; for transitive
-    clusters it can drop more than the minimum), ``"canonical"``
-    resolves connected components over the pair graph and keeps
-    exactly the minimum doc_id per cluster (one more iterative pass;
-    maximal survivors), ``"best_quality"`` resolves the same
-    components but keeps the member with the best hashed-linear
-    quality logit (ties to the smaller doc_id) — the
-    dedup_keep_best_quality rule, composed through the same
-    `quality_logits` classifier pass the registered query certifies.
-    Every strategy leaves no surviving pair a near-dup.
 
-    Returns the funnel (docs surviving each stage) — the same
-    numbers the curation_funnel query reports — and publishes the
-    curated corpus with its split column through the pointer-file
-    writer, so downstream training reads a complete generation and
-    a bad curation run rolls back without rewrite.
-
-    Scale: every stage is the composed operators' own plan (banded
-    LSH join, map-only gates and splits); the funnel counts are the
-    only extra actions, one aggregate each."""
+def curation_stage_frames(
+    spark: SparkSession, sf_dir: str, near_dup: str = "greedy"
+) -> dict[str, DataFrame]:
+    """The `curate_corpus` stage chain as named DataFrames — factored
+    out so the PIPELINE and the registered `pipeline_funnel_contract`
+    query certify the same code path (one definition of each stage,
+    not a query-side re-implementation that could drift). Keys, in
+    pipeline order: raw, quality_gated, exact_deduped, near_deduped
+    (survivors), curated (survivors with their split column). See
+    `curate_corpus` for stage semantics and strategy choices."""
+    key = (spark.sparkContext.applicationId, sf_dir, near_dup)
+    cached = _STAGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     from .catalog import load_table
-    from .publish import publish_versioned
     from .queries.dedup_ops import verified_pair_store
     from .queries.sampling_ops import train_val_split
     from .queries.text_quality_ops import gopher_quality_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    funnel = {"raw": docs.count()}
 
     keep_ids = (
         gopher_quality_flags(spark, sf_dir)
@@ -296,7 +280,6 @@ def curate_corpus(
         .select("doc_id")
     )
     gated = docs.join(keep_ids, "doc_id", "semi")
-    funnel["quality_gated"] = gated.count()
 
     canon = (
         gated.groupBy(F.md5("text").alias("content_hash"))
@@ -304,7 +287,6 @@ def curate_corpus(
         .select("doc_id")
     )
     exact = gated.join(canon, "doc_id", "semi")
-    funnel["exact_deduped"] = exact.count()
 
     # Scope the verified near-dup pairs to the docs still alive at
     # this stage: a pair whose other end was already removed (quality
@@ -369,13 +351,71 @@ def curate_corpus(
     else:
         raise ValueError(f"unknown near_dup strategy {near_dup!r}")
     survivors = exact.join(near_losers, "doc_id", "anti")
-    funnel["near_deduped"] = survivors.count()
 
     curated = survivors.join(train_val_split(spark, sf_dir), "doc_id")
+    frames = {
+        "raw": docs,
+        "quality_gated": gated,
+        "exact_deduped": exact,
+        "near_deduped": survivors,
+        "curated": curated,
+    }
+    _STAGES_CACHE[key] = frames
+    return frames
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    keep_generations: int = 2,
+    near_dup: str = "greedy",
+) -> dict[str, int]:
+    """End-to-end corpus curation: Gopher quality gate → exact content
+    dedup → MinHash near-dup removal → leakage-safe train/val split →
+    versioned publish. Each stage is the SAME code path the
+    individually-oracled queries run (gopher_quality_flags,
+    dedup_exact's hash-min rule, dedup_minhash's banded pairs,
+    train_val_split), composed into the production job shape: one
+    pipeline a training-data team would schedule, not a demo.
+
+    ``near_dup`` picks the removal strategy: ``"greedy"`` drops the
+    higher doc_id of every verified pair (cheapest; for transitive
+    clusters it can drop more than the minimum), ``"canonical"``
+    resolves connected components over the pair graph and keeps
+    exactly the minimum doc_id per cluster (one more iterative pass;
+    maximal survivors), ``"best_quality"`` resolves the same
+    components but keeps the member with the best hashed-linear
+    quality logit (ties to the smaller doc_id) — the
+    dedup_keep_best_quality rule, composed through the same
+    `quality_logits` classifier pass the registered query certifies.
+    Every strategy leaves no surviving pair a near-dup.
+
+    Returns the funnel (docs surviving each stage) — the same
+    numbers the curation_funnel query reports — and publishes the
+    curated corpus with its split column through the pointer-file
+    writer, so downstream training reads a complete generation and
+    a bad curation run rolls back without rewrite.
+
+    Scale: every stage is the composed operators' own plan (banded
+    LSH join, map-only gates and splits); the funnel counts are the
+    only extra actions, one aggregate each. The stage chain itself
+    lives in `curation_stage_frames` (shared with the registered
+    pipeline_funnel_contract query, which hash-certifies the funnel
+    cross-engine)."""
+    from .publish import publish_versioned
+
+    frames = curation_stage_frames(spark, sf_dir, near_dup)
+    funnel = {
+        "raw": frames["raw"].count(),
+        "quality_gated": frames["quality_gated"].count(),
+        "exact_deduped": frames["exact_deduped"].count(),
+        "near_deduped": frames["near_deduped"].count(),
+    }
     # publish_versioned itself refuses an empty staged write, so no
     # extra emptiness check is needed here
     funnel["published"] = publish_versioned(
-        curated,
+        frames["curated"],
         table_dir,
         keep_generations=keep_generations,
     )

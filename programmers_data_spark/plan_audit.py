@@ -41,6 +41,8 @@ PYTHON_TIER = frozenset({
     "split_neardup_leakage",  # composes dedup_minhash
     "cross_source_dup_matrix",  # composes dedup_minhash
     "neardup_incremental",  # composes the Arrow signature store
+    "pipeline_funnel_contract",  # composes the pair store's Arrow
+    #                              signature pass (curate_corpus path)
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
@@ -124,6 +126,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     "ivf_probe_sweep",  # 1-row query/exact-count aggs + 5-row
     #                     verdict window
     "ks_drift_by_source",  # <=256-row global-CDF fold + 1-row total
+    "pipeline_funnel_contract",  # six 1-row stage-count aggregates
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",

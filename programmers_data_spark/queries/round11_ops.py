@@ -1976,3 +1976,140 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------- end-to-end pipeline funnel contract
+
+# The full curate_corpus funnel, hash-certified: stage counts for the
+# exact chain pipelines.curation_stage_frames builds (the PIPELINE'S
+# code path, not a query-side re-implementation — the two share one
+# definition, so this driver row certifies the production pipeline
+# end to end). Strategy pinned to best_quality, the richest path
+# (components + classifier keeper); greedy/canonical variants are
+# pytest-certified in tests/test_pipelines.py.
+
+
+def _pipeline_funnel_oracle() -> str:
+    from .round10_ops import _QL_W_DUCK
+
+    return f"""
+    WITH RECURSIVE
+    gq AS ({ORACLE["gopher_quality_flags"]}),
+    gated AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ),
+    exact_s AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN canon c ON c.doc_id = g.doc_id
+    ),
+    pairs0 AS ({ORACLE["dedup_minhash"]}),
+    pe AS (
+      SELECT doc_a, doc_b FROM pairs0
+      WHERE doc_a IN (SELECT doc_id FROM exact_s)
+        AND doc_b IN (SELECT doc_id FROM exact_s)
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pe
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pe
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(src, dst) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    st AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM exact_s),
+    scores AS (
+      SELECT doc_id, CAST(sum({_QL_W_DUCK}) AS BIGINT) AS logit
+      FROM st GROUP BY doc_id
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, coalesce(s.logit, 0) AS logit
+      FROM comp c LEFT JOIN scores s USING (doc_id)
+    ),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY logit DESC, doc_id
+               ) AS rn
+        FROM m
+      ) WHERE rn > 1
+    ),
+    surv AS (
+      SELECT doc_id FROM exact_s
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    split AS ({ORACLE["train_val_split"]}),
+    curated AS (
+      SELECT s.doc_id, sp.split FROM surv s JOIN split sp USING (doc_id)
+    )
+    SELECT ord, stage, n_docs FROM (
+      SELECT 0 AS ord, 'raw' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'quality_gated',
+             CAST((SELECT count(*) FROM gated) AS BIGINT)
+      UNION ALL SELECT 2, 'exact_deduped',
+             CAST((SELECT count(*) FROM exact_s) AS BIGINT)
+      UNION ALL SELECT 3, 'near_deduped',
+             CAST((SELECT count(*) FROM surv) AS BIGINT)
+      UNION ALL SELECT 4, 'split_train',
+             CAST((SELECT count(*) FROM curated WHERE split = 'train')
+               AS BIGINT)
+      UNION ALL SELECT 5, 'split_val',
+             CAST((SELECT count(*) FROM curated WHERE split = 'val')
+               AS BIGINT)
+    ) ORDER BY ord
+    """
+
+
+@query("pipeline_funnel_contract", oracle=_pipeline_funnel_oracle())
+def pipeline_funnel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pipelines.curate_corpus` funnel as a driver-certified
+    contract: stage survival counts (raw -> Gopher gate -> exact
+    content dedup -> quality-aware near-dup keeper -> train/val
+    split) computed from the SAME `curation_stage_frames` the
+    production pipeline publishes from — one definition per stage,
+    so this row certifies the end-to-end pipeline, not a lookalike.
+    The oracle recomposes every stage from the already-certified
+    fragments (gopher_quality_flags, md5 content canon,
+    dedup_minhash's banded pairs scoped to the alive set, the
+    recursive-CTE component resolution with the hashed-linear keeper
+    rule, train_val_split) — so a drift in ANY stage's semantics,
+    or in how the pipeline chains them, breaks the hash.
+
+    Scale shape: every stage is the composed operators' own plan
+    (map-side gates, banded LSH join, edge-list-bounded component
+    resolution with per-round localCheckpoint, map-side classifier
+    pass); the funnel adds six 1-row aggregates. Stage frames are
+    memoized per (app, sf_dir, strategy) — the *_CACHE contract —
+    so the pipeline and this contract never re-run the eager
+    component loop twice in one session."""
+    from functools import reduce
+
+    from ..pipelines import curation_stage_frames
+
+    frames = curation_stage_frames(spark, sf_dir, near_dup="best_quality")
+    stages = [
+        (0, "raw", frames["raw"]),
+        (1, "quality_gated", frames["quality_gated"]),
+        (2, "exact_deduped", frames["exact_deduped"]),
+        (3, "near_deduped", frames["near_deduped"]),
+        (4, "split_train", frames["curated"].filter(F.col("split") == "train")),
+        (5, "split_val", frames["curated"].filter(F.col("split") == "val")),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(o).alias("ord"), F.lit(s).alias("stage"), "n_docs"
+        )
+        for o, s, df in stages
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("ord")

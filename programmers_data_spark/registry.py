@@ -54,7 +54,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.batching_ops",  # 2 (→198)
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
-    "programmers_data_spark.queries.round11_ops",  # 15 (→225)
+    "programmers_data_spark.queries.round11_ops",  # 16 (→226)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -68,7 +68,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 11
 
 # ROUND-12 ROTATION PLAN: the backlog after this window is the
-# 24-name r7 tail trimmed from _WINDOW_STALE (repetition_profile,
+# 25-name r7 tail trimmed from _WINDOW_STALE (dedup_minhash,
+# repetition_profile,
 # gopher_quality_flags, dedup_prefix,
 # stratified_sample, shingle_novelty,
 # code_fraction_by_source, decontam_overlap, doc_commonness,
@@ -147,6 +148,7 @@ _WINDOW_NEW = (
     "time_weighted_value",
     "wordpiece_encoded_counts",
     "ks_drift_by_source",
+    "pipeline_funnel_contract",
 )
 
 # Group 3 — r10-green sentinels sitting directly on the round-11
@@ -166,8 +168,8 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 11-name r6 remainder (the tail trimmed from the r10 window;
 # latest green driver row r6 — oldest vintage in the record), then
-# the first 21 of the 45-name r7 tier (the second/third/fourth-wave
-# registrations displaced 9 more prefix slots). The 24 trimmed r7
+# the first 20 of the 45-name r7 tier (the second/third/fourth-wave
+# registrations displaced 10 more prefix slots). The 25 trimmed r7
 # tail names lead the r12 backlog (see the ROUND-12 ROTATION PLAN
 # above).
 _WINDOW_STALE = (
@@ -204,7 +206,6 @@ _WINDOW_STALE = (
     "corpus_clean",
     "winnow_collision_pairs",
     "dedup_exact",
-    "dedup_minhash",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -879,3 +879,28 @@ def test_ks_drift_serial_reference(spark, sf_smoke):
         ).collect()
     }
     assert got == expected
+
+
+def test_pipeline_funnel_contract_matches_curate_corpus(spark, sf_smoke, tmp_path):
+    """The registered contract and the production pipeline must agree
+    stage for stage — they share curation_stage_frames, and this test
+    pins the wiring (a pipeline-side divergence like a re-added
+    inline stage would slip past the oracle otherwise)."""
+    from programmers_data_spark import registry
+    from programmers_data_spark.pipelines import curate_corpus
+
+    registry.load_all()
+    funnel = curate_corpus(
+        spark, sf_smoke, str(tmp_path / "tbl"), near_dup="best_quality"
+    )
+    rows = {
+        r.stage: r.n_docs
+        for r in registry.QUERIES["pipeline_funnel_contract"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert rows["raw"] == funnel["raw"]
+    assert rows["quality_gated"] == funnel["quality_gated"]
+    assert rows["exact_deduped"] == funnel["exact_deduped"]
+    assert rows["near_deduped"] == funnel["near_deduped"]
+    assert rows["split_train"] + rows["split_val"] == funnel["published"]

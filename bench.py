@@ -168,6 +168,29 @@ def main() -> None:
     # recorded values — so cross-round comparisons need to know which
     # non-headline numbers are min-of-2 vs single-sample)
     retimed: list[str] = []
+    # Prior-anomaly re-time (round 11): the >SLOW_RETIME_SECS rule
+    # misses in-run hiccups on CHEAP queries (r11: vocab_growth_curve
+    # read 2.01s in-run vs its 0.89s committed prior — under the
+    # absolute threshold, so the inflated sample went straight to the
+    # record). The committed BENCH_DETAIL.json from the previous run
+    # is a per-query prior on identical code at the same sf; any
+    # reading that is BOTH >1.4x its prior and >0.8s absolute gets
+    # the one re-time. Only anomalies pay the second sample (a real
+    # regression re-times once, reads slow twice, and records the
+    # true new cost), so bench wall stays flat. Blanket min-of-2 for
+    # the ~36-query 1.5-2.5s band would cost ~70s/run — measured and
+    # rejected.
+    prior: dict[str, float] = {}
+    detail_prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_prior_path) as f:
+            _pd = json.load(f)
+        if _pd.get("sf") == sf:
+            prior = _pd.get("queries", {})
+    except (OSError, ValueError):
+        pass
     for name in names:
         _reset(spark)
         _force(registry.QUERIES[name](spark, sf_dir))
@@ -178,7 +201,9 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(registry.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        if runs == 1 and best > SLOW_RETIME_SECS:
+        p = prior.get(name)
+        anomalous = p is not None and best > 0.8 and best > 1.4 * p
+        if runs == 1 and (best > SLOW_RETIME_SECS or anomalous):
             retimed.append(name)
             _reset(spark)
             t0 = time.perf_counter()

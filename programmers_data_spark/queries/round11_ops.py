@@ -1100,6 +1100,56 @@ CP_MIN_PART_ORDERS = 5  # per-part support floor (anti-monotone prune)
 CP_MIN_PAIR_ORDERS = 2  # pair support floor
 CP_TOPK = 100
 
+# persisted frequent-pair frame memo per (applicationId, sf_dir) —
+# *_CACHE contract (bench._reset sweeps it): the mined pair table
+# feeds copurchase_pairs AND every branch of triangle_counts' wedge
+# join; without persist+memo each consumer branch replays the whole
+# distinct+support+self-join pipeline (the r5/r7 multi-branch
+# lesson — the unpersisted triangle plan measured 68 parquet scans).
+_PAIR_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, pair_orders, orders_a, orders_b) with
+    part_a < part_b, both support floors applied — persisted, since
+    every consumer reads it from multiple plan branches."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("part_orders"))
+        .filter(F.col("part_orders") >= CP_MIN_PART_ORDERS)
+    )
+    lif = li.join(sup, "l_partkey")
+    a = lif.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("orders_a"),
+    )
+    b = lif.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("orders_b"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "orders_a", "orders_b")
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= CP_MIN_PAIR_ORDERS)
+        .select("part_a", "part_b", "pair_orders", "orders_a", "orders_b")
+        .persist()
+    )
+    _PAIR_EDGE_CACHE[key] = pairs
+    return pairs
+
 
 @query(
     "copurchase_pairs",
@@ -1143,34 +1193,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash self-join on l_orderkey, one pair aggregate, TakeOrdered
     top-{CP_TOPK} (per-partition heaps, no global sort). Ordering is
     total ((pair_orders DESC, part_a, part_b) is unique), so the
-    limit is deterministic cross-engine."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").cast("long").alias("part_orders"))
-        .filter(F.col("part_orders") >= CP_MIN_PART_ORDERS)
-    )
-    lif = li.join(sup, "l_partkey")
-    a = lif.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_a"),
-        F.col("part_orders").alias("orders_a"),
-    )
-    b = lif.select(
-        "l_orderkey",
-        F.col("l_partkey").alias("part_b"),
-        F.col("part_orders").alias("orders_b"),
-    )
+    limit is deterministic cross-engine. The mined pair table is
+    persisted and shared with triangle_counts (`_frequent_pairs` —
+    the *_CACHE contract)."""
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b", "orders_a", "orders_b")
-        .agg(F.count("*").cast("long").alias("pair_orders"))
-        .filter(F.col("pair_orders") >= CP_MIN_PAIR_ORDERS)
+        _frequent_pairs(spark, sf_dir)
         .orderBy(F.desc("pair_orders"), "part_a", "part_b")
         .limit(CP_TOPK)
         .select("part_a", "part_b", "pair_orders", "orders_a", "orders_b")
@@ -1406,9 +1433,15 @@ def rp_distance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- triangle counting
 
 # Edge set: the FULL frequent co-purchase pair graph (the
-# copurchase_pairs mining without the top-k presentation cap).
+# copurchase_pairs mining without the top-k presentation cap),
+# read from the shared persisted `_frequent_pairs` frame.
 TRI_MIN_PART_ORDERS = CP_MIN_PART_ORDERS
 TRI_MIN_PAIR_ORDERS = CP_MIN_PAIR_ORDERS
+
+# persisted oriented-edge memo per (applicationId, sf_dir) — *_CACHE
+# contract: the wedge join consumes the oriented list from three
+# plan branches (e1/e2/e3).
+_TRI_ORIENTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 _TRI_DUCK_EDGES = f"""
     li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1482,31 +1515,17 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution gets at 100 TB. Both engines run the identical
     orientation, so the whole pipeline keeps full hash parity.
 
-    Plan: the pair-mining aggregates, one degree aggregate, two hash
-    joins to orient, one wedge self-join on the middle vertex, one
-    closing semi-shaped join on (x, z), explode + count per node. All
-    equi joins, no Python, no cartesian."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= TRI_MIN_PART_ORDERS)
-        .select("l_partkey")
-    )
-    lif = li.join(sup, "l_partkey")
-    a = lif.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = lif.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= TRI_MIN_PAIR_ORDERS)
-        .select("u", "v")
+    Plan: the pair mining comes from the PERSISTED `_frequent_pairs`
+    frame shared with copurchase_pairs; one degree aggregate, two
+    hash joins to orient (the oriented edge list persisted too — the
+    wedge join reads it from three plan branches, and without the
+    persist every branch replays the whole mining pipeline: the
+    unpersisted plan measured 68 parquet scans / 189 exchanges at
+    sf0.1), one wedge self-join on the middle vertex, one closing
+    semi-shaped join on (x, z), explode + count per node. All equi
+    joins, no Python, no cartesian."""
+    edges = _frequent_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1519,14 +1538,19 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+    key = (spark.sparkContext.applicationId, sf_dir)
+    oriented = _TRI_ORIENTED_CACHE.get(key)
+    if oriented is None:
+        oriented = (
+            edges.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+            )
+            .persist()
         )
-    )
+        _TRI_ORIENTED_CACHE[key] = oriented
     e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
     e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
@@ -1990,6 +2014,11 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_funnel_oracle() -> str:
+    # populate ORACLE for the composed fragments when this module is
+    # imported DIRECTLY (a test bypassing registry.load_all) — all
+    # three register EARLIER in _QUERY_MODULES, so importing them
+    # here never reorders registration (the r9 lesson)
+    from . import dedup_ops, sampling_ops, text_quality_ops  # noqa: F401
     from .round10_ops import _QL_W_DUCK
 
     return f"""

@@ -666,6 +666,7 @@ def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same foreachBatch binds to a Kafka source with the
     slices replaced by real trigger intervals."""
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql.window import Window
@@ -681,12 +682,6 @@ def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", "ts"
     )
-    base = store_base("SPARK_GRAFT_UPSERT_PUB_STORE", "spark_graft_upub")
-    os.makedirs(base, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="upub_", dir=base)
-    src = os.path.join(root, "src")
-    store = os.path.join(root, "store")
-
     bounds = ev.agg(
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
@@ -698,6 +693,11 @@ def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, last_event_id long, last_value double,"
             " last_ts_us long",
         )
+    base = store_base("SPARK_GRAFT_UPSERT_PUB_STORE", "spark_graft_upub")
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="upub_", dir=base)
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "store")
     n = UPSERT_PUB_N_SLICES
     cuts = [lo + k * (hi - lo) // n for k in range(1, n)]
     t = F.unix_micros("ts")
@@ -725,25 +725,37 @@ def stream_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         incremental_upsert(bdf.sparkSession, store, delta, ["user_id"])
 
-    slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
-    stream = spark.readStream.schema(ev.schema).parquet(f"{src}/*")
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .start()
-    )
     try:
-        q.processAllAvailable()  # slice 0 establishes the store
-        for i, sl in enumerate(slices[1:], start=1):
-            sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
-            q.processAllAvailable()  # one upsert per arrival slice
-    finally:
-        q.stop()
+        slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{src}/*")
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # slice 0 establishes the store
+            for i, sl in enumerate(slices[1:], start=1):
+                sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+                q.processAllAvailable()  # one upsert per arrival slice
+        finally:
+            q.stop()
 
-    result = spark.read.parquet(store).orderBy("user_id").persist()
-    result.count()  # materialize before the temp source can age out
-    _UPSERT_PUB_CACHE[key] = result
-    return result
+        # localCheckpoint (NOT persist): materializes eagerly AND
+        # severs lineage from the temp parquet store, so the replay
+        # scratch tree can be removed immediately — r11 VERDICT #7:
+        # the per-invocation mkdtemp trees accumulated across bench
+        # _reset sweeps (persist kept the files load-bearing because
+        # cache eviction would have re-read them).
+        result = (
+            spark.read.parquet(store)
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+        _UPSERT_PUB_CACHE[key] = result
+        return result
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ===================================================================

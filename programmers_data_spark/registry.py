@@ -185,7 +185,7 @@ _WINDOW_STALE = (
     "rolling_7d_revenue",
     "daily_revenue_dense",
     "ewma_daily_revenue",
-    # r7 tier prefix (30 of 45, registration order)
+    # r7 tier prefix (20 of 45, registration order)
     "dedup_keep_latest",
     "upsert_keyed",
     "distinct_rows",

@@ -412,14 +412,30 @@ def test_rotation_backlog_arithmetic():
         for name, row in rows.items():
             if row.get("hash_match"):
                 latest_green[name] = rnd
-    # the plan must actually be authored against an existing record
-    # prefix (WINDOW_ROUND == latest record round + 1)
+    # The plan must be authored against an existing record prefix.
+    # Rotation genuinely CANNOT pre-date the record it rotates
+    # against (sentinel/stale vintage arithmetic needs the new rows),
+    # so the moment the driver drops CORRECTNESS_r{WINDOW_ROUND}.json
+    # the window is DUE but not yet possible to have been rotated —
+    # the r11 version of this check asserted red in exactly that
+    # state, guaranteeing a failed suite at every round boundary
+    # (r11 VERDICT defect #1). Now: a record exactly one round ahead
+    # skips with the rotate-now message; only a record ≥2 rounds
+    # ahead (a truly missed rotation) fails.
     rounds = sorted(round_of(f) for f in files)
-    assert registry.WINDOW_ROUND >= rounds[-1] + 1, (
-        f"WINDOW_ROUND {registry.WINDOW_ROUND} is stale: record "
-        f"r{rounds[-1]} already exists — rotate the window groups and "
-        f"bump WINDOW_ROUND in the same commit"
+    assert rounds[-1] <= registry.WINDOW_ROUND, (
+        f"WINDOW_ROUND {registry.WINDOW_ROUND} missed a rotation: "
+        f"record r{rounds[-1]} exists, so the window should have been "
+        f"rotated and WINDOW_ROUND bumped to {rounds[-1] + 1} already"
     )
+    if rounds[-1] == registry.WINDOW_ROUND:
+        pytest.skip(
+            f"rotation due: record r{rounds[-1]} landed — rotate the "
+            f"window groups and bump WINDOW_ROUND to {rounds[-1] + 1} "
+            f"in the same commit (group arithmetic can only be "
+            f"authored against that record, so this state is expected "
+            f"between the driver drop and the next builder session)"
+        )
 
     window = set(registry._WINDOW)
     # registration order must be derived CANONICALLY — list(QUERIES)

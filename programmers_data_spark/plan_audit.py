@@ -53,6 +53,10 @@ PYTHON_TIER = frozenset({
     #                              operator (oracle: recursive CTE)
     "ivf_incremental_assign",  # Arrow batch-assign GEMM + the full
     #                            index's assignment pass it audits
+    "image_dhash",  # Arrow PNG encode/decode + perceptual-hash kernel
+    "image_neardup_pairs",  # composes image_dhash's Arrow hash table
+    "image_neardup_clusters",  # same hash table + component labels
+    "image_resize_hash_invariance",  # Arrow resize-path hash kernel
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose

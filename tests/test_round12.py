@@ -1,0 +1,174 @@
+"""Round-12 tests: the image near-duplicate tier (perceptual hashes
+over the pure-stdlib PNG codec, banded LSH pairs, cluster
+resolution, resize invariance)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from programmers_data_spark import registry  # noqa: E402
+from programmers_data_spark.queries.round12_ops import (  # noqa: E402
+    HAM_T,
+    IMG_H,
+    IMG_W,
+    SCENE_MIN,
+    _perceptual_hashes,
+    _pixel_buffer,
+    _pool,
+)
+from programmers_data_spark.testing import compare_to_oracle  # noqa: E402
+
+registry.load_all()
+
+
+# ------------------------------------------------ serial references
+
+
+def test_perceptual_hashes_hand_worked():
+    """cells = 0..63 row-major: mean = 31, so aHash sets exactly bits
+    32..63; each row is increasing, so dHash (right neighbor, wrap)
+    sets only the last column (c=7 compares against c=0)."""
+    alo, ahi, dlo, dhi = _perceptual_hashes(list(range(64)))
+    assert alo == 0
+    assert ahi == 0xFFFFFFFF
+    assert dlo == dhi == 0x80808080
+
+
+def test_pool_exactness():
+    """2x2 pooling of a known 16x16 buffer is the integer mean."""
+    buf = bytes(range(256))
+    cells = _pool(buf, 16, 2)
+    # cell (0,0) pools pixels 0, 1, 16, 17 -> 34 // 4 = 8
+    assert cells[0][0] == 8
+    # cell (7,7) pools 238, 239, 254, 255 -> 986 // 4 = 246
+    assert cells[7][7] == 246
+
+
+def test_perturbed_buffer_stays_near():
+    """Two same-scene buffers differ in <= 2 pixels, so their dHash
+    Hamming distance is <= HAM_T by construction — the serial form of
+    the pair operator's keep rule (checked over many doc pairs)."""
+    for scene_doc in range(0, 60, 7):
+        a = _pixel_buffer(scene_doc, f"text-{scene_doc}", SCENE_MIN)
+        b = _pixel_buffer(scene_doc + SCENE_MIN, "other text", SCENE_MIN)
+        n_diff = sum(1 for x, y in zip(a, b) if x != y)
+        assert n_diff <= 2
+        _, _, dlo_a, dhi_a = _perceptual_hashes(_pool(a, 16, 2))
+        _, _, dlo_b, dhi_b = _perceptual_hashes(_pool(b, 16, 2))
+        ham = bin((dlo_a ^ dlo_b)).count("1") + bin((dhi_a ^ dhi_b)).count("1")
+        assert ham <= HAM_T, (scene_doc, ham)
+
+
+def test_hash_halves_fit_32_bits():
+    for doc in range(20):
+        buf = _pixel_buffer(doc, f"doc {doc}", SCENE_MIN)
+        for v in _perceptual_hashes(_pool(buf, 16, 2)):
+            assert 0 <= v < (1 << 32)
+
+
+def test_codec_roundtrip_preserves_hash_input():
+    """The kernel hashes DECODED pixels; roundtrip identity is what
+    licenses the pre-encode oracle — assert it directly."""
+    from programmers_data_spark.multimodal.png import decode, encode
+
+    buf = _pixel_buffer(5, "roundtrip", SCENE_MIN)
+    w, h, ch, px = decode(encode(IMG_W, IMG_H, bytes(buf), channels=1))
+    assert (w, h, ch) == (IMG_W, IMG_H, 1)
+    assert bytes(px) == bytes(buf)
+
+
+# ------------------------------------------------ planted fixture
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """26 documents with doc_id 0..25: scene count is SCENE_MIN (23),
+    so exactly (0,23), (1,24), (2,25) are planted same-scene
+    near-duplicate image pairs; everything else is scene-unique."""
+    d = tmp_path_factory.mktemp("planted_images")
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(26),
+            "text": [f"document number {i} body" for i in range(26)],
+            "lang": ["en"] * 26,
+            "source": [f"src{i % 3}" for i in range(26)],
+            "n_chars": [24] * 26,
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_planted_neardup_images_found(spark, planted_dir):
+    pairs = {
+        (r.media_a, r.media_b): r.ham_d
+        for r in registry.QUERIES["image_neardup_pairs"](
+            spark, planted_dir
+        ).collect()
+    }
+    assert set(pairs) == {(0, 23), (1, 24), (2, 25)}
+    assert all(h <= HAM_T for h in pairs.values())
+
+
+def test_planted_clusters_merge_scenes(spark, planted_dir):
+    rows = registry.QUERIES["image_neardup_clusters"](
+        spark, planted_dir
+    ).collect()
+    cluster = {r.media_id: r.cluster_id for r in rows}
+    assert len(cluster) == 26
+    assert cluster[23] == cluster[0] == 0
+    assert cluster[24] == cluster[1] == 1
+    assert cluster[25] == cluster[2] == 2
+    # non-planted docs stay singletons under their own id
+    assert all(cluster[i] == i for i in range(3, 23))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "image_dhash",
+        "image_neardup_pairs",
+        "image_neardup_clusters",
+        "image_resize_hash_invariance",
+    ],
+)
+def test_planted_fixture_oracle_parity(spark, planted_dir, name):
+    """Full value-level parity on the PLANTED corpus (the driver's
+    comparison, on a fixture whose answer is known by construction)."""
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, str(result)
+
+
+def test_resize_invariance_is_exact(spark, planted_dir):
+    """The invariance query's output equals image_dhash's hash columns
+    row for row — the theorem, asserted engine-side (the oracle match
+    asserts it cross-engine)."""
+    base = (
+        registry.QUERIES["image_dhash"](spark, planted_dir)
+        .select("media_id", "ahash_lo", "ahash_hi", "dhash_lo", "dhash_hi")
+    )
+    resized = registry.QUERIES["image_resize_hash_invariance"](
+        spark, planted_dir
+    )
+    assert base.subtract(resized).count() == 0
+    assert resized.subtract(base).count() == 0
+
+
+def test_pair_plan_is_equi_join(spark, planted_dir):
+    """The banded candidate join must plan as a hash/merge equi join —
+    never a cartesian/BNLJ (the not-all-pairs discipline)."""
+    plan = (
+        registry.QUERIES["image_neardup_pairs"](spark, planted_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

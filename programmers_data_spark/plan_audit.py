@@ -56,6 +56,7 @@ PYTHON_TIER = frozenset({
     "image_dhash",  # Arrow PNG encode/decode + perceptual-hash kernel
     "image_neardup_pairs",  # composes image_dhash's Arrow hash table
     "image_neardup_clusters",  # same hash table + component labels
+    "image_lsh_recall",  # composes the same Arrow hash table
     "image_resize_hash_invariance",  # Arrow resize-path hash kernel
 })
 

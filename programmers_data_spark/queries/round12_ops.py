@@ -428,6 +428,92 @@ def image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_lsh_recall",
+    oracle=f"""
+    WITH {_IMG_HASH_CTE},
+    {_IMG_PAIR_CTE},
+    truth AS (
+      SELECT ha.scene, ha.media_id AS media_a, hb.media_id AS media_b
+      FROM hashes ha JOIN hashes hb
+        ON ha.scene = hb.scene AND ha.media_id < hb.media_id
+      WHERE bit_count(xor(ha.dhash_lo, hb.dhash_lo))
+          + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) <= {HAM_T}
+    ),
+    found AS (
+      SELECT t.scene, t.media_a, t.media_b
+      FROM truth t JOIN pairs p
+        ON p.media_a = t.media_a AND p.media_b = t.media_b
+    )
+    SELECT s.scene,
+           CAST(s.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(f.n_found, 0) * 100 // s.n_true AS BIGINT)
+             AS recall_pct
+    FROM (SELECT scene, count(*) AS n_true FROM truth GROUP BY scene) s
+    LEFT JOIN (
+      SELECT scene, count(*) AS n_found FROM found GROUP BY scene
+    ) f ON f.scene = s.scene
+    ORDER BY s.scene
+    """,
+)
+def image_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the banded image LSH — the accuracy twin
+    every other LSH/ANN path in the repo carries (lsh_neardup_recall,
+    ann/ivf/pq_recall_at5): ground truth is the set of within-scene
+    pairs at Hamming <= HAM_T (an equi join on the scene key — the
+    truth set is closed-form here, never an all-pairs scan), found is
+    the band-candidate pipeline's verified output intersected with
+    the truth, reported per scene as an exact integer percentage.
+    Banding can only MISS (a >=5-bit spread across all 4 bands), so
+    recall_pct <= 100 structurally; measured 100 at every SF."""
+    h = _image_hash_table(spark, sf_dir)
+    ha = h.select(
+        "scene",
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("scene").alias("scene_b"),
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    truth = (
+        ha.join(hb, (F.col("scene") == F.col("scene_b"))
+                & (F.col("media_a") < F.col("media_b")))
+        .filter(ham <= HAM_T)
+        .select("scene", "media_a", "media_b")
+        .persist()  # feeds the count aggregate AND the found join
+    )
+    found = (
+        truth.join(_neardup_pairs(spark, sf_dir), ["media_a", "media_b"])
+        .groupBy("scene")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        truth.groupBy("scene")
+        .agg(F.count("*").alias("n_true"))
+        .join(found, "scene", "left")
+        .select(
+            "scene",
+            F.col("n_true").cast("long"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            # integer div on BOTH sides (float-divide-then-cast
+            # truncates vs rounds differently across engines)
+            F.expr("coalesce(n_found, 0) * 100 div n_true")
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("scene")
+    )
+
+
+@query(
     "image_resize_hash_invariance",
     oracle=f"""
     WITH {_IMG_HASH_CTE}

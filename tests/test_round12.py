@@ -135,6 +135,7 @@ def test_planted_clusters_merge_scenes(spark, planted_dir):
         "image_dhash",
         "image_neardup_pairs",
         "image_neardup_clusters",
+        "image_lsh_recall",
         "image_resize_hash_invariance",
     ],
 )
@@ -144,6 +145,15 @@ def test_planted_fixture_oracle_parity(spark, planted_dir, name):
     df = registry.QUERIES[name](spark, planted_dir)
     result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
     assert result.ok, str(result)
+
+
+def test_planted_recall_is_total(spark, planted_dir):
+    """On the planted corpus every true pair survives banding (a
+    1-pixel perturbation can spread at most 4 dHash bits over the 4
+    bands, so at least one band always matches exactly)."""
+    rows = registry.QUERIES["image_lsh_recall"](spark, planted_dir).collect()
+    assert rows, "no scene had a true pair"
+    assert all(r.recall_pct == 100 and r.n_found == r.n_true for r in rows)
 
 
 def test_resize_invariance_is_exact(spark, planted_dir):

@@ -58,6 +58,8 @@ PYTHON_TIER = frozenset({
     "image_neardup_clusters",  # same hash table + component labels
     "image_lsh_recall",  # composes the same Arrow hash table
     "image_resize_hash_invariance",  # Arrow resize-path hash kernel
+    "crossmodal_dup_consistency",  # composes the image hash kernel
+    #                                 AND dedup_minhash's Arrow pass
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose

@@ -25,7 +25,7 @@ at every corpus size and the near-dup pair volume grows LINEARLY
 with the corpus — the fixture mirrors a real crawl's bounded
 duplication factor instead of densifying quadratically.
 
-Certification structure (all four queries FULL hash parity):
+Certification structure (all six queries FULL hash parity):
 - `image_dhash` — the Arrow kernel builds the pixel buffer, ENCODES
   it as a real PNG (multimodal/png.py writer), DECODES it back with
   the same module's reader, 2x2-average-pools to 8x8, and emits
@@ -44,6 +44,9 @@ Certification structure (all four queries FULL hash parity):
   graph (operators.connected_components_auto, the dedup_clusters
   machinery), cluster id = min media_id reached; oracle resolves the
   same graph with a recursive CTE.
+- `image_lsh_recall` — the banding's accuracy twin: per-scene recall
+  of the candidate pipeline against the closed-form truth set, as
+  exact integer percentages.
 - `image_resize_hash_invariance` — dHash/aHash are invariant under
   the codec's 2x nearest-neighbor upscale (resize_nearest to 32x32,
   then 4x4 pooling: each source pixel is duplicated 2x2, so every
@@ -53,6 +56,10 @@ Certification structure (all four queries FULL hash parity):
   oracle is the plain 16x16 derivation — a green hash is an exact
   invariance theorem over the whole corpus and certifies
   resize_nearest's index arithmetic (previously pytest-only).
+- `crossmodal_dup_consistency` — text-LSH x image-LSH pair
+  adjudication over the shared augmented corpus (both/text_only/
+  image_only), oracle composed from the registered dedup_minhash SQL
+  and the shared image-hash fragment.
 
 Scale shape: one map-only Arrow pass per hash table (memoized +
 persisted — pairs/clusters/the presentation sort are 3+ consumers),
@@ -141,14 +148,25 @@ def _pool(px: bytes, width: int, block: int):
 
 # ------------------------------------------------ oracle fragments
 
-# The full hash derivation as DuckDB CTEs ending in `hashes`
-# (media_id, scene, ahash_lo/hi, dhash_lo/hi). Kept as ONE shared
-# fragment so the pair/cluster/invariance oracles cannot drift from
-# the per-image oracle.
-_IMG_HASH_CTE = f"""
+
+def _img_hash_cte(doc_rel: str = "documents", canon_mod: int | None = None) -> str:
+    """The full hash derivation as DuckDB CTEs ending in `hashes`
+    (media_id, scene, ahash_lo/hi, dhash_lo/hi), parameterized by the
+    source relation and an optional canonical-id modulus (the
+    cross-modal query keys scenes by doc_id % 1e6 so a document's
+    augmented mutation renders a near-duplicate IMAGE of the
+    original). One shared builder so the pair/cluster/invariance/
+    cross-modal oracles cannot drift from the per-image oracle."""
+
+    def canon(alias: str) -> str:
+        return (
+            f"{alias}.doc_id % {canon_mod}" if canon_mod else f"{alias}.doc_id"
+        )
+
+    return f"""
 params AS (
   SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
-  FROM documents
+  FROM {doc_rel}
 ),
 px AS (
   SELECT d.doc_id,
@@ -156,11 +174,11 @@ px AS (
          CASE WHEN t.p = ('0x' || substr(md5(coalesce(d.text,'')), 1, 2))::INT
               THEN ('0x' || substr(md5(coalesce(d.text,'')), 3, 2))::INT
               ELSE ('0x' || substr(
-                       md5(CAST(d.doc_id % params.scenes AS VARCHAR) || ':' ||
-                           CAST(t.p // 16 AS VARCHAR)),
+                       md5(CAST(({canon('d')}) % params.scenes AS VARCHAR)
+                           || ':' || CAST(t.p // 16 AS VARCHAR)),
                        (t.p % 16) * 2 + 1, 2))::INT
          END AS v
-  FROM documents d, params, generate_series(0, 255) AS t(p)
+  FROM {doc_rel} d, params, generate_series(0, 255) AS t(p)
 ),
 cells AS (
   SELECT doc_id, ((p // 16) // 2) * 8 + (p % 16) // 2 AS k,
@@ -183,7 +201,8 @@ dbits AS (
 ),
 hashes AS (
   SELECT a.doc_id AS media_id,
-         CAST(a.doc_id % (SELECT scenes FROM params) AS BIGINT) AS scene,
+         CAST(({canon('a')}) % (SELECT scenes FROM params) AS BIGINT)
+           AS scene,
          CAST(sum(CASE WHEN a.bit = 1 AND a.k < 32
                        THEN (1::BIGINT) << a.k ELSE 0 END) AS BIGINT)
            AS ahash_lo,
@@ -199,6 +218,9 @@ hashes AS (
   FROM abits a JOIN dbits d ON a.doc_id = d.doc_id AND a.k = d.k
   GROUP BY a.doc_id
 )"""
+
+
+_IMG_HASH_CTE = _img_hash_cte()
 
 # Band + candidate + verified-pair layer on top of `hashes`.
 _IMG_PAIR_CTE = f"""
@@ -237,17 +259,19 @@ pairs AS (
 _IMG_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _IMG_HASH_CACHE.get(key)
-    if cached is not None:
-        return cached
-
+def _hash_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    scenes: int,
+    canon_mod: int | None = None,
+) -> DataFrame:
+    """The Arrow perceptual-hash kernel over a (doc_id, text) frame:
+    render -> PNG encode -> PNG decode -> pool -> hash. `canon_mod`
+    optionally reduces doc_id before scene keying (the cross-modal
+    query maps a mutated copy at doc_id + 1e6 onto its original's
+    scene)."""
     from ..multimodal.png import decode as png_decode
     from ..multimodal.png import encode as png_encode
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scenes = _scene_count(docs.count())  # bounded 1-value scalar
 
     def hash_batches(batches):
         import pandas as pd
@@ -260,7 +284,8 @@ def _image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dhash_lo": [], "dhash_hi": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                buf = _pixel_buffer(int(doc_id), text, scenes)
+                canon = int(doc_id) % canon_mod if canon_mod else int(doc_id)
+                buf = _pixel_buffer(canon, text, scenes)
                 # REAL codec roundtrip: the hash is computed from the
                 # DECODED PNG, not the raw buffer (roundtrip identity
                 # is what licenses the pre-encode oracle).
@@ -269,22 +294,30 @@ def _image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assert (w, h, ch) == (IMG_W, IMG_H, 1)
                 alo, ahi, dlo, dhi = _perceptual_hashes(_pool(px, 16, 2))
                 out["media_id"].append(int(doc_id))
-                out["scene"].append(int(doc_id) % scenes)
+                out["scene"].append(canon % scenes)
                 out["ahash_lo"].append(alo)
                 out["ahash_hi"].append(ahi)
                 out["dhash_lo"].append(dlo)
                 out["dhash_hi"].append(dhi)
             yield pd.DataFrame(out)
 
-    table = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            hash_batches,
-            schema="media_id long, scene long, ahash_lo long, ahash_hi long,"
-            " dhash_lo long, dhash_hi long",
-        )
-        .persist()
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        hash_batches,
+        schema="media_id long, scene long, ahash_lo long, ahash_hi long,"
+        " dhash_lo long, dhash_hi long",
     )
+
+
+def _image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IMG_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(docs.count())  # bounded 1-value scalar
+    table = _hash_frame(spark, docs, scenes).persist()
     _IMG_HASH_CACHE[key] = table
     return table
 
@@ -329,7 +362,10 @@ def _band_frame(h: DataFrame) -> DataFrame:
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _image_hash_table(spark, sf_dir)
+    return _pairs_from(_image_hash_table(spark, sf_dir))
+
+
+def _pairs_from(h: DataFrame) -> DataFrame:
     b = _band_frame(h)
     cand = (
         b.alias("a")
@@ -569,4 +605,107 @@ def image_resize_hash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " dhash_lo long, dhash_hi long",
         )
         .orderBy("media_id")
+    )
+
+
+# ------------------------------------------------ cross-modal tier
+
+# The cross-modal hash table persists (two consumers: the pair join's
+# branches) and memoizes per (app, sf_dir) like every shared frame.
+_XMODAL_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _xmodal_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashes over the AUGMENTED corpus (dedup_ops._AUG_SQL:
+    every 20th document gains a mutated copy at doc_id + 1e6), with
+    scenes keyed by doc_id % 1e6 — a mutation therefore renders a
+    near-duplicate IMAGE of its original, so text near-dup pairs and
+    image near-dup pairs genuinely overlap."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _XMODAL_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .dedup_ops import _augmented_docs
+
+    docs = _augmented_docs(spark, sf_dir)
+    scenes = _scene_count(docs.count())  # bounded 1-value scalar
+    table = _hash_frame(spark, docs, scenes, canon_mod=1_000_000).persist()
+    _XMODAL_HASH_CACHE[key] = table
+    return table
+
+
+def _crossmodal_oracle() -> str:
+    # imported DIRECTLY here (a test may bypass registry.load_all):
+    # dedup_ops registers EARLIER in _QUERY_MODULES, so importing it
+    # from this later module never reorders registration.
+    from ..registry import ORACLE
+    from . import dedup_ops  # noqa: F401
+    from .dedup_ops import _AUG_SQL
+
+    return f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_img_hash_cte("aug", canon_mod=1_000_000)},
+    {_IMG_PAIR_CTE},
+    tp AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash"]})
+    ),
+    ip AS (SELECT media_a AS doc_a, media_b AS doc_b FROM pairs)
+    SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+           coalesce(t.doc_b, i.doc_b) AS doc_b,
+           CASE WHEN t.doc_a IS NOT NULL AND i.doc_a IS NOT NULL
+                THEN 'both'
+                WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                ELSE 'image_only' END AS dup_class
+    FROM tp t FULL OUTER JOIN ip i
+      ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("crossmodal_dup_consistency", oracle=_crossmodal_oracle())
+def crossmodal_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODALITY duplicate adjudication — the decision a
+    multimodal curation pipeline makes per candidate pair: a pair
+    that is near-duplicate in BOTH text (MinHash-LSH + Jaccard >= 0.5,
+    the dedup_minhash path) and image (banded dHash, Hamming <= HAM_T)
+    is a true duplicate; text_only flags boilerplate/shared captions
+    over distinct media; image_only flags re-captioned or re-posted
+    media. Both sides run over the SAME augmented corpus (every 20th
+    doc's mutated copy), with image scenes keyed by doc_id % 1e6 so a
+    mutation is a near-dup in both modalities — the 'both' class is
+    structurally populated and each single-modality class keeps its
+    own members (unrelated same-scene images; any text pair banding
+    misses on the image side).
+
+    Full hash parity by COMPOSITION: the oracle recomposes the
+    already-registered dedup_minhash SQL and the shared image-hash
+    fragment over the same augmented relation, full-outer-joined on
+    the pair key — drift in either tier, the augmentation, or the
+    join semantics breaks the hash.
+
+    Scale shape: both pair generators are banded equi joins (never
+    all-pairs); the full outer join is keyed on (doc_a, doc_b) — one
+    shuffle over the two bounded pair sets."""
+    from .dedup_ops import dedup_minhash
+
+    ip = _pairs_from(_xmodal_hash_table(spark, sf_dir)).select(
+        F.col("media_a").alias("doc_a"),
+        F.col("media_b").alias("doc_b"),
+        F.lit(True).alias("img"),
+    )
+    tp = dedup_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("txt")
+    )
+    return (
+        tp.join(ip, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("txt").isNotNull() & F.col("img").isNotNull(),
+                   F.lit("both"))
+            .when(F.col("txt").isNotNull(), F.lit("text_only"))
+            .otherwise(F.lit("image_only"))
+            .alias("dup_class"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -55,7 +55,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
-    "programmers_data_spark.queries.round12_ops",  # 5 (→231)
+    "programmers_data_spark.queries.round12_ops",  # 6 (→232)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation

@@ -92,13 +92,19 @@ def planted_dir(tmp_path_factory):
     so exactly (0,23), (1,24), (2,25) are planted same-scene
     near-duplicate image pairs; everything else is scene-unique."""
     d = tmp_path_factory.mktemp("planted_images")
+    # 30 words per doc: long enough that the dedup augmentation's
+    # 8-word prefix drop leaves a mutated copy at Jaccard >= 0.5 with
+    # its original (so the cross-modal 'both' class is populated)
+    texts = [
+        " ".join(f"w{i}t{j}" for j in range(30)) for i in range(26)
+    ]
     docs = pd.DataFrame(
         {
             "doc_id": range(26),
-            "text": [f"document number {i} body" for i in range(26)],
+            "text": texts,
             "lang": ["en"] * 26,
             "source": [f"src{i % 3}" for i in range(26)],
-            "n_chars": [24] * 26,
+            "n_chars": [len(t) for t in texts],
         }
     )
     docs.to_parquet(d / "documents.parquet", index=False)
@@ -137,6 +143,7 @@ def test_planted_clusters_merge_scenes(spark, planted_dir):
         "image_neardup_clusters",
         "image_lsh_recall",
         "image_resize_hash_invariance",
+        "crossmodal_dup_consistency",
     ],
 )
 def test_planted_fixture_oracle_parity(spark, planted_dir, name):
@@ -169,6 +176,33 @@ def test_resize_invariance_is_exact(spark, planted_dir):
     )
     assert base.subtract(resized).count() == 0
     assert resized.subtract(base).count() == 0
+
+
+def test_crossmodal_classes_are_consistent(spark, planted_dir):
+    """Class semantics on the planted corpus: a 'both' pair must
+    appear in dedup_minhash's verified text pairs AND share a scene
+    under the canonical (mod-1e6) keying; 'image_only' pairs must not
+    be text pairs."""
+    from programmers_data_spark.queries.dedup_ops import dedup_minhash
+
+    rows = registry.QUERIES["crossmodal_dup_consistency"](
+        spark, planted_dir
+    ).collect()
+    tpairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash(spark, planted_dir).collect()
+    }
+    assert rows
+    for r in rows:
+        if r.dup_class in ("both", "text_only"):
+            assert (r.doc_a, r.doc_b) in tpairs, r
+        else:
+            assert (r.doc_a, r.doc_b) not in tpairs, r
+    # the planted corpus has augmented copies (doc_id 0 and 20 are
+    # multiples of 20 -> copies at 1000000/1000020), whose pairs are
+    # near-dup in BOTH modalities
+    assert any(r.dup_class == "both" for r in rows)
+    assert any(r.dup_class == "image_only" for r in rows)
 
 
 def test_pair_plan_is_equi_join(spark, planted_dir):

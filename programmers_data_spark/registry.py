@@ -66,30 +66,32 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
-# ROUND-12 ROTATION PLAN: the backlog after this window is the
-# 25-name r7 tail trimmed from _WINDOW_STALE (dedup_minhash,
-# repetition_profile,
-# gopher_quality_flags, dedup_prefix,
-# stratified_sample, shingle_novelty,
-# code_fraction_by_source, decontam_overlap, doc_commonness,
-# dedup_incremental, table_profile, curation_funnel,
-# neardup_incremental, event_path_trigrams, rfm_segments,
-# hard_negatives, rrf_fusion, label_centroid_drift,
-# multimodal_audio_meta, source_temperature_weights,
-# token_budget_allocation, curriculum_phases, training_manifest,
-# tfidf_shingle_pairs, bpe_contract), then the 49-name r8 tier, then
-# r9. Take any round-12 NEW registrations FIRST (never-driver-checked
+# ROUND-13 ROTATION PLAN: the backlog after this window is the
+# 32-name r8 tail trimmed from _WINDOW_STALE (near_dup_rate_by_source,
+# corpus_shuffle, skew_profile, stream_tumbling_daily,
+# stream_sliding_2d, stream_dedup, sessionization,
+# stream_session_window, stream_stateful_counts,
+# stream_enrich_segment, stream_join_attribution,
+# stream_corpus_quality, stream_vocab_drift, mau,
+# corpus_mixture_weights, source_vocab_divergence, doc_line_dedup,
+# customers_with_orders, customers_without_orders, rollup_revenue,
+# returning_customers, churned_customers, ann_lsh_topk,
+# embedding_neardup_lsh, contrastive_training_pairs,
+# multimodal_png_roundtrip, ann_recall_at5, lsh_neardup_recall,
+# split_neardup_leakage, dsir_importance_proxy, span_corruption_plan,
+# tokenizer_fertility_by_source), then the 48-name r9 tier, then r10.
+# Take any round-13 NEW registrations FIRST (never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
-# round-11-green sentinels on whatever the r12 diff touches, then
+# round-12-green sentinels on whatever the r13 diff touches, then
 # backlog names in (vintage, registration-order) order to fill 50 —
 # older tiers drained COMPLETELY before the next begins (the
 # bookkeeping test enforces the multi-tier oldest-first rule since
 # r11). Keep stream_tws_value_stats OUTSIDE the window (honestly
 # gated: google.protobuf absent, installs disallowed — semantics
 # driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 12 in the same commit that rewrites the groups —
+# WINDOW_ROUND to 13 in the same commit that rewrites the groups —
 # the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -116,97 +118,90 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the
-# driver verifies this round (round WINDOW_ROUND = 11; r10 VERDICT
+# driver verifies this round (round WINDOW_ROUND = 12; r10 VERDICT
 # ask #2). The window is the concatenation of four explicit groups
 # so the bookkeeping test can check each group's defining property
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# none remain (every r10 registration got its r10 row).
+# none remain (every r11 registration got its r11 row).
 _WINDOW_LEADS = ()
 
-# Group 2 — round-11 NEW registrations (never driver-checked;
-# appended as they land this round). unigram_lm_probs and
-# unigram_encoded_counts are declared rows-only (registry.ROWS_ONLY)
-# and take window slots for the driver's weaker rows-only record —
-# the r6 ANN-internals precedent — while their hash-certified twins
-# (unigram_em_contract, unigram_seed_vocab) ride in the same window.
+# Group 2 — round-12 NEW registrations (never driver-checked): the
+# image near-duplicate tier (perceptual hashes over the pure-stdlib
+# PNG codec, banded LSH pairs, cluster resolution, the banding's
+# recall twin, the resize-invariance theorem) and the cross-modal
+# text-LSH x image-LSH pair adjudication. All six carry full oracles.
 _WINDOW_NEW = (
-    "unigram_seed_vocab",
-    "unigram_em_contract",
-    "unigram_lm_probs",
-    "unigram_encoded_counts",
-    "ivf_incremental_assign",
-    "stream_upsert_publish",
-    # second wave: each displaced one r7-prefix stale slot (new
-    # registrations outrank stale refreshes — the standing rule)
-    "scd2_point_in_time",
-    "zorder_prune_contract",
-    "copurchase_pairs",
-    "rp_project",
-    "rp_distance_contract",
-    "triangle_counts",
-    "time_weighted_value",
-    "wordpiece_encoded_counts",
-    "ks_drift_by_source",
-    "pipeline_funnel_contract",
+    "image_dhash",
+    "image_neardup_pairs",
+    "image_neardup_clusters",
+    "image_lsh_recall",
+    "image_resize_hash_invariance",
+    "crossmodal_dup_consistency",
 )
 
-# Group 3 — r10-green sentinels sitting directly on the round-11
-# diff: session_stats gained the event_id secondary sort key in both
-# engines (r10 ADVICE #1), stream_dedup_horizon_audit's oracle gained
-# the watermark zero-clamp (r10 ADVICE #2), and
-# dedup_keep_best_quality now scores through the factored
-# quality_logits helper the curate_corpus pipeline composes (r10
-# VERDICT ask #7) — together they re-certify every touched query
-# path end-to-end.
+# Group 3 — r11-green sentinels sitting directly on the round-12
+# diff: stream_upsert_publish's snapshot now materializes via eager
+# localCheckpoint and removes its replay scratch tree (r11 VERDICT
+# #7), and dedup_keep_best_quality is the round's adjudicated bench
+# watch (standalone re-times cleared it, SCALE.md) — the driver row
+# closes the watch with a fresh correctness certificate.
 _WINDOW_SENTINELS = (
-    "session_stats",
-    "stream_dedup_horizon_audit",
+    "stream_upsert_publish",
     "dedup_keep_best_quality",
 )
 
 # Group 4 — stale tiers oldest-first, in registration order: the
-# ENTIRE 11-name r6 remainder (the tail trimmed from the r10 window;
-# latest green driver row r6 — oldest vintage in the record), then
-# the first 20 of the 45-name r7 tier (the second/third/fourth-wave
-# registrations displaced 10 more prefix slots). The 25 trimmed r7
-# tail names lead the r12 backlog (see the ROUND-12 ROTATION PLAN
-# above).
+# ENTIRE 25-name r7 remainder (the tail trimmed from the r11 window;
+# latest green driver row r7 — oldest vintage in the record), then
+# the first 17 of the 49-name r8 tier. The 32 trimmed r8 tail names
+# lead the r13 backlog (see the ROUND-13 ROTATION PLAN above).
 _WINDOW_STALE = (
-    # r6 remainder — complete (11)
-    "bm25_topk",
-    "bloom_decontam",
-    "bloom_decontam_misses",
-    "semantic_dedup_recall",
-    "embedding_sq8",
-    "mau_sketch_rollup",
-    "segment_overlap_sketch",
-    "cms_heavy_hitters",
-    "rolling_7d_revenue",
-    "daily_revenue_dense",
-    "ewma_daily_revenue",
-    # r7 tier prefix (20 of 45, registration order)
-    "dedup_keep_latest",
-    "upsert_keyed",
-    "distinct_rows",
-    "csv_parse_project",
-    "json_nested_project",
-    "epoch_to_date",
-    "ts_format",
-    "daily_filter",
-    "clean_currency",
-    "null_fill",
-    "token_count",
-    "text_stats",
-    "doc_fingerprint",
-    "quality_score",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "doc_winnow_fingerprint",
-    "corpus_clean",
-    "winnow_collision_pairs",
-    "dedup_exact",
+    # r7 remainder — complete (25)
+    "dedup_minhash",
+    "repetition_profile",
+    "gopher_quality_flags",
+    "dedup_prefix",
+    "stratified_sample",
+    "shingle_novelty",
+    "code_fraction_by_source",
+    "decontam_overlap",
+    "doc_commonness",
+    "dedup_incremental",
+    "table_profile",
+    "curation_funnel",
+    "neardup_incremental",
+    "event_path_trigrams",
+    "rfm_segments",
+    "hard_negatives",
+    "rrf_fusion",
+    "label_centroid_drift",
+    "multimodal_audio_meta",
+    "source_temperature_weights",
+    "token_budget_allocation",
+    "curriculum_phases",
+    "training_manifest",
+    "tfidf_shingle_pairs",
+    "bpe_contract",
+    # r8 tier prefix (17 of 49, registration order)
+    "incr_distinct",
+    "corpus_sample_hash",
+    "pii_redact",
+    "vocab_topk",
+    "top_terms_per_doc",
+    "doc_chunks",
+    "ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "minhash_jaccard_estimate",
+    "sequence_packing",
+    "packing_spans",
+    "bigram_stats",
+    "doc_lang_mix",
+    "knn_label_vote",
+    "adaptive_quality_gate",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -59,6 +59,7 @@ PYTHON_TIER = frozenset({
     "image_lsh_recall",  # composes the same Arrow hash table
     "image_resize_hash_invariance",  # Arrow resize-path hash kernel
     "crossmodal_dup_consistency",  # composes the image hash kernel
+    "image_neardup_incremental",  # composes the image hash kernel
     #                                 AND dedup_minhash's Arrow pass
 })
 

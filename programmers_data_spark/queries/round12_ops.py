@@ -25,7 +25,7 @@ at every corpus size and the near-dup pair volume grows LINEARLY
 with the corpus — the fixture mirrors a real crawl's bounded
 duplication factor instead of densifying quadratically.
 
-Certification structure (all six queries FULL hash parity):
+Certification structure (all seven queries FULL hash parity):
 - `image_dhash` — the Arrow kernel builds the pixel buffer, ENCODES
   it as a real PNG (multimodal/png.py writer), DECODES it back with
   the same module's reader, 2x2-average-pools to 8x8, and emits
@@ -60,6 +60,8 @@ Certification structure (all six queries FULL hash parity):
   adjudication over the shared augmented corpus (both/text_only/
   image_only), oracle composed from the registered dedup_minhash SQL
   and the shared image-hash fragment.
+- `image_neardup_incremental` — the per-ingest-batch pair delta,
+  certified by the incremental ≡ full closed form.
 
 Scale shape: one map-only Arrow pass per hash table (memoized +
 persisted — pairs/clusters/the presentation sort are 3+ consumers),
@@ -708,4 +710,87 @@ def crossmodal_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_class"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------- incremental index maintenance
+
+# Residue split for the incremental contract (the scd2/PIT residue
+# trick): arrivals are doc_id % 3 == 1, the existing index is the
+# rest. A pure function of the id, so both engines agree on the
+# split for free and the full rebuild is a split-independent oracle.
+IMG_ARRIVAL_RESIDUE = 1
+
+
+@query(
+    "image_neardup_incremental",
+    oracle=f"""
+    WITH {_img_hash_cte()},
+    {_IMG_PAIR_CTE}
+    SELECT media_a, media_b, ham_d FROM pairs
+    WHERE media_a % 3 = {IMG_ARRIVAL_RESIDUE}
+       OR media_b % 3 = {IMG_ARRIVAL_RESIDUE}
+    ORDER BY media_a, media_b
+    """,
+)
+def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup maintenance — the operation a
+    production media pipeline runs per ingest batch: NEW arrivals
+    (doc_id % 3 == 1) are hashed and band-joined against the EXISTING
+    index PLUS each other; nothing about the existing corpus is
+    re-paired. The output is exactly the pair DELTA the batch
+    contributes.
+
+    Correctness: incremental ≡ full (the neardup_incremental /
+    incr_mau_refresh precedent) — because banding and Hamming are
+    per-pair local, the delta has a closed form: the FULL rebuild's
+    pairs restricted to those touching an arrival. The oracle IS that
+    full rebuild restricted, so any asymmetry in the incremental join
+    (missed arrival-arrival pairs, double-counted existing pairs,
+    wrong normalization) breaks the hash.
+
+    Scale shape: the band join probes arrival bands (batch-sized)
+    against the full band table — cost proportional to the ARRIVAL
+    batch and its bucket mates, never the index size; the existing
+    index's pairs are never recomputed. At 100 TB the full band table
+    is the published, bucketed signature store (the
+    dedup_ops.verified_pair_store pattern)."""
+    h = _image_hash_table(spark, sf_dir)
+    arrivals = h.filter(F.col("media_id") % 3 == IMG_ARRIVAL_RESIDUE)
+    ab = _band_frame(arrivals)
+    allb = _band_frame(h)
+    # candidate = arrival x (existing + arrivals), normalized a < b;
+    # an arrival-arrival pair appears from both sides of the probe,
+    # the DISTINCT collapses it to one row.
+    cand = (
+        ab.alias("a")
+        .join(allb.alias("b"), ["band", "bval"])
+        .filter(F.col("a.media_id") != F.col("b.media_id"))
+        .select(
+            F.least("a.media_id", "b.media_id").alias("media_a"),
+            F.greatest("a.media_id", "b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("ham_d", ham)
+        .filter(F.col("ham_d") <= HAM_T)
+        .select("media_a", "media_b", "ham_d")
+        .orderBy("media_a", "media_b")
     )

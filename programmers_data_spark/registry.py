@@ -55,7 +55,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
-    "programmers_data_spark.queries.round12_ops",  # 6 (→232)
+    "programmers_data_spark.queries.round12_ops",  # 7 (→233)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -69,8 +69,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 12
 
 # ROUND-13 ROTATION PLAN: the backlog after this window is the
-# 32-name r8 tail trimmed from _WINDOW_STALE (near_dup_rate_by_source,
-# corpus_shuffle, skew_profile, stream_tumbling_daily,
+# 33-name r8 tail trimmed from _WINDOW_STALE (adaptive_quality_gate,
+# near_dup_rate_by_source, corpus_shuffle, skew_profile, stream_tumbling_daily,
 # stream_sliding_2d, stream_dedup, sessionization,
 # stream_session_window, stream_stateful_counts,
 # stream_enrich_segment, stream_join_attribution,
@@ -130,8 +130,9 @@ _WINDOW_LEADS = ()
 # Group 2 — round-12 NEW registrations (never driver-checked): the
 # image near-duplicate tier (perceptual hashes over the pure-stdlib
 # PNG codec, banded LSH pairs, cluster resolution, the banding's
-# recall twin, the resize-invariance theorem) and the cross-modal
-# text-LSH x image-LSH pair adjudication. All six carry full oracles.
+# recall twin, the resize-invariance theorem, incremental index
+# maintenance) and the cross-modal text-LSH x image-LSH pair
+# adjudication. All seven carry full oracles.
 _WINDOW_NEW = (
     "image_dhash",
     "image_neardup_pairs",
@@ -139,6 +140,7 @@ _WINDOW_NEW = (
     "image_lsh_recall",
     "image_resize_hash_invariance",
     "crossmodal_dup_consistency",
+    "image_neardup_incremental",
 )
 
 # Group 3 — r11-green sentinels sitting directly on the round-12
@@ -155,7 +157,7 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 25-name r7 remainder (the tail trimmed from the r11 window;
 # latest green driver row r7 — oldest vintage in the record), then
-# the first 17 of the 49-name r8 tier. The 32 trimmed r8 tail names
+# the first 16 of the 49-name r8 tier. The 33 trimmed r8 tail names
 # lead the r13 backlog (see the ROUND-13 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r7 remainder — complete (25)
@@ -184,7 +186,7 @@ _WINDOW_STALE = (
     "training_manifest",
     "tfidf_shingle_pairs",
     "bpe_contract",
-    # r8 tier prefix (17 of 49, registration order)
+    # r8 tier prefix (16 of 49, registration order)
     "incr_distinct",
     "corpus_sample_hash",
     "pii_redact",
@@ -201,7 +203,6 @@ _WINDOW_STALE = (
     "bigram_stats",
     "doc_lang_mix",
     "knn_label_vote",
-    "adaptive_quality_gate",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -144,6 +144,7 @@ def test_planted_clusters_merge_scenes(spark, planted_dir):
         "image_lsh_recall",
         "image_resize_hash_invariance",
         "crossmodal_dup_consistency",
+        "image_neardup_incremental",
     ],
 )
 def test_planted_fixture_oracle_parity(spark, planted_dir, name):
@@ -203,6 +204,30 @@ def test_crossmodal_classes_are_consistent(spark, planted_dir):
     # near-dup in BOTH modalities
     assert any(r.dup_class == "both" for r in rows)
     assert any(r.dup_class == "image_only" for r in rows)
+
+
+def test_incremental_union_existing_equals_full(spark, planted_dir):
+    """Incremental ≡ full, asserted directly engine-side: the arrival
+    delta plus the existing-only pairs is exactly the full pair set
+    (the oracle asserts the same identity cross-engine)."""
+    from programmers_data_spark.queries.round12_ops import (
+        IMG_ARRIVAL_RESIDUE,
+    )
+
+    full = registry.QUERIES["image_neardup_pairs"](spark, planted_dir)
+    delta = registry.QUERIES["image_neardup_incremental"](
+        spark, planted_dir
+    )
+    import pyspark.sql.functions as F
+
+    existing_only = full.filter(
+        (F.col("media_a") % 3 != IMG_ARRIVAL_RESIDUE)
+        & (F.col("media_b") % 3 != IMG_ARRIVAL_RESIDUE)
+    )
+    rebuilt = existing_only.unionByName(delta)
+    assert rebuilt.subtract(full).count() == 0
+    assert full.subtract(rebuilt).count() == 0
+    assert delta.count() > 0  # the planted corpus has arrival pairs
 
 
 def test_pair_plan_is_equi_join(spark, planted_dir):

@@ -25,7 +25,7 @@ at every corpus size and the near-dup pair volume grows LINEARLY
 with the corpus — the fixture mirrors a real crawl's bounded
 duplication factor instead of densifying quadratically.
 
-Certification structure (all seven queries FULL hash parity):
+Certification structure (all eight queries FULL hash parity):
 - `image_dhash` — the Arrow kernel builds the pixel buffer, ENCODES
   it as a real PNG (multimodal/png.py writer), DECODES it back with
   the same module's reader, 2x2-average-pools to 8x8, and emits
@@ -62,6 +62,9 @@ Certification structure (all seven queries FULL hash parity):
   and the shared image-hash fragment.
 - `image_neardup_incremental` — the per-ingest-batch pair delta,
   certified by the incremental ≡ full closed form.
+- `stream_image_neardup_ingest` — the same economics driven by a
+  real Structured Streaming replay: per micro-batch hash + probe +
+  append, the union of deltas equals the full rebuild exactly.
 
 Scale shape: one map-only Arrow pass per hash table (memoized +
 persisted — pairs/clusters/the presentation sort are 3+ consumers),
@@ -794,3 +797,169 @@ def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", "ham_d")
         .orderBy("media_a", "media_b")
     )
+
+
+# ------------------------------------- streaming index maintenance
+
+# Replay micro-batch count (the stream_upsert_publish protocol).
+IMG_INGEST_N_SLICES = 3
+
+_IMG_INGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "stream_image_neardup_ingest",
+    oracle=f"""
+    WITH {_img_hash_cte()},
+    {_IMG_PAIR_CTE}
+    SELECT media_a, media_b, ham_d FROM pairs
+    ORDER BY media_a, media_b
+    """,
+)
+def stream_image_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming composed with the image tier's incremental
+    maintenance — the capstone lifecycle: documents ARRIVE as a
+    stream, each micro-batch is hashed (the Arrow codec kernel),
+    band-probed against the ACCUMULATED index (existing hashes plus
+    the batch itself), and the verified pair delta is appended to the
+    pair store; the batch's hashes then join the index. Replay
+    protocol per stream_upsert_publish: {IMG_INGEST_N_SLICES}
+    doc_id-contiguous slices dropped between processAllAvailable()
+    drains, so batch order is exact.
+
+    Correctness closed form (full hash parity for an end-to-end
+    streaming ingest): slices partition the corpus, so every near-dup
+    pair is discovered EXACTLY ONCE — in the batch of its later
+    member (same-batch pairs via the batch x batch side of the probe,
+    cross-batch pairs when the later member probes the stored index).
+    The union of the per-batch deltas is therefore EXACTLY the full
+    rebuild's pair set, which is the oracle (the image_neardup_pairs
+    derivation verbatim). A dropped batch, a double probe, or an
+    index append raced ahead of its probe all break the hash.
+
+    Scale shape: per batch one Arrow hash pass over the ARRIVALS plus
+    one band equi-join of arrival bands against the index — arrival-
+    proportional, the image_neardup_incremental economics driven by a
+    real stream. Scene count is frozen from the index's initial
+    configuration (computed once up front), exactly how a production
+    perceptual-hash index pins its parameters at creation. At 100 TB
+    the parquet replay source binds to Kafka and the hash/pair stores
+    are the published bucketed tables."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..storeutil import store_base
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IMG_INGEST_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_docs = docs.count()  # bounded 1-value scalar
+    scenes = _scene_count(n_docs)
+    empty = spark.createDataFrame(
+        [], "media_a long, media_b long, ham_d int"
+    )
+    if n_docs == 0:
+        return empty
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]  # bounded 2-value scalar
+    lo, hi = bounds.lo, bounds.hi
+    n = IMG_INGEST_N_SLICES
+    cuts = [lo + k * (hi - lo + 1) // n for k in range(1, n)]
+    d = F.col("doc_id")
+    slices = [docs.filter(d < cuts[0])]
+    for a, b in zip(cuts, cuts[1:]):
+        slices.append(docs.filter((d >= a) & (d < b)))
+    slices.append(docs.filter(d >= cuts[-1]))
+
+    base = store_base("SPARK_GRAFT_IMG_INGEST_STORE", "spark_graft_imgingest")
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="imgingest_", dir=base)
+    src = os.path.join(root, "src")
+    hash_store = os.path.join(root, "hashes")
+    pair_store = os.path.join(root, "pairs")
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        hb = _hash_frame(s, bdf.select("doc_id", "text"), scenes).persist()
+        if os.path.isdir(hash_store):
+            index = hb.unionByName(s.read.parquet(hash_store))
+        else:
+            index = hb
+        ab = _band_frame(hb)
+        allb = _band_frame(index)
+        cand = (
+            ab.alias("a")
+            .join(allb.alias("b"), ["band", "bval"])
+            .filter(F.col("a.media_id") != F.col("b.media_id"))
+            .select(
+                F.least("a.media_id", "b.media_id").alias("media_a"),
+                F.greatest("a.media_id", "b.media_id").alias("media_b"),
+            )
+            .distinct()
+        )
+        ha = index.select(
+            F.col("media_id").alias("media_a"),
+            F.col("dhash_lo").alias("lo_a"),
+            F.col("dhash_hi").alias("hi_a"),
+        )
+        hcb = index.select(
+            F.col("media_id").alias("media_b"),
+            F.col("dhash_lo").alias("lo_b"),
+            F.col("dhash_hi").alias("hi_b"),
+        )
+        ham = (
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        ).cast("int")
+        delta = (
+            cand.join(ha, "media_a")
+            .join(hcb, "media_b")
+            .withColumn("ham_d", ham)
+            .filter(F.col("ham_d") <= HAM_T)
+            .select("media_a", "media_b", "ham_d")
+        )
+        delta.write.mode("append").parquet(pair_store)
+        hb.write.mode("append").parquet(hash_store)
+        hb.unpersist()
+
+    try:
+        slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{src}/*")
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # slice 0 seeds the index
+            for i, sl in enumerate(slices[1:], start=1):
+                sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+                q.processAllAvailable()  # one probe+append per batch
+        finally:
+            q.stop()
+
+        if not os.path.isdir(pair_store):
+            result = empty  # no batch produced a pair
+        else:
+            # localCheckpoint severs lineage from the scratch stores
+            # so the replay tree is removable immediately (the
+            # stream_upsert_publish discipline, r11 VERDICT #7)
+            result = (
+                spark.read.parquet(pair_store)
+                .orderBy("media_a", "media_b")
+                .localCheckpoint(eager=True)
+            )
+        _IMG_INGEST_CACHE[key] = result
+        return result
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -55,7 +55,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
-    "programmers_data_spark.queries.round12_ops",  # 7 (→233)
+    "programmers_data_spark.queries.round12_ops",  # 8 (→234)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -69,8 +69,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 12
 
 # ROUND-13 ROTATION PLAN: the backlog after this window is the
-# 33-name r8 tail trimmed from _WINDOW_STALE (adaptive_quality_gate,
-# near_dup_rate_by_source, corpus_shuffle, skew_profile, stream_tumbling_daily,
+# 34-name r8 tail trimmed from _WINDOW_STALE (knn_label_vote,
+# adaptive_quality_gate, near_dup_rate_by_source, corpus_shuffle, skew_profile, stream_tumbling_daily,
 # stream_sliding_2d, stream_dedup, sessionization,
 # stream_session_window, stream_stateful_counts,
 # stream_enrich_segment, stream_join_attribution,
@@ -131,8 +131,9 @@ _WINDOW_LEADS = ()
 # image near-duplicate tier (perceptual hashes over the pure-stdlib
 # PNG codec, banded LSH pairs, cluster resolution, the banding's
 # recall twin, the resize-invariance theorem, incremental index
-# maintenance) and the cross-modal text-LSH x image-LSH pair
-# adjudication. All seven carry full oracles.
+# maintenance, the streaming ingest composition) and the cross-modal
+# text-LSH x image-LSH pair adjudication. All eight carry full
+# oracles.
 _WINDOW_NEW = (
     "image_dhash",
     "image_neardup_pairs",
@@ -141,6 +142,7 @@ _WINDOW_NEW = (
     "image_resize_hash_invariance",
     "crossmodal_dup_consistency",
     "image_neardup_incremental",
+    "stream_image_neardup_ingest",
 )
 
 # Group 3 — r11-green sentinels sitting directly on the round-12
@@ -157,7 +159,7 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 25-name r7 remainder (the tail trimmed from the r11 window;
 # latest green driver row r7 — oldest vintage in the record), then
-# the first 16 of the 49-name r8 tier. The 33 trimmed r8 tail names
+# the first 15 of the 49-name r8 tier. The 34 trimmed r8 tail names
 # lead the r13 backlog (see the ROUND-13 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r7 remainder — complete (25)
@@ -186,7 +188,7 @@ _WINDOW_STALE = (
     "training_manifest",
     "tfidf_shingle_pairs",
     "bpe_contract",
-    # r8 tier prefix (16 of 49, registration order)
+    # r8 tier prefix (15 of 49, registration order)
     "incr_distinct",
     "corpus_sample_hash",
     "pii_redact",
@@ -202,7 +204,6 @@ _WINDOW_STALE = (
     "packing_spans",
     "bigram_stats",
     "doc_lang_mix",
-    "knn_label_vote",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -230,6 +230,38 @@ def test_incremental_union_existing_equals_full(spark, planted_dir):
     assert delta.count() > 0  # the planted corpus has arrival pairs
 
 
+def test_stream_ingest_equals_batch_pairs(spark, planted_dir):
+    """The streaming replay's accumulated pair store equals the batch
+    pair query exactly on the planted corpus (each pair found once, in
+    the micro-batch of its later member)."""
+    batch = registry.QUERIES["image_neardup_pairs"](spark, planted_dir)
+    streamed = registry.QUERIES["stream_image_neardup_ingest"](
+        spark, planted_dir
+    )
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
+    assert streamed.count() == 3  # the planted (0,23), (1,24), (2,25)
+
+
+def test_stream_ingest_cleans_scratch(spark, planted_dir):
+    """The replay scratch tree is removed once the snapshot
+    localCheckpoints (the stream_upsert_publish discipline)."""
+    import glob
+
+    from programmers_data_spark.queries import round12_ops
+
+    round12_ops._IMG_INGEST_CACHE.clear()
+    registry.QUERIES["stream_image_neardup_ingest"](
+        spark, planted_dir
+    ).count()
+    from programmers_data_spark.storeutil import store_base
+
+    base = store_base(
+        "SPARK_GRAFT_IMG_INGEST_STORE", "spark_graft_imgingest"
+    )
+    assert glob.glob(os.path.join(base, "imgingest_*")) == []
+
+
 def test_pair_plan_is_equi_join(spark, planted_dir):
     """The banded candidate join must plan as a hash/merge equi join —
     never a cartesian/BNLJ (the not-all-pairs discipline)."""

@@ -79,3 +79,23 @@ def encode(
         + (b"\x00" if len(pcm) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def read_pcm(raw: bytes) -> bytes:
+    """The raw little-endian sample buffer from the data chunk — the
+    decode half of the roundtrip (encode → read_header + read_pcm),
+    which licenses pre-encode oracles for operators that hash decoded
+    samples (the png.decode precedent)."""
+    if not is_wav(raw):
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos = 12
+    while pos + 8 <= len(raw):
+        ctype = bytes(raw[pos : pos + 4])
+        (length,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if ctype == b"data":
+            body = raw[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("truncated data chunk")
+            return bytes(body)
+        pos += 8 + length + (length & 1)
+    raise ValueError("missing data chunk")

@@ -25,7 +25,7 @@ at every corpus size and the near-dup pair volume grows LINEARLY
 with the corpus — the fixture mirrors a real crawl's bounded
 duplication factor instead of densifying quadratically.
 
-Certification structure (all eight queries FULL hash parity):
+Certification structure (all ten queries FULL hash parity):
 - `image_dhash` — the Arrow kernel builds the pixel buffer, ENCODES
   it as a real PNG (multimodal/png.py writer), DECODES it back with
   the same module's reader, 2x2-average-pools to 8x8, and emits
@@ -65,6 +65,9 @@ Certification structure (all eight queries FULL hash parity):
 - `stream_image_neardup_ingest` — the same economics driven by a
   real Structured Streaming replay: per micro-batch hash + probe +
   append, the union of deltas equals the full rebuild exactly.
+- `audio_fingerprint` / `audio_neardup_pairs` — the third modality:
+  WAV-codec roundtrip + integer energy-delta fingerprint, deduped by
+  the SAME banded pair machinery (shared on both engines).
 
 Scale shape: one map-only Arrow pass per hash table (memoized +
 persisted — pairs/clusters/the presentation sort are 3+ consumers),
@@ -963,3 +966,189 @@ def stream_image_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------ audio tier
+
+# Audio clips: 512 samples of 8-bit mono PCM (32 md5 blocks, 'a'
+# prefix decorrelates from the image buffers), one sample perturbed
+# per document (position = first two md5 bytes little-endian mod 512,
+# value = the third byte). The fingerprint is the dHash idea on the
+# 1-D energy envelope: 64 frames x 8 samples, integer frame energy
+# sum(v^2), bit k = energy[k] > energy[(k+1) % 64] — a delta-hash,
+# so one perturbed sample flips <= 2 bits and the shared HAM_T / band
+# machinery applies unchanged.
+AUDIO_SAMPLES = 512
+AUDIO_FRAMES = 64
+
+
+def _pcm_buffer(doc_id: int, text: str, scenes: int) -> bytearray:
+    import hashlib
+
+    scene = doc_id % scenes
+    buf = bytearray()
+    for blk in range(AUDIO_SAMPLES // 16):
+        buf += hashlib.md5(f"a{scene}:{blk}".encode()).digest()
+    nh = hashlib.md5((text or "").encode("utf-8")).digest()
+    buf[(nh[0] | (nh[1] << 8)) % AUDIO_SAMPLES] = nh[2]
+    return buf
+
+
+def _audio_fingerprint(pcm: bytes) -> tuple[int, int]:
+    """(fp_lo, fp_hi) 32-bit halves of the 64-bit energy-delta
+    fingerprint of an 8-bit mono PCM buffer."""
+    import numpy as np
+
+    v = np.frombuffer(bytes(pcm), dtype=np.uint8).astype(np.int64)
+    energy = (v * v).reshape(AUDIO_FRAMES, -1).sum(axis=1)
+    bits = (energy > np.roll(energy, -1)).astype(np.int64)
+    w32 = np.int64(1) << np.arange(32, dtype=np.int64)
+    return int(bits[:32] @ w32), int(bits[32:] @ w32)
+
+
+# DuckDB CTEs ending in `hashes` (media_id, scene, dhash_lo/hi — the
+# generic column names the shared pair fragment consumes).
+_AUDIO_HASH_CTE = f"""
+params AS (
+  SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
+  FROM documents
+),
+noise AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(coalesce(text,'')), 1, 2))::INT
+          | (('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT << 8))
+           % {AUDIO_SAMPLES} AS pos,
+         ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS val
+  FROM documents
+),
+smp AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN t.i = n.pos THEN n.val
+              ELSE ('0x' || substr(
+                       md5('a' || CAST(d.doc_id % params.scenes AS VARCHAR)
+                           || ':' || CAST(t.i // 16 AS VARCHAR)),
+                       (t.i % 16) * 2 + 1, 2))::INT
+         END AS v
+  FROM documents d
+  JOIN noise n USING (doc_id), params,
+       generate_series(0, {AUDIO_SAMPLES - 1}) AS t(i)
+),
+energy AS (
+  SELECT doc_id, i // 8 AS f, CAST(sum(v * v) AS BIGINT) AS e
+  FROM smp GROUP BY doc_id, i // 8
+),
+fbits AS (
+  SELECT a.doc_id, a.f AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energy a JOIN energy b
+    ON a.doc_id = b.doc_id AND b.f = (a.f + 1) % {AUDIO_FRAMES}
+),
+hashes AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % (SELECT scenes FROM params) AS BIGINT) AS scene,
+         CAST(sum(CASE WHEN bit = 1 AND k < 32
+                       THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
+           AS dhash_lo,
+         CAST(sum(CASE WHEN bit = 1 AND k >= 32
+                       THEN (1::BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
+           AS dhash_hi
+  FROM fbits GROUP BY doc_id
+)"""
+
+
+_AUDIO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _audio_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprints through the REAL WAV codec roundtrip: PCM buffer
+    -> multimodal/wav.py encode -> read_header validate + read_pcm
+    decode -> fingerprint the DECODED samples (roundtrip identity
+    licenses the pre-encode oracle — the PNG-tier discipline).
+    Persisted + memoized (pair join branches + presentation sort).
+    Internal column names match the image hash table so the banded
+    pair machinery (_pairs_from / _IMG_PAIR_CTE) is shared verbatim."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _AUDIO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from ..multimodal.wav import encode as wav_encode
+    from ..multimodal.wav import read_header, read_pcm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(docs.count())  # bounded 1-value scalar
+
+    def fp_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = _pcm_buffer(int(doc_id), text, scenes)
+                raw = wav_encode(8000, 1, 8, bytes(buf))
+                rate, ch, depth, n_frames = read_header(raw)
+                assert (rate, ch, depth, n_frames) == (8000, 1, 8, len(buf))
+                pcm = read_pcm(raw)
+                lo, hi = _audio_fingerprint(pcm)
+                out["media_id"].append(int(doc_id))
+                out["scene"].append(int(doc_id) % scenes)
+                out["dhash_lo"].append(lo)
+                out["dhash_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    table = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            fp_batches,
+            schema="media_id long, scene long, dhash_lo long, dhash_hi long",
+        )
+        .persist()
+    )
+    _AUDIO_HASH_CACHE[key] = table
+    return table
+
+
+@query(
+    "audio_fingerprint",
+    oracle=f"""
+    WITH {_AUDIO_HASH_CTE}
+    SELECT media_id, scene,
+           dhash_lo AS fp_lo, dhash_hi AS fp_hi
+    FROM hashes ORDER BY media_id
+    """,
+)
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio fingerprint through the real WAV codec path —
+    the third modality's dedup key next to text shingles and image
+    dHash. The energy-delta fingerprint is pure integer arithmetic
+    (frame energy sum(v^2), strict > between circular neighbors), so
+    the full derivation hash-matches the pre-encode SQL oracle."""
+    h = _audio_hash_table(spark, sf_dir)
+    return h.select(
+        "media_id", "scene",
+        F.col("dhash_lo").alias("fp_lo"),
+        F.col("dhash_hi").alias("fp_hi"),
+    ).orderBy("media_id")
+
+
+@query(
+    "audio_neardup_pairs",
+    oracle=f"""
+    WITH {_AUDIO_HASH_CTE},
+    {_IMG_PAIR_CTE}
+    SELECT media_a, media_b, ham_d FROM pairs
+    ORDER BY media_a, media_b
+    """,
+)
+def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-duplicate audio pairs — the SAME banded-LSH pair
+    machinery the image tier certified (_pairs_from on the Spark
+    side, the shared band/candidate/verify SQL fragment on the oracle
+    side), applied to the audio fingerprint table: one code path per
+    engine serving two modalities, which is exactly how a production
+    media-dedup layer is built (hash kernels per modality, one
+    banding/verify/cluster engine)."""
+    return _pairs_from(_audio_hash_table(spark, sf_dir)).orderBy(
+        "media_a", "media_b"
+    )

@@ -55,7 +55,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.corpus_stats_ops",  # 3 (→201)
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
-    "programmers_data_spark.queries.round12_ops",  # 8 (→234)
+    "programmers_data_spark.queries.round12_ops",  # 10 (→236)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -69,7 +69,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 12
 
 # ROUND-13 ROTATION PLAN: the backlog after this window is the
-# 34-name r8 tail trimmed from _WINDOW_STALE (knn_label_vote,
+# 36-name r8 tail trimmed from _WINDOW_STALE (bigram_stats,
+# doc_lang_mix, knn_label_vote,
 # adaptive_quality_gate, near_dup_rate_by_source, corpus_shuffle, skew_profile, stream_tumbling_daily,
 # stream_sliding_2d, stream_dedup, sessionization,
 # stream_session_window, stream_stateful_counts,
@@ -131,9 +132,10 @@ _WINDOW_LEADS = ()
 # image near-duplicate tier (perceptual hashes over the pure-stdlib
 # PNG codec, banded LSH pairs, cluster resolution, the banding's
 # recall twin, the resize-invariance theorem, incremental index
-# maintenance, the streaming ingest composition) and the cross-modal
-# text-LSH x image-LSH pair adjudication. All eight carry full
-# oracles.
+# maintenance, the streaming ingest composition), the cross-modal
+# text-LSH x image-LSH pair adjudication, and the audio modality
+# (WAV-codec energy-delta fingerprints through the SAME banded pair
+# machinery). All ten carry full oracles.
 _WINDOW_NEW = (
     "image_dhash",
     "image_neardup_pairs",
@@ -143,6 +145,8 @@ _WINDOW_NEW = (
     "crossmodal_dup_consistency",
     "image_neardup_incremental",
     "stream_image_neardup_ingest",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
 )
 
 # Group 3 — r11-green sentinels sitting directly on the round-12
@@ -159,7 +163,7 @@ _WINDOW_SENTINELS = (
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 25-name r7 remainder (the tail trimmed from the r11 window;
 # latest green driver row r7 — oldest vintage in the record), then
-# the first 15 of the 49-name r8 tier. The 34 trimmed r8 tail names
+# the first 13 of the 49-name r8 tier. The 36 trimmed r8 tail names
 # lead the r13 backlog (see the ROUND-13 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r7 remainder — complete (25)
@@ -188,7 +192,7 @@ _WINDOW_STALE = (
     "training_manifest",
     "tfidf_shingle_pairs",
     "bpe_contract",
-    # r8 tier prefix (15 of 49, registration order)
+    # r8 tier prefix (13 of 49, registration order)
     "incr_distinct",
     "corpus_sample_hash",
     "pii_redact",
@@ -202,8 +206,6 @@ _WINDOW_STALE = (
     "minhash_jaccard_estimate",
     "sequence_packing",
     "packing_spans",
-    "bigram_stats",
-    "doc_lang_mix",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

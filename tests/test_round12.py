@@ -145,6 +145,8 @@ def test_planted_clusters_merge_scenes(spark, planted_dir):
         "image_resize_hash_invariance",
         "crossmodal_dup_consistency",
         "image_neardup_incremental",
+        "audio_fingerprint",
+        "audio_neardup_pairs",
     ],
 )
 def test_planted_fixture_oracle_parity(spark, planted_dir, name):
@@ -228,6 +230,43 @@ def test_incremental_union_existing_equals_full(spark, planted_dir):
     assert rebuilt.subtract(full).count() == 0
     assert full.subtract(rebuilt).count() == 0
     assert delta.count() > 0  # the planted corpus has arrival pairs
+
+
+def test_wav_roundtrip_preserves_pcm():
+    """read_pcm(encode(pcm)) == pcm — the identity that licenses the
+    audio tier's pre-encode oracle."""
+    from programmers_data_spark.multimodal.wav import encode, read_pcm
+    from programmers_data_spark.queries.round12_ops import _pcm_buffer
+
+    buf = bytes(_pcm_buffer(7, "audio roundtrip", SCENE_MIN))
+    assert read_pcm(encode(8000, 1, 8, buf)) == buf
+
+
+def test_audio_perturbation_stays_near():
+    """One perturbed sample changes one frame energy, flipping <= 2
+    fingerprint bits — the serial form of the audio pair keep rule."""
+    from programmers_data_spark.queries.round12_ops import (
+        _audio_fingerprint,
+        _pcm_buffer,
+    )
+
+    for doc in range(0, 60, 7):
+        a = _pcm_buffer(doc, f"clip {doc}", SCENE_MIN)
+        b = _pcm_buffer(doc + SCENE_MIN, "other clip", SCENE_MIN)
+        lo_a, hi_a = _audio_fingerprint(a)
+        lo_b, hi_b = _audio_fingerprint(b)
+        ham = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+        assert ham <= HAM_T, (doc, ham)
+
+
+def test_planted_audio_neardups_found(spark, planted_dir):
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in registry.QUERIES["audio_neardup_pairs"](
+            spark, planted_dir
+        ).collect()
+    }
+    assert pairs == {(0, 23), (1, 24), (2, 25)}
 
 
 def test_stream_ingest_equals_batch_pairs(spark, planted_dir):

@@ -312,3 +312,79 @@ def test_pair_plan_is_equi_join(spark, planted_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------ hypothesis theorems
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    buf=st.binary(min_size=256, max_size=256),
+    pos1=st.integers(0, 255),
+    val1=st.integers(0, 255),
+    pos2=st.integers(0, 255),
+    val2=st.integers(0, 255),
+)
+def test_dhash_locality_theorem(buf, pos1, val1, pos2, val2):
+    """THEOREM: a <=2-pixel perturbation of ANY 16x16 buffer moves the
+    dHash by <= 8 bits (each changed pixel changes one pooled cell,
+    each changed cell feeds exactly 2 circular comparisons) — the
+    HAM_T=8 keep rule is sound for every buffer, not just the
+    fixtures' md5 chains. aHash has no such bound (the mean shifts
+    globally), which is why banding/verify run on dHash."""
+    a = bytearray(buf)
+    b = bytearray(buf)
+    b[pos1] = val1
+    b[pos2] = val2
+    _, _, dlo_a, dhi_a = _perceptual_hashes(_pool(bytes(a), 16, 2))
+    _, _, dlo_b, dhi_b = _perceptual_hashes(_pool(bytes(b), 16, 2))
+    ham = bin(dlo_a ^ dlo_b).count("1") + bin(dhi_a ^ dhi_b).count("1")
+    assert ham <= HAM_T, ham
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    buf=st.binary(min_size=512, max_size=512),
+    pos=st.integers(0, 511),
+    val=st.integers(0, 255),
+)
+def test_audio_fingerprint_locality_theorem(buf, pos, val):
+    """THEOREM: a 1-sample perturbation of ANY 512-sample clip moves
+    the energy-delta fingerprint by <= 2 bits (one frame energy
+    changes; it feeds exactly 2 circular comparisons)."""
+    from programmers_data_spark.queries.round12_ops import (
+        _audio_fingerprint,
+    )
+
+    a = bytearray(buf)
+    b = bytearray(buf)
+    b[pos] = val
+    lo_a, hi_a = _audio_fingerprint(bytes(a))
+    lo_b, hi_b = _audio_fingerprint(bytes(b))
+    ham = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+    assert ham <= 2, ham
+
+
+@settings(max_examples=100, deadline=None)
+@given(buf=st.binary(min_size=256, max_size=256))
+def test_resize_invariance_theorem_any_buffer(buf):
+    """THEOREM: the 2x nearest-neighbor upscale + 4x4 pooling equals
+    the direct 2x2 pooling for EVERY buffer (each source pixel
+    duplicates 2x2, so each 4x4 sum is 4x the 2x2 sum and
+    (4*s) // 16 == s // 4) — the corpus-wide oracle identity holds
+    off-fixture too."""
+    from programmers_data_spark.multimodal.png import (
+        decode,
+        encode,
+        resize_nearest,
+    )
+
+    base = _pool(buf, 16, 2)
+    big = resize_nearest(encode(16, 16, buf, channels=1), 32, 32)
+    w, h, ch, px = decode(big)
+    assert (w, h, ch) == (32, 32, 1)
+    resized = _pool(bytes(px), 32, 4)
+    assert (base == resized).all()

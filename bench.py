@@ -110,10 +110,15 @@ def main() -> None:
         JSONL_STORE_ENV,
     )
 
+    from programmers_data_spark.queries.round12_ops import IMG_STORE_ENV
+
     os.environ[PAIR_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_pairs_")
     # same per-run isolation for the JSONL roundtrip's written shard
     # trees (each timed run re-writes — the query IS the roundtrip)
     os.environ[JSONL_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_jsonl_")
+    # and for the published image-hash index the incremental
+    # maintenance query probes (image_hash_store)
+    os.environ[IMG_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_img_")
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

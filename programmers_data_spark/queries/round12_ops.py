@@ -755,14 +755,27 @@ def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (missed arrival-arrival pairs, double-counted existing pairs,
     wrong normalization) breaks the hash.
 
-    Scale shape: the band join probes arrival bands (batch-sized)
-    against the full band table — cost proportional to the ARRIVAL
-    batch and its bucket mates, never the index size; the existing
-    index's pairs are never recomputed. At 100 TB the full band table
-    is the published, bucketed signature store (the
-    dedup_ops.verified_pair_store pattern)."""
-    h = _image_hash_table(spark, sf_dir)
-    arrivals = h.filter(F.col("media_id") % 3 == IMG_ARRIVAL_RESIDUE)
+    Scale shape: the EXISTING index is read from the PUBLISHED
+    artifact (image_hash_store — the verified_pair_store seam, so
+    nothing about the existing corpus is even re-hashed), only the
+    arrival batch pays the Arrow codec kernel, and the band join
+    probes arrival bands against the index — cost proportional to
+    the ARRIVAL batch and its bucket mates, never the index size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(docs.count())  # bounded 1-value scalar
+    stored = image_hash_store(spark, sf_dir)
+    existing = stored.filter(
+        F.col("media_id") % 3 != IMG_ARRIVAL_RESIDUE
+    )
+    arrivals = _hash_frame(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == IMG_ARRIVAL_RESIDUE),
+        scenes,
+    )
+    # persisted: the unioned index feeds THREE branches (the band
+    # table and both Hamming-lookup sides) — unpersisted, each branch
+    # re-reads the store and re-runs the arrival kernel
+    h = existing.unionByName(arrivals).persist()
     ab = _band_frame(arrivals)
     allb = _band_frame(h)
     # candidate = arrival x (existing + arrivals), normalized a < b;
@@ -1152,3 +1165,69 @@ def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from(_audio_hash_table(spark, sf_dir)).orderBy(
         "media_a", "media_b"
     )
+
+
+# ------------------------------------------------ published index seam
+
+# Base-dir override for the published image-hash index (bench pins a
+# fresh per-run dir so isolated accounting stays honest, exactly the
+# PAIR_STORE_ENV treatment).
+IMG_STORE_ENV = "SPARK_GRAFT_IMG_STORE"
+
+_IMG_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _img_store_table(sf_dir: str) -> str:
+    """Content-addressed location for sf_dir's published image-hash
+    index: fixture bytes (path, size, mtime) + the LIVE algorithm
+    parameters (never hand-written literals — the pair-store r8
+    lesson) + an algo version."""
+    import hashlib
+    import os
+
+    from ..storeutil import store_base
+
+    base = store_base(IMG_STORE_ENV, "spark_graft_img_store")
+    doc = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = os.stat(doc)
+        ident = f"{doc}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"{doc}|missing"
+    fp = hashlib.md5(
+        f"{ident}|imgdhash|{SCENE_MIN}|{SCENE_DOCS}|{IMG_W}x{IMG_H}|v1"
+        .encode()
+    ).hexdigest()[:16]
+    return os.path.join(base, fp, "image_hashes")
+
+
+def image_hash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-hash index AS A PUBLISHED ARTIFACT — the
+    verified_pair_store pattern for the media tier: at 100 TB the
+    perceptual-hash index is computed once per corpus version,
+    published through the K8 validated-swap layer, and every
+    maintenance batch / dedup report reads the published parquet. On
+    first use the index is computed (the Arrow codec kernel — the
+    producer pays its own cost wherever IT is measured) and
+    published; afterwards consumers read the artifact. Correctness is
+    unaffected: the hash derivation is deterministic and the parquet
+    roundtrip of six long columns is exact. An EMPTY index (legal on
+    an empty fixture) is returned directly without publishing
+    (publish_versioned rejects empty tables by design)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IMG_STORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from ..publish import publish_versioned, read_versioned
+
+    table_dir = _img_store_table(sf_dir)
+    try:
+        stored = read_versioned(spark, table_dir)
+    except FileNotFoundError:
+        computed = _image_hash_table(spark, sf_dir)
+        if computed.limit(1).count() == 0:
+            return computed
+        publish_versioned(computed, table_dir)
+        stored = read_versioned(spark, table_dir)
+    _IMG_STORE_CACHE[key] = stored
+    return stored

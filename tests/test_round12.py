@@ -388,3 +388,31 @@ def test_resize_invariance_theorem_any_buffer(buf):
     assert (w, h, ch) == (32, 32, 1)
     resized = _pool(bytes(px), 32, 4)
     assert (base == resized).all()
+
+
+# ------------------------------------------------ published index seam
+
+
+def test_image_hash_store_roundtrip(spark, planted_dir, tmp_path, monkeypatch):
+    """The published image-hash index (the verified_pair_store seam
+    for the media tier): first use computes + publishes through the
+    K8 validated-swap layer, subsequent reads return bit-identical
+    rows from the artifact."""
+    from programmers_data_spark.queries import round12_ops
+
+    monkeypatch.setenv(round12_ops.IMG_STORE_ENV, str(tmp_path))
+    round12_ops._IMG_STORE_CACHE.clear()
+    first = round12_ops.image_hash_store(spark, planted_dir)
+    direct = round12_ops._image_hash_table(spark, planted_dir)
+    assert first.subtract(direct).count() == 0
+    assert direct.subtract(first).count() == 0
+    # a fresh handle (memo cleared) must READ, not recompute: the
+    # artifact directory already holds a published generation
+    import glob
+
+    gens = glob.glob(str(tmp_path) + "/*/image_hashes/*")
+    assert gens, "nothing was published"
+    round12_ops._IMG_STORE_CACHE.clear()
+    again = round12_ops.image_hash_store(spark, planted_dir)
+    assert again.subtract(direct).count() == 0
+    assert gens == glob.glob(str(tmp_path) + "/*/image_hashes/*")

@@ -59,10 +59,10 @@ PYTHON_TIER = frozenset({
     "image_lsh_recall",  # composes the same Arrow hash table
     "image_resize_hash_invariance",  # Arrow resize-path hash kernel
     "crossmodal_dup_consistency",  # composes the image hash kernel
+    #                                AND dedup_minhash's Arrow pass
     "image_neardup_incremental",  # composes the image hash kernel
     "audio_fingerprint",  # Arrow WAV encode/decode + fingerprint kernel
     "audio_neardup_pairs",  # composes the audio fingerprint table
-    #                                 AND dedup_minhash's Arrow pass
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose

@@ -416,3 +416,62 @@ def test_image_hash_store_roundtrip(spark, planted_dir, tmp_path, monkeypatch):
     again = round12_ops.image_hash_store(spark, planted_dir)
     assert again.subtract(direct).count() == 0
     assert gens == glob.glob(str(tmp_path) + "/*/image_hashes/*")
+
+
+# ------------------------------------------------ round-13 hygiene
+
+
+def test_doc_stats_memoized_and_exact(spark, planted_dir):
+    """One 3-value aggregate serves every media helper's scene sizing
+    (r12 VERDICT #3): the memo returns exact (n, n_mod20, max_id) and
+    the second call never re-runs the job (cache hit by identity)."""
+    from programmers_data_spark.queries import round12_ops
+
+    round12_ops._DOC_STATS_CACHE.clear()
+    stats = round12_ops._doc_stats(spark, planted_dir)
+    assert stats == (26, 2, 25)  # doc_id 0..25 -> {0, 20} are %20==0
+    key = (spark.sparkContext.applicationId, planted_dir)
+    assert round12_ops._DOC_STATS_CACHE[key] is stats
+    assert round12_ops._doc_stats(spark, planted_dir) is stats
+
+
+def test_xmodal_rejects_doc_ids_at_augmentation_offset(
+    spark, tmp_path, monkeypatch
+):
+    """The +1e6 augmentation offset aliases an original with a copy
+    under % 1e6 scene keying — both engines would agree (hashes stay
+    green) while cross-modal semantics silently degrade, so the
+    builder must fail loudly instead (r12 ADVICE #2)."""
+    from programmers_data_spark.queries import round12_ops
+
+    d = tmp_path / "bigids"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [5, 1_000_001],
+            "text": ["a b c", "d e f"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [5, 5],
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    round12_ops._DOC_STATS_CACHE.clear()
+    round12_ops._XMODAL_HASH_CACHE.clear()
+    with pytest.raises(AssertionError, match="alias"):
+        round12_ops._xmodal_hash_table(spark, str(d))
+
+
+def test_lsh_recall_truth_memoized(spark, planted_dir):
+    """image_lsh_recall's persisted truth set must be memoized per
+    (app, sf_dir) — repeated invocations (bench runs) must not stack
+    fresh cached RDDs (r12 ADVICE #1)."""
+    from programmers_data_spark.queries import round12_ops
+
+    round12_ops._IMG_TRUTH_CACHE.clear()
+    round12_ops.image_lsh_recall(spark, planted_dir).collect()
+    assert len(round12_ops._IMG_TRUTH_CACHE) == 1
+    cached = next(iter(round12_ops._IMG_TRUTH_CACHE.values()))
+    round12_ops.image_lsh_recall(spark, planted_dir).collect()
+    assert len(round12_ops._IMG_TRUTH_CACHE) == 1
+    assert next(iter(round12_ops._IMG_TRUTH_CACHE.values())) is cached

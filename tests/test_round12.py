@@ -475,3 +475,80 @@ def test_lsh_recall_truth_memoized(spark, planted_dir):
     round12_ops.image_lsh_recall(spark, planted_dir).collect()
     assert len(round12_ops._IMG_TRUTH_CACHE) == 1
     assert next(iter(round12_ops._IMG_TRUTH_CACHE.values())) is cached
+
+
+# ------------------------------------------------ bucketed band store
+
+
+def test_incremental_probe_index_side_plans_without_exchange(
+    spark, planted_dir, tmp_path, monkeypatch
+):
+    """The published band table is bucketed by the probe join key:
+    with broadcast disabled (forcing the shuffle-or-bucket SMJ), the
+    arrival-bands x index-bands join must carry exactly ONE Exchange
+    (the arrival side) — the index side reads the bucket layout
+    directly (r12 VERDICT ask #2)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from programmers_data_spark.queries import round12_ops
+
+    monkeypatch.setenv(round12_ops.IMG_STORE_ENV, str(tmp_path))
+    round12_ops._IMG_STORE_CACHE.clear()
+    round12_ops._IMG_BAND_STORE_CACHE.clear()
+    allb = round12_ops.image_band_store(spark, planted_dir)
+    arrivals = round12_ops._image_hash_table(spark, planted_dir).filter(
+        F.col("media_id") % 3 == round12_ops.IMG_ARRIVAL_RESIDUE
+    )
+    ab = round12_ops._band_frame(arrivals)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ab.alias("a").join(allb.alias("b"), ["band", "bval"])
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, f"expected 1 exchange (arrival side), got {n_ex}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_band_store_reregisters_over_existing_files(
+    spark, planted_dir, tmp_path, monkeypatch
+):
+    """A fresh session (in-memory catalog forgot the table) finds the
+    published bucketed files and re-registers the external table via
+    DDL — no rewrite: the on-disk file set is unchanged and the
+    content round-trips."""
+    import glob
+    import hashlib
+    import os
+
+    from programmers_data_spark.queries import round12_ops
+
+    monkeypatch.setenv(round12_ops.IMG_STORE_ENV, str(tmp_path))
+    round12_ops._IMG_STORE_CACHE.clear()
+    round12_ops._IMG_BAND_STORE_CACHE.clear()
+    first = round12_ops.image_band_store(spark, planted_dir)
+    expected = round12_ops._band_frame(
+        round12_ops._image_hash_table(spark, planted_dir)
+    )
+    assert first.subtract(expected).count() == 0
+    assert expected.subtract(first).count() == 0
+    path = os.path.join(
+        os.path.dirname(round12_ops._img_store_table(planted_dir)),
+        "image_bands",
+    )
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert files, "band store not published"
+    # simulate the fresh session: drop the catalog entry, keep files
+    name = "img_bands_" + hashlib.md5(path.encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    round12_ops._IMG_BAND_STORE_CACHE.clear()
+    again = round12_ops.image_band_store(spark, planted_dir)
+    assert sorted(glob.glob(path + "/*.parquet")) == files  # no rewrite
+    assert again.subtract(expected).count() == 0
+    assert expected.subtract(again).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -254,7 +254,10 @@ _STAGES_CACHE: dict[tuple, dict] = {}
 
 
 def curation_stage_frames(
-    spark: SparkSession, sf_dir: str, near_dup: str = "greedy"
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup: str = "greedy",
+    media: bool = False,
 ) -> dict[str, DataFrame]:
     """The `curate_corpus` stage chain as named DataFrames — factored
     out so the PIPELINE and the registered `pipeline_funnel_contract`
@@ -262,8 +265,16 @@ def curation_stage_frames(
     not a query-side re-implementation that could drift). Keys, in
     pipeline order: raw, quality_gated, exact_deduped, near_deduped
     (survivors), curated (survivors with their split column). See
-    `curate_corpus` for stage semantics and strategy choices."""
-    key = (spark.sparkContext.applicationId, sf_dir, near_dup)
+    `curate_corpus` for stage semantics and strategy choices.
+
+    ``media=True`` widens the near-dup edge set to the MEDIA
+    modalities (r12 VERDICT ask #8): banded image-dHash pairs and
+    banded audio-fingerprint pairs (the r12-certified
+    image_neardup_pairs / audio_neardup_pairs machinery) union into
+    the SAME pair graph the text pairs feed, so every keeper strategy
+    (greedy / canonical / best_quality) applies to the multimodal
+    graph unchanged — one dedup engine, three modalities."""
+    key = (spark.sparkContext.applicationId, sf_dir, near_dup, media)
     cached = _STAGES_CACHE.get(key)
     if cached is not None:
         return cached
@@ -294,7 +305,25 @@ def curation_stage_frames(
     # this corpus) must not drop a surviving unique doc — only pairs
     # with BOTH ends surviving represent redundancy in the output.
     alive = exact.select("doc_id")
-    pairs = verified_pair_store(spark, sf_dir)
+    pairs = verified_pair_store(spark, sf_dir).select("doc_a", "doc_b")
+    if media:
+        from .queries.round12_ops import (
+            _audio_hash_table,
+            _image_hash_table,
+            _pairs_from,
+        )
+
+        media_pairs = [
+            _pairs_from(tbl(spark, sf_dir)).select(
+                F.col("media_a").alias("doc_a"),
+                F.col("media_b").alias("doc_b"),
+            )
+            for tbl in (_image_hash_table, _audio_hash_table)
+        ]
+        for mp in media_pairs:
+            pairs = pairs.unionByName(mp)
+        # a pair near-dup in several modalities is still ONE edge
+        pairs = pairs.distinct()
     pairs_alive = pairs.join(
         alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
     ).join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
@@ -370,6 +399,7 @@ def curate_corpus(
     table_dir: str,
     keep_generations: int = 2,
     near_dup: str = "greedy",
+    media_dedup: bool = False,
 ) -> dict[str, int]:
     """End-to-end corpus curation: Gopher quality gate → exact content
     dedup → MinHash near-dup removal → leakage-safe train/val split →
@@ -391,6 +421,12 @@ def curate_corpus(
     `quality_logits` classifier pass the registered query certifies.
     Every strategy leaves no surviving pair a near-dup.
 
+    ``media_dedup=True`` additionally drops image/audio near-dups:
+    the r12-certified banded media pair sets union into the same
+    graph before the keeper strategy runs (curation_stage_frames'
+    ``media`` flag), and the registered multimodal_funnel_contract
+    query hash-certifies the resulting funnel cross-engine.
+
     Returns the funnel (docs surviving each stage) — the same
     numbers the curation_funnel query reports — and publishes the
     curated corpus with its split column through the pointer-file
@@ -405,7 +441,7 @@ def curate_corpus(
     cross-engine)."""
     from .publish import publish_versioned
 
-    frames = curation_stage_frames(spark, sf_dir, near_dup)
+    frames = curation_stage_frames(spark, sf_dir, near_dup, media=media_dedup)
     funnel = {
         "raw": frames["raw"].count(),
         "quality_gated": frames["quality_gated"].count(),

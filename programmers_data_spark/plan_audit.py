@@ -63,6 +63,13 @@ PYTHON_TIER = frozenset({
     "image_neardup_incremental",  # composes the image hash kernel
     "audio_fingerprint",  # Arrow WAV encode/decode + fingerprint kernel
     "audio_neardup_pairs",  # composes the audio fingerprint table
+    "audio_neardup_clusters",  # same table + component labels
+    "crossmodal_trimodal_consistency",  # composes the image + audio
+    #                                     kernels AND dedup_minhash's
+    #                                     Arrow pass
+    "multimodal_funnel_contract",  # composes the pair store's Arrow
+    #                                signature pass + both media hash
+    #                                kernels (curate_corpus media path)
 })
 
 # Queries planning a BroadcastNestedLoopJoin/CartesianProduct whose
@@ -137,6 +144,7 @@ BOUNDED_SINGLE_PARTITION = frozenset({
     #                     verdict window
     "ks_drift_by_source",  # <=256-row global-CDF fold + 1-row total
     "pipeline_funnel_contract",  # six 1-row stage-count aggregates
+    "multimodal_funnel_contract",  # same six 1-row stage aggregates
     "pq_recall_at5", "lsh_neardup_recall", "corpus_mixture_weights", "curation_funnel",
     "discounted_revenue", "forecast_revenue_change",
     "idle_rich_customers", "incr_mau_refresh", "ingest_freshness",

@@ -157,59 +157,71 @@ def _pool(px: bytes, width: int, block: int):
 # ------------------------------------------------ oracle fragments
 
 
-def _img_hash_cte(doc_rel: str = "documents", canon_mod: int | None = None) -> str:
+def _img_hash_cte(
+    doc_rel: str = "documents",
+    canon_mod: int | None = None,
+    prefix: str = "",
+) -> str:
     """The full hash derivation as DuckDB CTEs ending in `hashes`
     (media_id, scene, ahash_lo/hi, dhash_lo/hi), parameterized by the
     source relation and an optional canonical-id modulus (the
     cross-modal query keys scenes by doc_id % 1e6 so a document's
     augmented mutation renders a near-duplicate IMAGE of the
     original). One shared builder so the pair/cluster/invariance/
-    cross-modal oracles cannot drift from the per-image oracle."""
+    cross-modal oracles cannot drift from the per-image oracle.
+    ``prefix`` renames every CTE so several modalities' fragments can
+    coexist in one composed oracle (the trimodal/funnel queries)."""
 
     def canon(alias: str) -> str:
         return (
             f"{alias}.doc_id % {canon_mod}" if canon_mod else f"{alias}.doc_id"
         )
 
+    params, px, cells, means, abits, dbits, hashes = (
+        f"{prefix}{n}"
+        for n in (
+            "params", "px", "cells", "means", "abits", "dbits", "hashes",
+        )
+    )
     return f"""
-params AS (
+{params} AS (
   SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
   FROM {doc_rel}
 ),
-px AS (
+{px} AS (
   SELECT d.doc_id,
          t.p,
          CASE WHEN t.p = ('0x' || substr(md5(coalesce(d.text,'')), 1, 2))::INT
               THEN ('0x' || substr(md5(coalesce(d.text,'')), 3, 2))::INT
               ELSE ('0x' || substr(
-                       md5(CAST(({canon('d')}) % params.scenes AS VARCHAR)
+                       md5(CAST(({canon('d')}) % {params}.scenes AS VARCHAR)
                            || ':' || CAST(t.p // 16 AS VARCHAR)),
                        (t.p % 16) * 2 + 1, 2))::INT
          END AS v
-  FROM {doc_rel} d, params, generate_series(0, 255) AS t(p)
+  FROM {doc_rel} d, {params}, generate_series(0, 255) AS t(p)
 ),
-cells AS (
+{cells} AS (
   SELECT doc_id, ((p // 16) // 2) * 8 + (p % 16) // 2 AS k,
          CAST(sum(v) // 4 AS BIGINT) AS cell
-  FROM px GROUP BY doc_id, ((p // 16) // 2) * 8 + (p % 16) // 2
+  FROM {px} GROUP BY doc_id, ((p // 16) // 2) * 8 + (p % 16) // 2
 ),
-means AS (
+{means} AS (
   SELECT doc_id, CAST(sum(cell) // 64 AS BIGINT) AS m
-  FROM cells GROUP BY doc_id
+  FROM {cells} GROUP BY doc_id
 ),
-abits AS (
+{abits} AS (
   SELECT c.doc_id, c.k, CASE WHEN c.cell > m.m THEN 1 ELSE 0 END AS bit
-  FROM cells c JOIN means m USING (doc_id)
+  FROM {cells} c JOIN {means} m USING (doc_id)
 ),
-dbits AS (
+{dbits} AS (
   SELECT a.doc_id, a.k, CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
-  FROM cells a JOIN cells b
+  FROM {cells} a JOIN {cells} b
     ON a.doc_id = b.doc_id
    AND b.k = (a.k // 8) * 8 + ((a.k % 8) + 1) % 8
 ),
-hashes AS (
+{hashes} AS (
   SELECT a.doc_id AS media_id,
-         CAST(({canon('a')}) % (SELECT scenes FROM params) AS BIGINT)
+         CAST(({canon('a')}) % (SELECT scenes FROM {params}) AS BIGINT)
            AS scene,
          CAST(sum(CASE WHEN a.bit = 1 AND a.k < 32
                        THEN (1::BIGINT) << a.k ELSE 0 END) AS BIGINT)
@@ -223,39 +235,49 @@ hashes AS (
          CAST(sum(CASE WHEN d.bit = 1 AND d.k >= 32
                        THEN (1::BIGINT) << (d.k - 32) ELSE 0 END) AS BIGINT)
            AS dhash_hi
-  FROM abits a JOIN dbits d ON a.doc_id = d.doc_id AND a.k = d.k
+  FROM {abits} a JOIN {dbits} d ON a.doc_id = d.doc_id AND a.k = d.k
   GROUP BY a.doc_id
 )"""
 
 
 _IMG_HASH_CTE = _img_hash_cte()
 
-# Band + candidate + verified-pair layer on top of `hashes`.
-_IMG_PAIR_CTE = f"""
-bands AS (
+
+def _pair_cte(prefix: str = "") -> str:
+    """Band + candidate + verified-pair layer on top of a `hashes`
+    CTE — the ONE banding/verify fragment every media modality's
+    oracle composes (image r12, audio r12, and the multi-fragment
+    round-13 compositions, which prefix the CTE names so two
+    modalities can coexist in one query)."""
+    h, b, c, p = (f"{prefix}{n}" for n in ("hashes", "bands", "cand", "pairs"))
+    return f"""
+{b} AS (
   SELECT media_id, b.band,
          CASE b.band
            WHEN 0 THEN dhash_lo % 65536
            WHEN 1 THEN dhash_lo // 65536
            WHEN 2 THEN dhash_hi % 65536
            ELSE dhash_hi // 65536 END AS bval
-  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+  FROM {h}, (SELECT unnest(generate_series(0, 3)) AS band) b
 ),
-cand AS (
+{c} AS (
   SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+  FROM {b} a JOIN {b} b ON a.band = b.band AND a.bval = b.bval
   WHERE a.media_id < b.media_id
 ),
-pairs AS (
+{p} AS (
   SELECT c.media_a, c.media_b,
          CAST(bit_count(xor(ha.dhash_lo, hb.dhash_lo))
             + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) AS INTEGER) AS ham_d
-  FROM cand c
-  JOIN hashes ha ON ha.media_id = c.media_a
-  JOIN hashes hb ON hb.media_id = c.media_b
+  FROM {c} c
+  JOIN {h} ha ON ha.media_id = c.media_a
+  JOIN {h} hb ON hb.media_id = c.media_b
   WHERE bit_count(xor(ha.dhash_lo, hb.dhash_lo))
       + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) <= {HAM_T}
 )"""
+
+
+_IMG_PAIR_CTE = _pair_cte()
 
 
 # ------------------------------------------------ hash table (Arrow)
@@ -1122,74 +1144,104 @@ def _audio_fingerprint(pcm: bytes) -> tuple[int, int]:
 
 # DuckDB CTEs ending in `hashes` (media_id, scene, dhash_lo/hi — the
 # generic column names the shared pair fragment consumes).
-_AUDIO_HASH_CTE = f"""
-params AS (
-  SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
-  FROM documents
+
+
+def _audio_hash_cte(
+    doc_rel: str = "documents",
+    canon_mod: int | None = None,
+    prefix: str = "",
+    scene_extra: int = 0,
+) -> str:
+    """The audio fingerprint derivation as DuckDB CTEs ending in
+    `hashes` — the _img_hash_cte discipline for the audio modality:
+    parameterized source relation, optional canonical-id modulus (the
+    trimodal query keys an augmented copy onto its original's clip),
+    CTE-name prefix for multi-fragment composition, and an optional
+    ``scene_extra`` added to the scene count so the audio partition
+    of the corpus is genuinely DIFFERENT from the image partition
+    (same modulus would make the two modalities' pair sets identical
+    by construction and the adjudication vacuous)."""
+
+    def canon(expr: str) -> str:
+        return f"({expr} % {canon_mod})" if canon_mod else expr
+
+    scenes_sql = f"greatest({SCENE_MIN}, count(*) // {SCENE_DOCS})"
+    if scene_extra:
+        scenes_sql = f"{scenes_sql} + {scene_extra}"
+    params, noise, smp, energy, fbits, hashes = (
+        f"{prefix}{n}"
+        for n in ("params", "noise", "smp", "energy", "fbits", "hashes")
+    )
+    return f"""
+{params} AS (
+  SELECT {scenes_sql} AS scenes
+  FROM {doc_rel}
 ),
-noise AS (
+{noise} AS (
   SELECT doc_id,
          (('0x' || substr(md5(coalesce(text,'')), 1, 2))::INT
           | (('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT << 8))
            % {AUDIO_SAMPLES} AS pos,
          ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS val
-  FROM documents
+  FROM {doc_rel}
 ),
-smp AS (
+{smp} AS (
   SELECT d.doc_id, t.i,
          CASE WHEN t.i = n.pos THEN n.val
               ELSE ('0x' || substr(
-                       md5('a' || CAST(d.doc_id % params.scenes AS VARCHAR)
+                       md5('a' || CAST({canon('d.doc_id')} % {params}.scenes
+                                       AS VARCHAR)
                            || ':' || CAST(t.i // 16 AS VARCHAR)),
                        (t.i % 16) * 2 + 1, 2))::INT
          END AS v
-  FROM documents d
-  JOIN noise n USING (doc_id), params,
+  FROM {doc_rel} d
+  JOIN {noise} n USING (doc_id), {params},
        generate_series(0, {AUDIO_SAMPLES - 1}) AS t(i)
 ),
-energy AS (
+{energy} AS (
   SELECT doc_id, i // 8 AS f, CAST(sum(v * v) AS BIGINT) AS e
-  FROM smp GROUP BY doc_id, i // 8
+  FROM {smp} GROUP BY doc_id, i // 8
 ),
-fbits AS (
+{fbits} AS (
   SELECT a.doc_id, a.f AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
-  FROM energy a JOIN energy b
+  FROM {energy} a JOIN {energy} b
     ON a.doc_id = b.doc_id AND b.f = (a.f + 1) % {AUDIO_FRAMES}
 ),
-hashes AS (
+{hashes} AS (
   SELECT doc_id AS media_id,
-         CAST(doc_id % (SELECT scenes FROM params) AS BIGINT) AS scene,
+         CAST({canon('doc_id')} % (SELECT scenes FROM {params}) AS BIGINT)
+           AS scene,
          CAST(sum(CASE WHEN bit = 1 AND k < 32
                        THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
            AS dhash_lo,
          CAST(sum(CASE WHEN bit = 1 AND k >= 32
                        THEN (1::BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
            AS dhash_hi
-  FROM fbits GROUP BY doc_id
+  FROM {fbits} GROUP BY doc_id
 )"""
+
+
+_AUDIO_HASH_CTE = _audio_hash_cte()
 
 
 _AUDIO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _audio_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprints through the REAL WAV codec roundtrip: PCM buffer
+def _audio_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    scenes: int,
+    canon_mod: int | None = None,
+) -> DataFrame:
+    """The Arrow audio-fingerprint kernel over a (doc_id, text) frame
+    — the _hash_frame discipline for the audio modality: PCM buffer
     -> multimodal/wav.py encode -> read_header validate + read_pcm
     decode -> fingerprint the DECODED samples (roundtrip identity
-    licenses the pre-encode oracle — the PNG-tier discipline).
-    Persisted + memoized (pair join branches + presentation sort).
-    Internal column names match the image hash table so the banded
-    pair machinery (_pairs_from / _IMG_PAIR_CTE) is shared verbatim."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _AUDIO_HASH_CACHE.get(key)
-    if cached is not None:
-        return cached
-
+    licenses the pre-encode oracle). ``canon_mod`` optionally reduces
+    doc_id before clip keying (the trimodal query maps a mutated copy
+    at doc_id + 1e6 onto its original's clip)."""
     from ..multimodal.wav import encode as wav_encode
     from ..multimodal.wav import read_header, read_pcm
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scenes = _scene_count(_doc_count(spark, sf_dir))
 
     def fp_batches(batches):
         import pandas as pd
@@ -1199,26 +1251,41 @@ def _audio_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                buf = _pcm_buffer(int(doc_id), text, scenes)
+                canon = int(doc_id) % canon_mod if canon_mod else int(doc_id)
+                buf = _pcm_buffer(canon, text, scenes)
                 raw = wav_encode(8000, 1, 8, bytes(buf))
                 rate, ch, depth, n_frames = read_header(raw)
                 assert (rate, ch, depth, n_frames) == (8000, 1, 8, len(buf))
                 pcm = read_pcm(raw)
                 lo, hi = _audio_fingerprint(pcm)
                 out["media_id"].append(int(doc_id))
-                out["scene"].append(int(doc_id) % scenes)
+                out["scene"].append(canon % scenes)
                 out["dhash_lo"].append(lo)
                 out["dhash_hi"].append(hi)
             yield pd.DataFrame(out)
 
-    table = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            fp_batches,
-            schema="media_id long, scene long, dhash_lo long, dhash_hi long",
-        )
-        .persist()
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        fp_batches,
+        schema="media_id long, scene long, dhash_lo long, dhash_hi long",
     )
+
+
+def _audio_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprints through the REAL WAV codec roundtrip (_audio_frame
+    — roundtrip identity licenses the pre-encode oracle, the PNG-tier
+    discipline). Persisted + memoized (pair join branches +
+    presentation sort). Internal column names match the image hash
+    table so the banded pair machinery (_pairs_from / _IMG_PAIR_CTE)
+    is shared verbatim."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _AUDIO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(_doc_count(spark, sf_dir))
+    table = _audio_frame(spark, docs, scenes).persist()
     _AUDIO_HASH_CACHE[key] = table
     return table
 

@@ -1,0 +1,401 @@
+"""Round-13 operators: the trimodal dedup story completed (r12
+VERDICT asks #3 and #8) plus the audio tier's cluster resolution.
+
+- `audio_neardup_clusters` — connected components over the audio
+  near-dup pair graph, the same cluster machinery the image tier
+  certified (one banding/verify/cluster engine, three modalities).
+- `crossmodal_trimodal_consistency` — text x image x audio duplicate
+  adjudication over the shared augmented corpus. The audio side keys
+  clips by the SAME canonical id as the image side (an augmented
+  mutation renders a near-duplicate clip of its original) but
+  partitions the corpus with scenes+1 — a genuinely different
+  partition, so the image and audio pair sets are not identical by
+  construction and the adjudication is non-vacuous.
+- `multimodal_funnel_contract` — pipelines.curate_corpus with the
+  media-dedup stage enabled (image + audio pair sets unioned into
+  the text near-dup graph before the best-quality keeper), stage
+  counts hash-certified cross-engine — the pipeline_funnel_contract
+  pattern extended to the multimodal funnel.
+
+Reference anchor: the reference has no media pipeline; this tier is
+north-star (training-data pipeline) scope, extending the dedup family
+exactly the way dedup_ops.py did for text (SURVEY.md §2's
+"LLM-data-pipeline operators" mandate).
+
+Class population on the synthetic fixtures (trimodal): an augmented
+copy shares its original's canonical id, hence its image scene AND
+audio clip — a copy pair near-dups in all three modalities when its
+text passes the Jaccard gate ('text_image_audio'). Unrelated
+documents congruent mod scenes ('image_only') or mod scenes+1
+('audio_only') populate the single-modality classes; text pairs
+between non-copy documents (degenerate/boilerplate texts the MinHash
+path legitimately pairs) land in different scenes and populate
+'text_only' / 'text_audio' / 'text_image'; a perturbation flipping
+more than the usual bit budget can push one modality past HAM_T and
+leaves 'image_audio'. Measured at sf0.01: ALL SEVEN classes
+non-empty (text_image_audio 24, image_only 5027, audio_only 4819,
+text_only 24, text_audio 2, text_image 1, image_audio 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import ORACLE, query
+from .round12_ops import (
+    _audio_frame,
+    _audio_hash_cte,
+    _audio_hash_table,
+    _doc_stats,
+    _img_hash_cte,
+    _pair_cte,
+    _pairs_from,
+    _scene_count,
+    _xmodal_hash_table,
+)
+
+# ------------------------------------------------ audio clusters
+
+
+@query(
+    "audio_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_audio_hash_cte()},
+    {_pair_cte()},
+    edges AS (
+      SELECT media_a AS a, media_b AS b FROM pairs
+      UNION ALL
+      SELECT media_b AS a, media_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT media_id, media_id FROM hashes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS media_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY media_id
+    """,
+)
+def audio_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the AUDIO near-dup graph — completes
+    the audio tier to full parity with the image tier (fingerprint ->
+    pairs -> clusters): connected components over the banded pair
+    set (operators.connected_components_auto — label propagation,
+    edge-list-bounded, per-round localCheckpoint), cluster id = min
+    media_id; singletons keep their own id. Oracle: recursive-CTE
+    reachability over the identical pair set (the
+    image_neardup_clusters derivation verbatim, audio hash CTE
+    swapped in — the shared-fragment discipline)."""
+    from ..operators import connected_components_auto
+
+    h = _audio_hash_table(spark, sf_dir)
+    pairs = _pairs_from(h)
+    labels = connected_components_auto(pairs, "media_a", "media_b")
+    return (
+        h.select("media_id")
+        .join(labels, h["media_id"] == labels["vertex"], "left")
+        .select(
+            "media_id",
+            F.coalesce("component", "media_id").alias("cluster_id"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ------------------------------------------------ trimodal adjudication
+
+# The audio partition over the augmented corpus uses scenes+1: same
+# canonical keying as the image side (copies land on their original's
+# clip) but a different residue system, so same-image-scene and
+# same-audio-scene are independent events for unrelated documents.
+XMODAL_AUDIO_SCENE_EXTRA = 1
+
+_XMODAL_AUDIO_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _xmodal_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprints over the AUGMENTED corpus with canonical
+    clip keying (the _xmodal_hash_table discipline for audio):
+    scene = (doc_id % 1e6) % (scenes+1), so a mutated copy renders a
+    near-duplicate CLIP of its original while the partition differs
+    from the image side's. Persisted + memoized (pair join
+    branches)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _XMODAL_AUDIO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .dedup_ops import _augmented_docs
+
+    n, n20, max_doc = _doc_stats(spark, sf_dir)
+    # the same loud aliasing guard as the image cross-modal table
+    assert max_doc < 1_000_000, (
+        f"documents.doc_id reaches {max_doc}: the +1e6 augmentation "
+        f"offset would alias originals with copies under % 1e6 clip "
+        f"keying"
+    )
+    docs = _augmented_docs(spark, sf_dir)
+    scenes = _scene_count(n + n20) + XMODAL_AUDIO_SCENE_EXTRA
+    table = _audio_frame(spark, docs, scenes, canon_mod=1_000_000).persist()
+    _XMODAL_AUDIO_CACHE[key] = table
+    return table
+
+
+# Every combination the three flags can spell, in one CASE both
+# engines share verbatim (string-identical on both sides).
+_TRI_CLASS_SQL = """
+CASE WHEN in_text AND in_image AND in_audio THEN 'text_image_audio'
+     WHEN in_text AND in_image THEN 'text_image'
+     WHEN in_text AND in_audio THEN 'text_audio'
+     WHEN in_image AND in_audio THEN 'image_audio'
+     WHEN in_text THEN 'text_only'
+     WHEN in_image THEN 'image_only'
+     ELSE 'audio_only' END
+"""
+
+
+def _trimodal_oracle() -> str:
+    # imported DIRECTLY so a test bypassing registry.load_all still
+    # finds the composed fragment; dedup_ops registers EARLIER in
+    # _QUERY_MODULES, so this never reorders registration.
+    from . import dedup_ops  # noqa: F401
+    from .dedup_ops import _AUG_SQL
+
+    return f"""
+    WITH aug AS ({_AUG_SQL}),
+    {_img_hash_cte("aug", canon_mod=1_000_000, prefix="i_")},
+    {_pair_cte("i_")},
+    {_audio_hash_cte("aug", canon_mod=1_000_000, prefix="a_",
+                     scene_extra=XMODAL_AUDIO_SCENE_EXTRA)},
+    {_pair_cte("a_")},
+    tp AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash"]})
+    ),
+    ip AS (SELECT media_a AS doc_a, media_b AS doc_b FROM i_pairs),
+    ap AS (SELECT media_a AS doc_a, media_b AS doc_b FROM a_pairs),
+    ti AS (
+      SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+             coalesce(t.doc_b, i.doc_b) AS doc_b,
+             t.doc_a IS NOT NULL AS in_text,
+             i.doc_a IS NOT NULL AS in_image
+      FROM tp t FULL OUTER JOIN ip i
+        ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+    ),
+    tri AS (
+      SELECT coalesce(x.doc_a, a.doc_a) AS doc_a,
+             coalesce(x.doc_b, a.doc_b) AS doc_b,
+             coalesce(x.in_text, FALSE) AS in_text,
+             coalesce(x.in_image, FALSE) AS in_image,
+             a.doc_a IS NOT NULL AS in_audio
+      FROM ti x FULL OUTER JOIN ap a
+        ON x.doc_a = a.doc_a AND x.doc_b = a.doc_b
+    )
+    SELECT doc_a, doc_b, {_TRI_CLASS_SQL} AS dup_class
+    FROM tri ORDER BY doc_a, doc_b
+    """
+
+
+@query("crossmodal_trimodal_consistency", oracle=_trimodal_oracle())
+def crossmodal_trimodal_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THREE-modality duplicate adjudication (r12 VERDICT ask #3) —
+    the decision a multimodal curation pipeline makes per candidate
+    pair, now across text (MinHash-LSH + Jaccard >= 0.5), image
+    (banded dHash, Hamming <= HAM_T), and audio (banded energy-delta
+    fingerprint, same threshold): a pair near-duplicate in all three
+    is a true multimodal duplicate; partial agreement localizes WHAT
+    was re-used (same media re-captioned, same text over new media,
+    one modality's banding miss).
+
+    All three sides run over the SAME augmented corpus; image and
+    audio key media by the canonical id (doc_id % 1e6) so a mutated
+    copy near-dups its original in BOTH media, while the audio
+    partition uses scenes+1 — a different residue system, so the two
+    media pair sets differ for unrelated documents and the
+    adjudication is non-vacuous (see the module docstring for which
+    of the seven classes the fixture construction populates).
+
+    Full hash parity by COMPOSITION: the oracle recomposes the
+    registered dedup_minhash SQL, the shared image-hash fragment, and
+    the shared audio fragment (scene_extra=1) over the same augmented
+    relation, chained through two full outer joins on the pair key —
+    drift in ANY tier, the augmentation, or the join semantics breaks
+    the hash.
+
+    Scale shape: three banded equi-join pair generators (never
+    all-pairs) and two keyed full outer joins over the bounded pair
+    sets — one shuffle each."""
+    from .dedup_ops import dedup_minhash
+
+    tp = dedup_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_text")
+    )
+    ip = _pairs_from(_xmodal_hash_table(spark, sf_dir)).select(
+        F.col("media_a").alias("doc_a"),
+        F.col("media_b").alias("doc_b"),
+        F.lit(True).alias("in_image"),
+    )
+    ap = _pairs_from(_xmodal_audio_table(spark, sf_dir)).select(
+        F.col("media_a").alias("doc_a"),
+        F.col("media_b").alias("doc_b"),
+        F.lit(True).alias("in_audio"),
+    )
+    tri = (
+        tp.join(ip, ["doc_a", "doc_b"], "full_outer")
+        .join(ap, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("in_text", F.lit(False)).alias("in_text"),
+            F.coalesce("in_image", F.lit(False)).alias("in_image"),
+            F.coalesce("in_audio", F.lit(False)).alias("in_audio"),
+        )
+    )
+    return tri.select(
+        "doc_a", "doc_b", F.expr(_TRI_CLASS_SQL).alias("dup_class")
+    ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------ multimodal funnel
+
+
+def _multimodal_funnel_oracle() -> str:
+    """The pipeline_funnel_contract oracle with the media edge sets
+    unioned into the near-dup graph — every stage recomposed from the
+    already-registered fragments, the media pairs from the shared
+    image/audio hash + pair CTEs over the BASE documents (exactly
+    what curation_stage_frames(media=True) joins in)."""
+    from . import dedup_ops, sampling_ops, text_quality_ops  # noqa: F401
+    from ._oracle_shared import _DUCK_TOKS
+    from .round10_ops import _QL_W_DUCK
+
+    return f"""
+    WITH RECURSIVE
+    {_img_hash_cte(prefix="i_")},
+    {_pair_cte("i_")},
+    {_audio_hash_cte(prefix="a_")},
+    {_pair_cte("a_")},
+    gq AS ({ORACLE["gopher_quality_flags"]}),
+    gated AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ),
+    exact_s AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN canon c ON c.doc_id = g.doc_id
+    ),
+    pairs0 AS ({ORACLE["dedup_minhash"]}),
+    allpairs AS (
+      SELECT doc_a, doc_b FROM pairs0
+      UNION
+      SELECT media_a AS doc_a, media_b AS doc_b FROM i_pairs
+      UNION
+      SELECT media_a AS doc_a, media_b AS doc_b FROM a_pairs
+    ),
+    pe AS (
+      SELECT doc_a, doc_b FROM allpairs
+      WHERE doc_a IN (SELECT doc_id FROM exact_s)
+        AND doc_b IN (SELECT doc_id FROM exact_s)
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pe
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pe
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(src, dst) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    st AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM exact_s),
+    scores AS (
+      SELECT doc_id, CAST(sum({_QL_W_DUCK}) AS BIGINT) AS logit
+      FROM st GROUP BY doc_id
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, coalesce(s.logit, 0) AS logit
+      FROM comp c LEFT JOIN scores s USING (doc_id)
+    ),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY logit DESC, doc_id
+               ) AS rn
+        FROM m
+      ) WHERE rn > 1
+    ),
+    surv AS (
+      SELECT doc_id FROM exact_s
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    split AS ({ORACLE["train_val_split"]}),
+    curated AS (
+      SELECT s.doc_id, sp.split FROM surv s JOIN split sp USING (doc_id)
+    )
+    SELECT ord, stage, n_docs FROM (
+      SELECT 0 AS ord, 'raw' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'quality_gated',
+             CAST((SELECT count(*) FROM gated) AS BIGINT)
+      UNION ALL SELECT 2, 'exact_deduped',
+             CAST((SELECT count(*) FROM exact_s) AS BIGINT)
+      UNION ALL SELECT 3, 'near_deduped',
+             CAST((SELECT count(*) FROM surv) AS BIGINT)
+      UNION ALL SELECT 4, 'split_train',
+             CAST((SELECT count(*) FROM curated WHERE split = 'train')
+               AS BIGINT)
+      UNION ALL SELECT 5, 'split_val',
+             CAST((SELECT count(*) FROM curated WHERE split = 'val')
+               AS BIGINT)
+    ) ORDER BY ord
+    """
+
+
+@query("multimodal_funnel_contract", oracle=_multimodal_funnel_oracle())
+def multimodal_funnel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pipelines.curate_corpus` with MEDIA dedup enabled, as a
+    driver-certified contract (r12 VERDICT ask #8): stage survival
+    counts for the multimodal funnel — raw -> Gopher gate -> exact
+    content dedup -> near-dup keeper over the UNION of text, image,
+    and audio pair graphs (best-quality keeper) -> train/val split —
+    computed from the SAME `curation_stage_frames(media=True)` the
+    production pipeline publishes from. The oracle recomposes every
+    stage from the already-certified fragments with the media edge
+    sets unioned into the graph, so drift in any modality's pair
+    semantics, the union scoping, or the keeper rule breaks the hash.
+
+    Scale shape: each pair generator is its own banded equi join; the
+    union adds one distinct over bounded pair sets; component
+    resolution stays edge-list-bounded; the funnel adds six 1-row
+    aggregates (the pipeline_funnel_contract shape)."""
+    from functools import reduce
+
+    from ..pipelines import curation_stage_frames
+
+    frames = curation_stage_frames(
+        spark, sf_dir, near_dup="best_quality", media=True
+    )
+    stages = [
+        (0, "raw", frames["raw"]),
+        (1, "quality_gated", frames["quality_gated"]),
+        (2, "exact_deduped", frames["exact_deduped"]),
+        (3, "near_deduped", frames["near_deduped"]),
+        (4, "split_train", frames["curated"].filter(F.col("split") == "train")),
+        (5, "split_val", frames["curated"].filter(F.col("split") == "val")),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(o).alias("ord"), F.lit(s).alias("stage"), "n_docs"
+        )
+        for o, s, df in stages
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("ord")

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
+    "programmers_data_spark.queries.round13_ops",  # 3 (→239)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation

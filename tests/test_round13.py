@@ -1,0 +1,231 @@
+"""Round-13 tier: audio cluster resolution, trimodal adjudication,
+and the multimodal curation funnel (media dedup in curate_corpus)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from programmers_data_spark import registry  # noqa: E402
+from programmers_data_spark.testing import compare_to_oracle  # noqa: E402
+
+registry.load_all()
+
+from programmers_data_spark.queries import round12_ops, round13_ops  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """The round-12 planted corpus shape: 26 documents, scene count
+    SCENE_MIN (23) on the image side and 24 on the trimodal audio
+    side — (0,23), (1,24), (2,25) are same-image-scene pairs;
+    (0,24), (1,25) are same-audio-scene pairs (mod 24)."""
+    d = tmp_path_factory.mktemp("planted_round13")
+    texts = [" ".join(f"w{i}t{j}" for j in range(30)) for i in range(26)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(26),
+            "text": texts,
+            "lang": ["en"] * 26,
+            "source": [f"src{i % 3}" for i in range(26)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+# ------------------------------------------------ audio clusters
+
+
+def test_audio_clusters_merge_scenes(spark, planted_dir):
+    """Same-scene planted clips resolve into one cluster labeled by
+    the minimum member; scene-unique clips stay singletons."""
+    rows = {
+        r.media_id: r.cluster_id
+        for r in round13_ops.audio_neardup_clusters(
+            spark, planted_dir
+        ).collect()
+    }
+    assert rows[0] == 0 and rows[23] == 0  # scene 0 (mod 23)
+    assert rows[1] == 1 and rows[24] == 1
+    assert rows[2] == 2 and rows[25] == 2
+    for mid in range(3, 23):
+        assert rows[mid] == mid  # singleton scenes
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "audio_neardup_clusters",
+        "crossmodal_trimodal_consistency",
+        "multimodal_funnel_contract",
+    ],
+)
+def test_planted_fixture_oracle_parity(spark, planted_dir, name):
+    """Full value parity on the planted corpus (not just the driver
+    comparison, on a fixture whose answer is known by construction)."""
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, str(result)
+
+
+# ------------------------------------------------ trimodal adjudication
+
+
+def test_trimodal_class_expression_covers_all_combos(spark):
+    """The shared CASE maps every flag combination to its class name
+    — identical string on both engines, so one table drives both."""
+    rows = [
+        (t, i, a)
+        for t in (True, False)
+        for i in (True, False)
+        for a in (False, True)
+        if t or i or a
+    ]
+    df = spark.createDataFrame(
+        rows, "in_text boolean, in_image boolean, in_audio boolean"
+    ).select(
+        "in_text", "in_image", "in_audio",
+        F.expr(round13_ops._TRI_CLASS_SQL).alias("c"),
+    )
+    got = {(r.in_text, r.in_image, r.in_audio): r.c for r in df.collect()}
+    assert got == {
+        (True, True, True): "text_image_audio",
+        (True, True, False): "text_image",
+        (True, False, True): "text_audio",
+        (True, False, False): "text_only",
+        (False, True, True): "image_audio",
+        (False, True, False): "image_only",
+        (False, False, True): "audio_only",
+    }
+
+
+def test_trimodal_consistent_with_bimodal(spark, planted_dir):
+    """The trimodal adjudication must agree with the r12-certified
+    bimodal query on the text and image flags: a pair's trimodal
+    class contains 'text'/'image' exactly when the bimodal class does
+    (the audio flag only refines, never rewrites, the shared
+    sub-adjudication)."""
+    tri = {
+        (r.doc_a, r.doc_b): r.dup_class
+        for r in round13_ops.crossmodal_trimodal_consistency(
+            spark, planted_dir
+        ).collect()
+    }
+    bi = {
+        (r.doc_a, r.doc_b): r.dup_class
+        for r in round12_ops.crossmodal_dup_consistency(
+            spark, planted_dir
+        ).collect()
+    }
+    def flags(cls):
+        if cls.endswith("_only"):
+            return {cls[: -len("_only")]}
+        return set(cls.split("_"))
+
+    for pair, bcls in bi.items():
+        tcls = tri.get(pair, "")
+        bflags = flags(bcls) if bcls != "both" else {"text", "image"}
+        assert flags(tcls) & {"text", "image"} == bflags, (
+            pair, bcls, tcls,
+        )
+    # and no trimodal pair carrying a text/image flag is missing
+    # from the bimodal view
+    for pair, tcls in tri.items():
+        if flags(tcls) & {"text", "image"}:
+            assert pair in bi, (pair, tcls)
+
+
+def test_trimodal_audio_partition_differs_from_image(spark, planted_dir):
+    """The audio side's scenes+1 keying yields a genuinely different
+    partition: at least one pair is image_only and at least one is
+    audio_only on the planted corpus ((0,23) image-scene pair vs
+    (0,24) audio-scene pair)."""
+    cls = {
+        (r.doc_a, r.doc_b): r.dup_class
+        for r in round13_ops.crossmodal_trimodal_consistency(
+            spark, planted_dir
+        ).collect()
+    }
+    assert cls.get((0, 23)) == "image_only"
+    assert cls.get((0, 24)) == "audio_only"
+    # copies don't exist on this fixture slice (26 docs -> augmented
+    # copies at 1e6+0/1e6+20 pair in all three modalities)
+    assert cls.get((0, 1_000_000)) == "text_image_audio"
+    assert cls.get((20, 1_000_020)) == "text_image_audio"
+
+
+# ------------------------------------------------ multimodal funnel
+
+# The planted corpus's synthetic "wItJ" tokens all fail the Gopher
+# gate (no stopwords), leaving the funnel vacuously empty — these
+# tests need the REAL fixture corpus.
+_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_multimodal_funnel_leaves_no_media_neardup_pair(spark):
+    """After the media-dedup stage, no surviving pair is a near-dup
+    in ANY modality (text, image, or audio) — the defining property
+    of the widened graph under every keeper strategy."""
+    from programmers_data_spark.pipelines import curation_stage_frames
+
+    frames = curation_stage_frames(
+        spark, _SF, near_dup="best_quality", media=True
+    )
+    alive_df = frames["near_deduped"].select("doc_id")
+    alive = {r.doc_id for r in alive_df.collect()}
+    assert alive, "funnel emptied the real corpus — fixture changed?"
+    for pairs in (
+        round12_ops._pairs_from(round12_ops._image_hash_table(spark, _SF)),
+        round12_ops._pairs_from(round12_ops._audio_hash_table(spark, _SF)),
+    ):
+        surviving = [
+            (r.media_a, r.media_b)
+            for r in pairs.collect()
+            if r.media_a in alive and r.media_b in alive
+        ]
+        assert not surviving, surviving[:5]
+
+
+def test_multimodal_funnel_is_stricter(spark):
+    """The media stage can only remove more: pre-near-dup stages are
+    unchanged, near_deduped strictly shrinks (the real corpus has
+    same-scene survivors the text graph never connects)."""
+    from programmers_data_spark.queries.round11_ops import (
+        pipeline_funnel_contract,
+    )
+
+    uni = {r.stage: r.n_docs
+           for r in pipeline_funnel_contract(spark, _SF).collect()}
+    multi = {r.stage: r.n_docs
+             for r in round13_ops.multimodal_funnel_contract(
+                 spark, _SF).collect()}
+    for stage in ("raw", "quality_gated", "exact_deduped"):
+        assert multi[stage] == uni[stage]
+    assert multi["near_deduped"] < uni["near_deduped"]
+
+
+def test_curate_corpus_media_stage_publishes(spark, tmp_path):
+    """curate_corpus(media_dedup=True) runs end-to-end: publishes a
+    generation whose row count equals the funnel's near_deduped count
+    (every survivor carries its split)."""
+    from programmers_data_spark.pipelines import curate_corpus
+    from programmers_data_spark.publish import read_versioned
+
+    table_dir = str(tmp_path / "curated_mm")
+    funnel = curate_corpus(
+        spark, _SF, table_dir,
+        near_dup="best_quality", media_dedup=True,
+    )
+    assert 0 < funnel["near_deduped"] < funnel["exact_deduped"]
+    published = read_versioned(spark, table_dir)
+    assert published.count() == funnel["near_deduped"]
+    assert set(published.columns) >= {"doc_id", "split"}

@@ -67,33 +67,25 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
-# ROUND-13 ROTATION PLAN: the backlog after this window is the
-# 36-name r8 tail trimmed from _WINDOW_STALE (bigram_stats,
-# doc_lang_mix, knn_label_vote,
-# adaptive_quality_gate, near_dup_rate_by_source, corpus_shuffle, skew_profile, stream_tumbling_daily,
-# stream_sliding_2d, stream_dedup, sessionization,
-# stream_session_window, stream_stateful_counts,
-# stream_enrich_segment, stream_join_attribution,
-# stream_corpus_quality, stream_vocab_drift, mau,
-# corpus_mixture_weights, source_vocab_divergence, doc_line_dedup,
-# customers_with_orders, customers_without_orders, rollup_revenue,
-# returning_customers, churned_customers, ann_lsh_topk,
-# embedding_neardup_lsh, contrastive_training_pairs,
-# multimodal_png_roundtrip, ann_recall_at5, lsh_neardup_recall,
-# split_neardup_leakage, dsir_importance_proxy, span_corruption_plan,
-# tokenizer_fertility_by_source), then the 48-name r9 tier, then r10.
-# Take any round-13 NEW registrations FIRST (never-driver-checked
+# ROUND-14 ROTATION PLAN: the backlog after this window is the
+# 40-name r9 tail trimmed from _WINDOW_STALE (starting, in
+# registration order: post_purchase_clicks, acctbal_quartiles,
+# grouping_sets_revenue, event_type_unpivot, ... — derive the full
+# list from the records as always: names whose latest green round is
+# 9, in (module position, definition line) order, minus the 8-name
+# prefix taken below), then the r10 tier, then r11, then r12.
+# Take any round-14 NEW registrations FIRST (never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
-# round-12-green sentinels on whatever the r13 diff touches, then
+# round-13-green sentinels on whatever the r14 diff touches, then
 # backlog names in (vintage, registration-order) order to fill 50 —
 # older tiers drained COMPLETELY before the next begins (the
 # bookkeeping test enforces the multi-tier oldest-first rule since
 # r11). Keep stream_tws_value_stats OUTSIDE the window (honestly
 # gated: google.protobuf absent, installs disallowed — semantics
 # driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 13 in the same commit that rewrites the groups —
+# WINDOW_ROUND to 14 in the same commit that rewrites the groups —
 # the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -120,93 +112,91 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the
-# driver verifies this round (round WINDOW_ROUND = 12; r10 VERDICT
+# driver verifies this round (round WINDOW_ROUND = 13; r10 VERDICT
 # ask #2). The window is the concatenation of four explicit groups
 # so the bookkeeping test can check each group's defining property
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# none remain (every r11 registration got its r11 row).
+# none remain (every r12 registration got its r12 row).
 _WINDOW_LEADS = ()
 
-# Group 2 — round-12 NEW registrations (never driver-checked): the
-# image near-duplicate tier (perceptual hashes over the pure-stdlib
-# PNG codec, banded LSH pairs, cluster resolution, the banding's
-# recall twin, the resize-invariance theorem, incremental index
-# maintenance, the streaming ingest composition), the cross-modal
-# text-LSH x image-LSH pair adjudication, and the audio modality
-# (WAV-codec energy-delta fingerprints through the SAME banded pair
-# machinery). All ten carry full oracles.
+# Group 2 — round-13 NEW registrations (never driver-checked): the
+# audio tier's cluster resolution, the trimodal text x image x audio
+# pair adjudication, and the multimodal curation funnel
+# (curate_corpus with the media-dedup stage enabled). All three
+# carry full oracles.
 _WINDOW_NEW = (
-    "image_dhash",
-    "image_neardup_pairs",
-    "image_neardup_clusters",
-    "image_lsh_recall",
-    "image_resize_hash_invariance",
-    "crossmodal_dup_consistency",
-    "image_neardup_incremental",
-    "stream_image_neardup_ingest",
-    "audio_fingerprint",
-    "audio_neardup_pairs",
+    "audio_neardup_clusters",
+    "crossmodal_trimodal_consistency",
+    "multimodal_funnel_contract",
 )
 
-# Group 3 — r11-green sentinels sitting directly on the round-12
-# diff: stream_upsert_publish's snapshot now materializes via eager
-# localCheckpoint and removes its replay scratch tree (r11 VERDICT
-# #7), and dedup_keep_best_quality is the round's adjudicated bench
-# watch (standalone re-times cleared it, SCALE.md) — the driver row
-# closes the watch with a fresh correctness certificate.
+# Group 3 — r12-green sentinels sitting directly on the round-13
+# diff: image_neardup_incremental and stream_image_neardup_ingest now
+# probe the PUBLISHED BUCKETED band table (r12 VERDICT ask #2) instead
+# of re-deriving bands from the whole index, and
+# crossmodal_dup_consistency's shared hash table gained the
+# augmentation-offset guard + memoized corpus stats (r12 ADVICE) —
+# each driver row re-certifies the changed code path.
 _WINDOW_SENTINELS = (
-    "stream_upsert_publish",
-    "dedup_keep_best_quality",
+    "image_neardup_incremental",
+    "stream_image_neardup_ingest",
+    "crossmodal_dup_consistency",
 )
 
 # Group 4 — stale tiers oldest-first, in registration order: the
-# ENTIRE 25-name r7 remainder (the tail trimmed from the r11 window;
-# latest green driver row r7 — oldest vintage in the record), then
-# the first 13 of the 49-name r8 tier. The 36 trimmed r8 tail names
-# lead the r13 backlog (see the ROUND-13 ROTATION PLAN above).
+# ENTIRE 36-name r8 tail (trimmed from the r12 window; latest green
+# driver row r8 — oldest vintage in the record), then the first 8 of
+# the 48-name r9 tier. The 40 trimmed r9 tail names lead the r14
+# backlog (see the ROUND-14 ROTATION PLAN above).
 _WINDOW_STALE = (
-    # r7 remainder — complete (25)
-    "dedup_minhash",
-    "repetition_profile",
-    "gopher_quality_flags",
-    "dedup_prefix",
-    "stratified_sample",
-    "shingle_novelty",
-    "code_fraction_by_source",
-    "decontam_overlap",
-    "doc_commonness",
-    "dedup_incremental",
-    "table_profile",
-    "curation_funnel",
-    "neardup_incremental",
-    "event_path_trigrams",
-    "rfm_segments",
-    "hard_negatives",
-    "rrf_fusion",
-    "label_centroid_drift",
-    "multimodal_audio_meta",
-    "source_temperature_weights",
-    "token_budget_allocation",
-    "curriculum_phases",
-    "training_manifest",
-    "tfidf_shingle_pairs",
-    "bpe_contract",
-    # r8 tier prefix (13 of 49, registration order)
-    "incr_distinct",
-    "corpus_sample_hash",
-    "pii_redact",
-    "vocab_topk",
-    "top_terms_per_doc",
-    "doc_chunks",
-    "ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "minhash_jaccard_estimate",
-    "sequence_packing",
-    "packing_spans",
+    # r8 remainder — complete (36)
+    "bigram_stats",
+    "doc_lang_mix",
+    "knn_label_vote",
+    "adaptive_quality_gate",
+    "near_dup_rate_by_source",
+    "corpus_shuffle",
+    "skew_profile",
+    "stream_tumbling_daily",
+    "stream_sliding_2d",
+    "stream_dedup",
+    "sessionization",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_enrich_segment",
+    "stream_join_attribution",
+    "stream_corpus_quality",
+    "stream_vocab_drift",
+    "mau",
+    "corpus_mixture_weights",
+    "source_vocab_divergence",
+    "doc_line_dedup",
+    "customers_with_orders",
+    "customers_without_orders",
+    "rollup_revenue",
+    "returning_customers",
+    "churned_customers",
+    "ann_lsh_topk",
+    "embedding_neardup_lsh",
+    "contrastive_training_pairs",
+    "multimodal_png_roundtrip",
+    "ann_recall_at5",
+    "lsh_neardup_recall",
+    "split_neardup_leakage",
+    "dsir_importance_proxy",
+    "span_corruption_plan",
+    "tokenizer_fertility_by_source",
+    # r9 tier prefix (8 of 48, registration order)
+    "cross_source_dup_matrix",
+    "dup_span_mine",
+    "cube_order_stats",
+    "running_revenue",
+    "asof_last_order",
+    "value_histogram",
+    "event_type_pivot",
+    "value_percentiles",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -64,6 +64,7 @@ PYTHON_TIER = frozenset({
     "audio_fingerprint",  # Arrow WAV encode/decode + fingerprint kernel
     "audio_neardup_pairs",  # composes the audio fingerprint table
     "audio_neardup_clusters",  # same table + component labels
+    "audio_lsh_recall",  # composes the same Arrow fingerprint table
     "crossmodal_trimodal_consistency",  # composes the image + audio
     #                                     kernels AND dedup_minhash's
     #                                     Arrow pass

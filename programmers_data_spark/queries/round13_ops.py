@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..registry import ORACLE, query
 from .round12_ops import (
     _audio_frame,
@@ -399,3 +400,263 @@ def multimodal_funnel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for o, s, df in stages
     ]
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("ord")
+
+
+# ------------------------------------------------ audio recall twin
+
+_AUDIO_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _audio_recall_oracle() -> str:
+    from .round12_ops import HAM_T
+
+    return f"""
+    WITH {_audio_hash_cte()},
+    {_pair_cte()},
+    truth AS (
+      SELECT ha.scene, ha.media_id AS media_a, hb.media_id AS media_b
+      FROM hashes ha JOIN hashes hb
+        ON ha.scene = hb.scene AND ha.media_id < hb.media_id
+      WHERE bit_count(xor(ha.dhash_lo, hb.dhash_lo))
+          + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) <= {HAM_T}
+    ),
+    found AS (
+      SELECT t.scene, t.media_a, t.media_b
+      FROM truth t JOIN pairs p
+        ON p.media_a = t.media_a AND p.media_b = t.media_b
+    )
+    SELECT s.scene,
+           CAST(s.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(f.n_found, 0) * 100 // s.n_true AS BIGINT)
+             AS recall_pct
+    FROM (SELECT scene, count(*) AS n_true FROM truth GROUP BY scene) s
+    LEFT JOIN (
+      SELECT scene, count(*) AS n_found FROM found GROUP BY scene
+    ) f ON f.scene = s.scene
+    ORDER BY s.scene
+    """
+
+
+@query("audio_lsh_recall", oracle=_audio_recall_oracle())
+def audio_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the banded AUDIO LSH — the accuracy twin
+    the image tier carries (image_lsh_recall) and every other
+    LSH/ANN path in the repo pairs with its operator: ground truth is
+    the within-scene pair set at Hamming <= HAM_T (an equi join on
+    the closed-form scene key, never all-pairs), found is the banded
+    candidate pipeline's verified output intersected with the truth,
+    reported per scene as exact integer percentages. Banding can only
+    MISS, so recall_pct <= 100 structurally; measured 100 at every
+    SF (a one-sample perturbation flips <= 2 fingerprint bits, so
+    within-scene pairs spread <= 4 bits over 4 bands — some band is
+    always exact)."""
+    from .round12_ops import HAM_T
+
+    h = _audio_hash_table(spark, sf_dir)
+    ha = h.select(
+        "scene",
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("scene").alias("scene_b"),
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    # persisted (count aggregate + found join) and memoized per
+    # (app, sf_dir) — the image_lsh_recall discipline
+    truth_key = (spark.sparkContext.applicationId, sf_dir)
+    truth = _AUDIO_TRUTH_CACHE.get(truth_key)
+    if truth is None:
+        truth = (
+            ha.join(hb, (F.col("scene") == F.col("scene_b"))
+                    & (F.col("media_a") < F.col("media_b")))
+            .filter(ham <= HAM_T)
+            .select("scene", "media_a", "media_b")
+            .persist()
+        )
+        _AUDIO_TRUTH_CACHE[truth_key] = truth
+    found = (
+        truth.join(_pairs_from(h), ["media_a", "media_b"])
+        .groupBy("scene")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        truth.groupBy("scene")
+        .agg(F.count("*").alias("n_true"))
+        .join(found, "scene", "left")
+        .select(
+            "scene",
+            F.col("n_true").cast("long"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.expr("coalesce(n_found, 0) * 100 div n_true")
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("scene")
+    )
+
+
+# ------------------------------------------------ language audit
+
+
+def _lang_confusion_oracle() -> str:
+    from .text_ops import lang_pred_ctes
+
+    return f"""
+    WITH {lang_pred_ctes()},
+    cm AS (
+      SELECT lang AS declared_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY lang, predicted_lang
+    ),
+    tot AS (
+      SELECT declared_lang, CAST(sum(n_docs) AS BIGINT) AS n_declared
+      FROM cm GROUP BY declared_lang
+    )
+    SELECT cm.declared_lang, cm.predicted_lang, cm.n_docs,
+           CAST(cm.n_docs * 1000000 // t.n_declared AS BIGINT) AS share_ppm
+    FROM cm JOIN tot t ON t.declared_lang = cm.declared_lang
+    ORDER BY cm.declared_lang, cm.predicted_lang
+    """
+
+
+@query("lang_confusion_matrix", oracle=_lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the audit a
+    curation team runs before trusting either label: each (declared,
+    predicted) cell with its count and its integer-ppm share of the
+    declared language's documents (mislabeled-corpus detection, e.g.
+    'declared en but detected und' concentrations). Composes the SAME
+    stopword-profile predictor lang_id_heuristic certifies
+    (functions.textfn.lang_id / the shared lang_pred_ctes fragment).
+
+    Scale shape: one map-only predictor pass, one (declared,
+    predicted) count aggregate (cells bounded by |langs|^2), one
+    dimension-sized totals join. Integer ppm division on both engines
+    (the standing div discipline)."""
+    from ..functions import textfn
+
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang").alias("declared_lang"),
+            textfn.lang_id("text").alias("predicted_lang"),
+        )
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = cm.groupBy("declared_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_declared")
+    )
+    return (
+        cm.join(tot, "declared_lang")
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_declared")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("declared_lang", "predicted_lang")
+    )
+
+
+# ------------------------------------------------ snapshot diff
+
+# Prior-snapshot fiction, closed-form in both engines (the
+# incremental-maintenance residue discipline): docs with
+# doc_id % 17 == 3 are ABSENT from the prior snapshot (they diff as
+# 'added'), docs with % 17 == 5 carried a different prior text
+# (prior hash keyed '~prev' — they diff as 'modified'), and for each
+# doc with % 17 == 7 the prior additionally held a row at
+# doc_id + 2e6 that no longer exists (diffs as 'deleted').
+SNAP_ADDED_RESIDUE = 3
+SNAP_MODIFIED_RESIDUE = 5
+SNAP_DELETED_RESIDUE = 7
+SNAP_DELETED_OFFSET = 2_000_000
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH cur AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+    ),
+    prior AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = {SNAP_MODIFIED_RESIDUE}
+                  THEN md5(coalesce(text, '') || '~prev')
+                  ELSE md5(coalesce(text, '')) END AS h
+      FROM documents WHERE doc_id % 17 != {SNAP_ADDED_RESIDUE}
+      UNION ALL
+      SELECT doc_id + {SNAP_DELETED_OFFSET} AS doc_id,
+             md5('gone:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 17 = {SNAP_DELETED_RESIDUE}
+    )
+    SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'deleted'
+                WHEN c.h != p.h THEN 'modified'
+                ELSE 'unchanged' END AS change
+    FROM cur c FULL OUTER JOIN prior p ON c.doc_id = p.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta classification — the operation a corpus-
+    versioning pipeline runs when a new crawl lands next to the
+    previous one (added / deleted / modified / unchanged per
+    document, by content hash): one full outer hash join keyed on the
+    document id, content compared by md5. The 'previous snapshot'
+    here is a deterministic fiction derived from the current table
+    (the incremental-maintenance residue discipline — see the module
+    constants), so both engines agree on the input pair of snapshots
+    for free and every class is structurally populated.
+
+    Scale shape: two map-only hash projections and ONE full outer
+    equi join on the id — at 100 TB both sides are parquet snapshot
+    reads and the join is the only shuffle; the change column is a
+    pure row-local CASE."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    cur = docs.select(
+        "doc_id", F.md5(txt.cast("binary")).alias("h_cur")
+    )
+    kept = docs.filter(F.col("doc_id") % 17 != SNAP_ADDED_RESIDUE).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == SNAP_MODIFIED_RESIDUE,
+            F.md5(F.concat(txt, F.lit("~prev")).cast("binary")),
+        )
+        .otherwise(F.md5(txt.cast("binary")))
+        .alias("h_prev"),
+    )
+    gone = docs.filter(F.col("doc_id") % 17 == SNAP_DELETED_RESIDUE).select(
+        (F.col("doc_id") + SNAP_DELETED_OFFSET).alias("doc_id"),
+        F.md5(
+            F.concat(F.lit("gone:"), F.col("doc_id").cast("string"))
+            .cast("binary")
+        ).alias("h_prev"),
+    )
+    prior = kept.unionByName(gone)
+    return (
+        cur.join(prior, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h_prev").isNull(), F.lit("added"))
+            .when(F.col("h_cur").isNull(), F.lit("deleted"))
+            .when(F.col("h_cur") != F.col("h_prev"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        )
+        .orderBy("doc_id")
+    )

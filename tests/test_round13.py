@@ -229,3 +229,72 @@ def test_curate_corpus_media_stage_publishes(spark, tmp_path):
     published = read_versioned(spark, table_dir)
     assert published.count() == funnel["near_deduped"]
     assert set(published.columns) >= {"doc_id", "split"}
+
+
+# ------------------------------------------------ second batch
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["audio_lsh_recall", "lang_confusion_matrix", "corpus_snapshot_diff"],
+)
+def test_second_batch_planted_parity(spark, planted_dir, name):
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, str(result)
+
+
+def test_audio_recall_total_on_planted(spark, planted_dir):
+    """A one-sample perturbation spreads <= 4 fingerprint bits over 4
+    bands, so banding recall is 100 on every planted scene."""
+    rows = round13_ops.audio_lsh_recall(spark, planted_dir).collect()
+    assert rows, "no within-scene truth pairs on the planted corpus"
+    assert all(r.recall_pct == 100 for r in rows)
+
+
+def test_lang_confusion_diagonal_matches_heuristic(spark):
+    """The matrix must reproduce lang_id_heuristic's agreement count
+    on the diagonal, and each declared language's shares sum to less
+    than or equal 1e6 ppm (integer division truncates)."""
+    from programmers_data_spark.queries.text_ops import lang_id_heuristic
+
+    sf = _SF
+    agrees = (
+        lang_id_heuristic(spark, sf)
+        .agg(F.sum("agrees").cast("long").alias("n"))
+        .collect()[0]
+        .n
+    )
+    cm = round13_ops.lang_confusion_matrix(spark, sf).collect()
+    diag = sum(
+        r.n_docs for r in cm if r.declared_lang == r.predicted_lang
+    )
+    assert diag == agrees
+    by_decl: dict[str, int] = {}
+    for r in cm:
+        by_decl[r.declared_lang] = by_decl.get(r.declared_lang, 0) + r.share_ppm
+    assert all(1_000_000 - len(cm) <= s <= 1_000_000 for s in by_decl.values())
+
+
+def test_snapshot_diff_classes_are_the_residues(spark):
+    """Every class lands exactly on its defining residue: added ==
+    doc_id % 17 == 3, deleted == synthetic prior ids, modified ==
+    % 17 == 5, everything else unchanged."""
+    rows = round13_ops.corpus_snapshot_diff(spark, _SF).collect()
+    for r in rows:
+        if r.change == "deleted":
+            assert r.doc_id >= round13_ops.SNAP_DELETED_OFFSET
+            assert (
+                r.doc_id - round13_ops.SNAP_DELETED_OFFSET
+            ) % 17 == round13_ops.SNAP_DELETED_RESIDUE
+        elif r.change == "added":
+            assert r.doc_id % 17 == round13_ops.SNAP_ADDED_RESIDUE
+        elif r.change == "modified":
+            assert r.doc_id % 17 == round13_ops.SNAP_MODIFIED_RESIDUE
+        else:
+            assert r.doc_id % 17 not in (
+                round13_ops.SNAP_ADDED_RESIDUE,
+                round13_ops.SNAP_MODIFIED_RESIDUE,
+            ) or r.doc_id >= round13_ops.SNAP_DELETED_OFFSET
+    classes = {r.change for r in rows}
+    assert classes == {"added", "deleted", "modified", "unchanged"}

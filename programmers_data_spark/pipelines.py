@@ -324,13 +324,35 @@ def curation_stage_frames(
             pairs = pairs.unionByName(mp)
         # a pair near-dup in several modalities is still ONE edge
         pairs = pairs.distinct()
-    pairs_alive = pairs.join(
-        alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
-    ).join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
-    if near_dup == "canonical":
-        from .operators import connected_components_auto
+    # persisted: the scoped edge list is consumed 2-3 times (the
+    # component resolver's symmetrize union evaluates its input
+    # TWICE, and the keeper strategies read it again) — unpersisted,
+    # each evaluation re-runs the pair generation (for the media
+    # graph: two banded joins + a 3-way union distinct; measured
+    # ~2x the funnel's cost at sf0.1)
+    pairs_alive = (
+        pairs.join(
+            alive.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi"
+        )
+        .join(alive.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        .persist()
+    )
+    # Resolver choice by KNOWN graph shape (the operator docstring's
+    # "pick explicitly when the shape is known a priori" rule): the
+    # text-only near-dup graph is small dense clusters — label
+    # propagation converges in a few rounds (auto's first guess).
+    # The MULTIMODAL union graph is media cliques chained together by
+    # cross-modal text bridges — unbounded diameter, so auto would
+    # burn its full label-prop cap before falling back (measured +5s
+    # at sf0.1); go straight to large-star/small-star.
+    from .operators import (
+        connected_components_auto,
+        connected_components_two_phase,
+    )
 
-        labels = connected_components_auto(
+    resolve = connected_components_two_phase if media else connected_components_auto
+    if near_dup == "canonical":
+        labels = resolve(
             pairs_alive.select("doc_a", "doc_b"), "doc_a", "doc_b"
         )
         # component label = min vertex id per cluster: keep it, drop
@@ -341,10 +363,9 @@ def curation_stage_frames(
     elif near_dup == "best_quality":
         from pyspark.sql.window import Window
 
-        from .operators import connected_components_auto
         from .queries.round10_ops import quality_logits
 
-        labels = connected_components_auto(
+        labels = resolve(
             pairs_alive.select("doc_a", "doc_b"), "doc_a", "doc_b"
         )
         members = labels.select(
@@ -382,12 +403,22 @@ def curation_stage_frames(
     survivors = exact.join(near_losers, "doc_id", "anti")
 
     curated = survivors.join(train_val_split(spark, sf_dir), "doc_id")
+    # Persist each derived stage output: the funnel contracts run SIX
+    # actions over this chain (one count per stage plus two split
+    # slices), and without the persist every downstream count re-runs
+    # the whole upstream pipeline — quality gate, signature passes,
+    # pair generation — once per action (r13: the multimodal funnel
+    # priced 21.6s of which ~17s was exactly this re-execution). The
+    # production analogue is materializing stage outputs between
+    # stages (what curate_corpus's publish step does for the final
+    # one); rows are corpus-bounded and spill-safe, and bench's
+    # clearCache keeps per-query accounting honest.
     frames = {
         "raw": docs,
-        "quality_gated": gated,
-        "exact_deduped": exact,
-        "near_deduped": survivors,
-        "curated": curated,
+        "quality_gated": gated.persist(),
+        "exact_deduped": exact.persist(),
+        "near_deduped": survivors.persist(),
+        "curated": curated.persist(),
     }
     _STAGES_CACHE[key] = frames
     return frames

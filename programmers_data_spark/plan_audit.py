@@ -65,6 +65,9 @@ PYTHON_TIER = frozenset({
     "audio_neardup_pairs",  # composes the audio fingerprint table
     "audio_neardup_clusters",  # same table + component labels
     "audio_lsh_recall",  # composes the same Arrow fingerprint table
+    "video_framehash",  # Arrow per-frame PNG codec + XOR-fold kernel
+    "video_neardup_pairs",  # composes the video fingerprint table
+    "video_neardup_clusters",  # same table + component labels
     "crossmodal_trimodal_consistency",  # composes the image + audio
     #                                     kernels AND dedup_minhash's
     #                                     Arrow pass

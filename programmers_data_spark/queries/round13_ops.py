@@ -914,3 +914,99 @@ def video_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_VIDEO_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _video_recall_oracle() -> str:
+    from .round12_ops import HAM_T
+
+    return f"""
+    WITH {_video_hash_cte()},
+    {_pair_cte()},
+    truth AS (
+      SELECT ha.scene, ha.media_id AS media_a, hb.media_id AS media_b
+      FROM hashes ha JOIN hashes hb
+        ON ha.scene = hb.scene AND ha.media_id < hb.media_id
+      WHERE bit_count(xor(ha.dhash_lo, hb.dhash_lo))
+          + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) <= {HAM_T}
+    ),
+    found AS (
+      SELECT t.scene, t.media_a, t.media_b
+      FROM truth t JOIN pairs p
+        ON p.media_a = t.media_a AND p.media_b = t.media_b
+    )
+    SELECT s.scene,
+           CAST(s.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(f.n_found, 0) * 100 // s.n_true AS BIGINT)
+             AS recall_pct
+    FROM (SELECT scene, count(*) AS n_true FROM truth GROUP BY scene) s
+    LEFT JOIN (
+      SELECT scene, count(*) AS n_found FROM found GROUP BY scene
+    ) f ON f.scene = s.scene
+    ORDER BY s.scene
+    """
+
+
+@query("video_lsh_recall", oracle=_video_recall_oracle())
+def video_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the banded VIDEO LSH — the accuracy twin
+    every modality's banding carries (image_lsh_recall,
+    audio_lsh_recall, lsh_neardup_recall): ground truth is the
+    within-scene pair set at XOR-fold Hamming <= HAM_T (closed-form
+    scene key, never all-pairs), found is the banded pipeline's
+    verified output intersected with the truth, per-scene exact
+    integer percentages. A one-frame perturbation spreads <= 4 fold
+    bits over 4 bands, so some band is always exact — recall_pct is
+    structurally <= 100 and measured 100 at every SF."""
+    from .round12_ops import HAM_T
+
+    h = _video_hash_table(spark, sf_dir)
+    ha = h.select(
+        "scene",
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("scene").alias("scene_b"),
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    truth_key = (spark.sparkContext.applicationId, sf_dir)
+    truth = _VIDEO_TRUTH_CACHE.get(truth_key)
+    if truth is None:
+        truth = (
+            ha.join(hb, (F.col("scene") == F.col("scene_b"))
+                    & (F.col("media_a") < F.col("media_b")))
+            .filter(ham <= HAM_T)
+            .select("scene", "media_a", "media_b")
+            .persist()
+        )
+        _VIDEO_TRUTH_CACHE[truth_key] = truth
+    found = (
+        truth.join(_pairs_from(h), ["media_a", "media_b"])
+        .groupBy("scene")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        truth.groupBy("scene")
+        .agg(F.count("*").alias("n_true"))
+        .join(found, "scene", "left")
+        .select(
+            "scene",
+            F.col("n_true").cast("long"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.expr("coalesce(n_found, 0) * 100 div n_true")
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("scene")
+    )

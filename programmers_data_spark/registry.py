@@ -56,7 +56,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round10_ops",  # 9 (→210)
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
-    "programmers_data_spark.queries.round13_ops",  # 9 (→245)
+    "programmers_data_spark.queries.round13_ops",  # 10 (→246)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -70,11 +70,11 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 13
 
 # ROUND-14 ROTATION PLAN: the backlog after this window is the
-# 46-name r9 tail trimmed from _WINDOW_STALE (starting, in
-# registration order: cube_order_stats, running_revenue,
-# asof_last_order, value_histogram, ... — derive the full list from
+# 47-name r9 tail trimmed from _WINDOW_STALE (starting, in
+# registration order: dup_span_mine, cube_order_stats,
+# running_revenue, asof_last_order, ... — derive the full list from
 # the records as always: names whose latest green round is 9, in
-# (module position, definition line) order, minus the 2-name prefix
+# (module position, definition line) order, minus the 1-name prefix
 # taken below), then the r10 tier, then r11, then r12.
 # Take any round-14 NEW registrations FIRST (never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
@@ -127,8 +127,8 @@ _WINDOW_LEADS = ()
 # funnel (curate_corpus with the media-dedup stage enabled), the
 # declared-vs-detected language confusion audit, the corpus snapshot
 # diff, and the VIDEO tier (frame-sampled XOR-fold fingerprints
-# through the PNG codec + the shared banded pair/cluster machinery —
-# the fourth modality). All nine carry full oracles.
+# through the PNG codec + the shared banded pair/cluster machinery +
+# its recall twin — the fourth modality). All ten carry full oracles.
 _WINDOW_NEW = (
     "audio_neardup_clusters",
     "crossmodal_trimodal_consistency",
@@ -139,6 +139,7 @@ _WINDOW_NEW = (
     "video_framehash",
     "video_neardup_pairs",
     "video_neardup_clusters",
+    "video_lsh_recall",
 )
 
 # Group 3 — r12-green sentinels sitting directly on the round-13
@@ -156,8 +157,8 @@ _WINDOW_SENTINELS = (
 
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 36-name r8 tail (trimmed from the r12 window; latest green
-# driver row r8 — oldest vintage in the record), then the first 2 of
-# the 48-name r9 tier. The 46 trimmed r9 tail names lead the r14
+# driver row r8 — oldest vintage in the record), then the first 1 of
+# the 48-name r9 tier. The 47 trimmed r9 tail names lead the r14
 # backlog (see the ROUND-14 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r8 remainder — complete (36)
@@ -197,9 +198,8 @@ _WINDOW_STALE = (
     "dsir_importance_proxy",
     "span_corruption_plan",
     "tokenizer_fertility_by_source",
-    # r9 tier prefix (2 of 48, registration order)
+    # r9 tier prefix (1 of 48, registration order)
     "cross_source_dup_matrix",
-    "dup_span_mine",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE

@@ -443,3 +443,16 @@ def test_snapshot_diff_is_a_partition(ids, texts):
     # 'deleted' ids all carry the offset, others never do
     for doc_id, cls in rows.items():
         assert (cls == "deleted") == (doc_id >= SNAP_DELETED_OFFSET)
+
+
+@pytest.mark.parametrize("name", ["video_lsh_recall"])
+def test_video_recall_planted_parity(spark, planted_dir, name):
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, str(result)
+
+
+def test_video_recall_total_on_planted(spark, planted_dir):
+    rows = round13_ops.video_lsh_recall(spark, planted_dir).collect()
+    assert rows, "no within-scene truth pairs on the planted corpus"
+    assert all(r.recall_pct == 100 for r in rows)

@@ -697,24 +697,27 @@ def _video_frame_buffer(
     return buf
 
 
-def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-clip XOR-fold fingerprints through the real PNG codec path
-    (one encode->decode roundtrip PER FRAME — the production shape:
-    frame-sample, decode, hash, fold). Persisted + memoized; generic
-    (media_id, scene, dhash_lo, dhash_hi) columns so _pairs_from /
-    _pair_cte serve this modality verbatim like image and audio."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _VIDEO_HASH_CACHE.get(key)
-    if cached is not None:
-        return cached
+def _video_hash_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    scenes: int,
+    canon_mod: int | None = None,
+) -> DataFrame:
+    """The Arrow video-fingerprint kernel over a (doc_id, text) frame
+    — the _hash_frame discipline for the video modality: VIDEO_FRAMES
+    frame buffers, each through the real PNG encode->decode roundtrip,
+    2x2 pool + per-frame dHash, bitwise XOR fold into one 64-bit clip
+    fingerprint. ``canon_mod`` optionally reduces doc_id before scene
+    keying (the quadmodal query maps a mutated copy at doc_id + 1e6
+    onto its original's scene). Factored out of _video_hash_table so
+    the incremental-maintenance engine can hash an ARRIVAL batch with
+    the index's frozen scene count (the image-tier _hash_frame
+    economics)."""
     import numpy as np  # noqa: F401 (kernel dependency, checked early)
 
     from ..multimodal.png import decode as png_decode
     from ..multimodal.png import encode as png_encode
-    from .round12_ops import IMG_H, IMG_W, _perceptual_hashes, _pool
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scenes = _scene_count(_doc_stats(spark, sf_dir)[0])
+    from .round12_ops import IMG_H, IMG_W, _pool
 
     def video_batches(batches):
         import numpy as np
@@ -726,9 +729,10 @@ def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                canon = int(doc_id) % canon_mod if canon_mod else int(doc_id)
                 acc = np.zeros(64, dtype=np.int64)
                 for f in range(VIDEO_FRAMES):
-                    buf = _video_frame_buffer(int(doc_id), text, scenes, f)
+                    buf = _video_frame_buffer(canon, text, scenes, f)
                     raw = png_encode(IMG_W, IMG_H, bytes(buf), channels=1)
                     w, h, ch, px = png_decode(raw)
                     assert (w, h, ch) == (IMG_W, IMG_H, 1)
@@ -740,39 +744,68 @@ def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).astype(np.int64).ravel()
                     acc ^= dbits
                 out["media_id"].append(int(doc_id))
-                out["scene"].append(int(doc_id) % scenes)
+                out["scene"].append(canon % scenes)
                 out["dhash_lo"].append(int(acc[:32] @ w32))
                 out["dhash_hi"].append(int(acc[32:] @ w32))
             yield pd.DataFrame(out)
 
-    table = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            video_batches,
-            schema="media_id long, scene long, dhash_lo long, dhash_hi long",
-        )
-        .persist()
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        video_batches,
+        schema="media_id long, scene long, dhash_lo long, dhash_hi long",
     )
+
+
+def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip XOR-fold fingerprints through the real PNG codec path
+    (one encode->decode roundtrip PER FRAME — the production shape:
+    frame-sample, decode, hash, fold). Persisted + memoized; generic
+    (media_id, scene, dhash_lo, dhash_hi) columns so _pairs_from /
+    _pair_cte serve this modality verbatim like image and audio."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VIDEO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(_doc_stats(spark, sf_dir)[0])
+    table = _video_hash_frame(spark, docs, scenes).persist()
     _VIDEO_HASH_CACHE[key] = table
     return table
 
 
-def _video_hash_cte(prefix: str = "") -> str:
+def _video_hash_cte(
+    doc_rel: str = "documents",
+    canon_mod: int | None = None,
+    prefix: str = "",
+    scene_extra: int = 0,
+) -> str:
     """The video fingerprint derivation as DuckDB CTEs ending in
     `hashes` — per-frame pixel chain, 2x2 pooling, per-frame dHash,
     XOR fold as sum(bit) % 2 per bit position (XOR of 0/1 bits IS
-    their parity). Prefix-parameterized like the image/audio
-    builders."""
+    their parity). Parameterized exactly like the image/audio
+    builders: source relation, optional canonical-id modulus (the
+    quadmodal query keys an augmented copy onto its original's
+    scene), CTE-name prefix for multi-fragment composition, and an
+    optional ``scene_extra`` so the video partition of the corpus is
+    a genuinely different residue system from the image (extra 0) and
+    audio (extra 1) partitions."""
     from .round12_ops import SCENE_DOCS, SCENE_MIN
 
+    def canon(expr: str) -> str:
+        return f"({expr} % {canon_mod})" if canon_mod else expr
+
+    scenes_sql = f"greatest({SCENE_MIN}, count(*) // {SCENE_DOCS})"
+    if scene_extra:
+        scenes_sql = f"{scenes_sql} + {scene_extra}"
     params, noise, px, cells, dbits, fold, hashes = (
         f"{prefix}{n}"
         for n in ("params", "noise", "px", "cells", "dbits", "fold", "hashes")
     )
     return f"""
 {params} AS (
-  SELECT greatest({SCENE_MIN}, count(*) // {SCENE_DOCS}) AS scenes
-  FROM documents
+  SELECT {scenes_sql} AS scenes
+  FROM {doc_rel}
 ),
 {noise} AS (
   SELECT doc_id,
@@ -780,18 +813,19 @@ def _video_hash_cte(prefix: str = "") -> str:
            % {VIDEO_FRAMES} AS nf,
          ('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT AS np,
          ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS nv
-  FROM documents
+  FROM {doc_rel}
 ),
 {px} AS (
   SELECT d.doc_id, fr.f, t.p,
          CASE WHEN fr.f = n.nf AND t.p = n.np THEN n.nv
               ELSE ('0x' || substr(
-                       md5('v' || CAST(d.doc_id % {params}.scenes AS VARCHAR)
+                       md5('v' || CAST({canon('d.doc_id')} % {params}.scenes
+                                       AS VARCHAR)
                            || ':' || CAST(fr.f AS VARCHAR)
                            || ':' || CAST(t.p // 16 AS VARCHAR)),
                        (t.p % 16) * 2 + 1, 2))::INT
          END AS v
-  FROM documents d
+  FROM {doc_rel} d
   JOIN {noise} n USING (doc_id), {params},
        generate_series(0, {VIDEO_FRAMES - 1}) AS fr(f),
        generate_series(0, 255) AS t(p)
@@ -814,7 +848,8 @@ def _video_hash_cte(prefix: str = "") -> str:
 ),
 {hashes} AS (
   SELECT doc_id AS media_id,
-         CAST(doc_id % (SELECT scenes FROM {params}) AS BIGINT) AS scene,
+         CAST({canon('doc_id')} % (SELECT scenes FROM {params}) AS BIGINT)
+           AS scene,
          CAST(sum(CASE WHEN bit = 1 AND k < 32
                        THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
            AS dhash_lo,

@@ -83,6 +83,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import media_index
 from ..catalog import load_table
 from ..registry import query
 
@@ -385,6 +386,51 @@ def _image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _hash_frame(spark, docs, scenes).persist()
     _IMG_HASH_CACHE[key] = table
     return table
+
+
+# Base-dir override for the published image-hash index (bench pins a
+# fresh per-run dir so isolated accounting stays honest, exactly the
+# PAIR_STORE_ENV treatment).
+IMG_STORE_ENV = "SPARK_GRAFT_IMG_STORE"
+
+# Bucket count for the published band table. At test scale 8 buckets
+# keep files non-trivial; at 100 TB size so a bucket is a few hundred
+# MB (save_bucketed's guidance) — the constant is the TEST-scale
+# setting of a per-deployment knob, not part of the hash semantics.
+IMG_BAND_BUCKETS = 8
+
+# Arrival residue for the incremental-maintenance queries: doc_id % 3
+# == 1 is "the new batch", the other residues are "the existing
+# corpus" (see media_index.incremental_delta).
+IMG_ARRIVAL_RESIDUE = 1
+
+# Replay micro-batch count (the stream_upsert_publish protocol).
+IMG_INGEST_N_SLICES = 3
+
+# The image tier's instantiation of the shared media-index
+# maintenance engine (media_index.py). Round 12 built this lifecycle
+# for image alone; round 13 factored it into the engine so audio and
+# video run the SAME code — the knobs below reproduce the round-12
+# artifact paths, catalog names, and scratch envs exactly, so
+# published artifacts and tests carry over unchanged, and the
+# driver-certified image rows (image_neardup_incremental,
+# stream_image_neardup_ingest) certify the engine itself.
+IMAGE_SPEC = media_index.MediaIndexSpec(
+    name="image",
+    store_env=IMG_STORE_ENV,
+    # content-address fingerprint: LIVE algorithm constants, never
+    # hand-written literals (the pair-store r8 lesson)
+    algo_fp=f"imgdhash|{SCENE_MIN}|{SCENE_DOCS}|{IMG_W}x{IMG_H}|v1",
+    hash_table=_image_hash_table,
+    hash_frame=_hash_frame,
+    arrival_residue=IMG_ARRIVAL_RESIDUE,
+    n_buckets=IMG_BAND_BUCKETS,
+    catalog_prefix="img",
+    ingest_env="SPARK_GRAFT_IMG_INGEST_STORE",
+    ingest_prefix="imgingest_",
+    n_slices=IMG_INGEST_N_SLICES,
+)
+
 
 
 # ------------------------------------------------ queries
@@ -803,13 +849,14 @@ def crossmodal_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- incremental index maintenance
 
 # Residue split for the incremental contract (the scd2/PIT residue
-# trick): arrivals are doc_id % 3 == 1, the existing index is the
-# rest. A pure function of the id, so both engines agree on the
+# trick): arrivals are doc_id % 3 == IMG_ARRIVAL_RESIDUE (defined
+# with IMAGE_SPEC near the hash table above), the existing index is
+# the rest. A pure function of the id, so both engines agree on the
 # split for free and the full rebuild is a split-independent oracle.
-IMG_ARRIVAL_RESIDUE = 1
 
-# the persisted existing+arrivals index, one per (app, sf_dir)
-_IMG_INCR_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+# the persisted existing+arrivals index — aliased to the shared
+# engine's cache (see the published index seam below)
+_IMG_INCR_INDEX_CACHE = media_index._INCR_INDEX_CACHE
 
 
 @query(
@@ -848,78 +895,19 @@ def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Exchange and no per-run band re-derivation on the index side
     (tests/test_round12.py::test_incremental_probe_index_side_plans_
     without_exchange), cost proportional to the ARRIVAL batch and
-    its bucket mates, never the index size."""
-    # persisted: the unioned index feeds THREE branches (the band
-    # table and both Hamming-lookup sides) — unpersisted, each branch
-    # re-reads the store and re-runs the arrival kernel. Memoized per
-    # (app, sf_dir) so repeated invocations don't stack cached RDDs
-    # (r12 ADVICE #1).
-    key = (spark.sparkContext.applicationId, sf_dir)
-    h = _IMG_INCR_INDEX_CACHE.get(key)
-    if h is None:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        scenes = _scene_count(_doc_count(spark, sf_dir))
-        stored = image_hash_store(spark, sf_dir)
-        existing = stored.filter(
-            F.col("media_id") % 3 != IMG_ARRIVAL_RESIDUE
-        )
-        arrivals = _hash_frame(
-            spark,
-            docs.filter(F.col("doc_id") % 3 == IMG_ARRIVAL_RESIDUE),
-            scenes,
-        )
-        h = existing.unionByName(arrivals).persist()
-        _IMG_INCR_INDEX_CACHE[key] = h
-    arrivals = h.filter(F.col("media_id") % 3 == IMG_ARRIVAL_RESIDUE)
-    ab = _band_frame(arrivals)
-    # index bands come from the PUBLISHED bucketed band table (the
-    # full corpus's bands — identical content to _band_frame(h), but
-    # pre-bucketed by the join key so the probe plans with no
-    # Exchange and no per-run O(index) explode; r12 VERDICT ask #2)
-    allb = image_band_store(spark, sf_dir)
-    # candidate = arrival x (existing + arrivals), normalized a < b;
-    # an arrival-arrival pair appears from both sides of the probe,
-    # the DISTINCT collapses it to one row.
-    cand = (
-        ab.alias("a")
-        .join(allb.alias("b"), ["band", "bval"])
-        .filter(F.col("a.media_id") != F.col("b.media_id"))
-        .select(
-            F.least("a.media_id", "b.media_id").alias("media_a"),
-            F.greatest("a.media_id", "b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-    ha = h.select(
-        F.col("media_id").alias("media_a"),
-        F.col("dhash_lo").alias("lo_a"),
-        F.col("dhash_hi").alias("hi_a"),
-    )
-    hb = h.select(
-        F.col("media_id").alias("media_b"),
-        F.col("dhash_lo").alias("lo_b"),
-        F.col("dhash_hi").alias("hi_b"),
-    )
-    ham = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
-        .withColumn("ham_d", ham)
-        .filter(F.col("ham_d") <= HAM_T)
-        .select("media_a", "media_b", "ham_d")
-        .orderBy("media_a", "media_b")
-    )
+    its bucket mates, never the index size.
+
+    The body is the shared engine (media_index.incremental_delta)
+    instantiated with IMAGE_SPEC — the same code path the audio and
+    video tiers run, so this driver row certifies the engine
+    itself."""
+    return media_index.incremental_delta(spark, sf_dir, IMAGE_SPEC)
 
 
 # ------------------------------------- streaming index maintenance
 
-# Replay micro-batch count (the stream_upsert_publish protocol).
-IMG_INGEST_N_SLICES = 3
-
-_IMG_INGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+# aliased to the shared engine's cache (see the published index seam)
+_IMG_INGEST_CACHE = media_index._INGEST_CACHE
 
 
 @query(
@@ -945,163 +933,18 @@ def stream_image_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness closed form (full hash parity for an end-to-end
     streaming ingest): slices partition the corpus, so every near-dup
     pair is discovered EXACTLY ONCE — in the batch of its later
-    member (same-batch pairs via the batch x batch side of the probe,
-    cross-batch pairs when the later member probes the stored index).
-    The union of the per-batch deltas is therefore EXACTLY the full
-    rebuild's pair set, which is the oracle (the image_neardup_pairs
-    derivation verbatim). A dropped batch, a double probe, or an
-    index append raced ahead of its probe all break the hash.
+    member. The union of the per-batch deltas is therefore EXACTLY
+    the full rebuild's pair set, which is the oracle (the
+    image_neardup_pairs derivation verbatim). A dropped batch, a
+    double probe, or an index append raced ahead of its probe all
+    break the hash.
 
-    Scale shape: per batch one Arrow hash pass over the ARRIVALS, one
-    arrival-proportional APPEND of the batch's bands to a bucketed
-    band table, and one equi-join of arrival bands against that
-    table's bucket layout — no per-batch O(index) band re-derivation
-    (the image_neardup_incremental economics driven by a real
-    stream). Scene count is frozen from the index's initial
-    configuration (computed once up front), exactly how a production
-    perceptual-hash index pins its parameters at creation. At 100 TB
-    the parquet replay source binds to Kafka and the hash/pair stores
-    are the published bucketed tables."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..storeutil import store_base
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _IMG_INGEST_CACHE.get(key)
-    if cached is not None:
-        return cached
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    n_docs = _doc_count(spark, sf_dir)
-    scenes = _scene_count(n_docs)
-    empty = spark.createDataFrame(
-        [], "media_a long, media_b long, ham_d int"
-    )
-    if n_docs == 0:
-        return empty
-
-    bounds = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]  # bounded 2-value scalar
-    lo, hi = bounds.lo, bounds.hi
-    n = IMG_INGEST_N_SLICES
-    cuts = [lo + k * (hi - lo + 1) // n for k in range(1, n)]
-    d = F.col("doc_id")
-    slices = [docs.filter(d < cuts[0])]
-    for a, b in zip(cuts, cuts[1:]):
-        slices.append(docs.filter((d >= a) & (d < b)))
-    slices.append(docs.filter(d >= cuts[-1]))
-
-    base = store_base("SPARK_GRAFT_IMG_INGEST_STORE", "spark_graft_imgingest")
-    os.makedirs(base, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="imgingest_", dir=base)
-    src = os.path.join(root, "src")
-    hash_store = os.path.join(root, "hashes")
-    pair_store = os.path.join(root, "pairs")
-    band_store = os.path.join(root, "bands")
-    # the accumulated band table is a BUCKETED catalog table: each
-    # batch APPENDS its own bands (arrival-proportional write) and
-    # probes the table through the bucket layout — no per-batch
-    # O(index) band re-derivation (r12 VERDICT ask #2); per-run name,
-    # dropped in the finally with the scratch tree
-    band_tbl = (
-        "imgingest_bands_" + os.path.basename(root)[len("imgingest_"):]
-    )
-
-    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        s = bdf.sparkSession
-        hb = _hash_frame(s, bdf.select("doc_id", "text"), scenes).persist()
-        if os.path.isdir(hash_store):
-            index = hb.unionByName(s.read.parquet(hash_store))
-        else:
-            index = hb
-        ab = _band_frame(hb)
-        # append THIS batch's bands first, then probe the accumulated
-        # bucketed table (== bands of hb + every prior batch = bands
-        # of `index`): same-batch pairs come from the batch's own
-        # appended bands, cross-batch pairs from the stored ones
-        (
-            ab.write.mode("append")
-            .option("path", band_store)
-            .bucketBy(IMG_BAND_BUCKETS, "band", "bval")
-            .saveAsTable(band_tbl, format="parquet")
-        )
-        allb = s.table(band_tbl)
-        cand = (
-            ab.alias("a")
-            .join(allb.alias("b"), ["band", "bval"])
-            .filter(F.col("a.media_id") != F.col("b.media_id"))
-            .select(
-                F.least("a.media_id", "b.media_id").alias("media_a"),
-                F.greatest("a.media_id", "b.media_id").alias("media_b"),
-            )
-            .distinct()
-        )
-        ha = index.select(
-            F.col("media_id").alias("media_a"),
-            F.col("dhash_lo").alias("lo_a"),
-            F.col("dhash_hi").alias("hi_a"),
-        )
-        hcb = index.select(
-            F.col("media_id").alias("media_b"),
-            F.col("dhash_lo").alias("lo_b"),
-            F.col("dhash_hi").alias("hi_b"),
-        )
-        ham = (
-            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        ).cast("int")
-        delta = (
-            cand.join(ha, "media_a")
-            .join(hcb, "media_b")
-            .withColumn("ham_d", ham)
-            .filter(F.col("ham_d") <= HAM_T)
-            .select("media_a", "media_b", "ham_d")
-        )
-        delta.write.mode("append").parquet(pair_store)
-        hb.write.mode("append").parquet(hash_store)
-        hb.unpersist()
-
-    try:
-        slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
-        stream = spark.readStream.schema(docs.schema).parquet(f"{src}/*")
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # slice 0 seeds the index
-            for i, sl in enumerate(slices[1:], start=1):
-                sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
-                q.processAllAvailable()  # one probe+append per batch
-        finally:
-            q.stop()
-
-        if not os.path.isdir(pair_store):
-            result = empty  # no batch produced a pair
-        else:
-            # localCheckpoint severs lineage from the scratch stores
-            # so the replay tree is removable immediately (the
-            # stream_upsert_publish discipline, r11 VERDICT #7)
-            result = (
-                spark.read.parquet(pair_store)
-                .orderBy("media_a", "media_b")
-                .localCheckpoint(eager=True)
-            )
-        _IMG_INGEST_CACHE[key] = result
-        return result
-    finally:
-        # DROP the per-run catalog entry (external table: the files
-        # go with the scratch tree)
-        spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
-        shutil.rmtree(root, ignore_errors=True)
+    The body is the shared engine (media_index.streaming_ingest)
+    instantiated with IMAGE_SPEC — scale shape, replay protocol, and
+    scratch lifecycle documented there; the audio and video tiers run
+    the SAME harness, so this driver row certifies the engine's
+    streaming path itself."""
+    return media_index.streaming_ingest(spark, sf_dir, IMAGE_SPEC)
 
 
 # ------------------------------------------------ audio tier
@@ -1337,135 +1180,38 @@ def audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ published index seam
 
-# Base-dir override for the published image-hash index (bench pins a
-# fresh per-run dir so isolated accounting stays honest, exactly the
-# PAIR_STORE_ENV treatment).
-IMG_STORE_ENV = "SPARK_GRAFT_IMG_STORE"
+# The published-artifact seam, delegated to the shared engine
+# (media_index.py) with IMAGE_SPEC (defined with the constants near
+# the hash table above) — the round-12 bespoke implementation moved
+# to the engine verbatim when the audio/video tiers adopted the same
+# lifecycle, preserving every identity (artifact paths, catalog
+# names, content addressing, scratch envs). Caches are aliased so
+# existing .clear() call sites and bench._reset's package-wide
+# *_CACHE sweep reach the engine's memos.
+_IMG_STORE_CACHE = media_index._HASH_STORE_CACHE
 
-_IMG_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IMG_BAND_STORE_CACHE = media_index._BAND_STORE_CACHE
 
 
 def _img_store_table(sf_dir: str) -> str:
     """Content-addressed location for sf_dir's published image-hash
-    index: fixture bytes (path, size, mtime) + the LIVE algorithm
-    parameters (never hand-written literals — the pair-store r8
-    lesson) + an algo version."""
-    import hashlib
-    import os
-
-    from ..storeutil import store_base
-
-    base = store_base(IMG_STORE_ENV, "spark_graft_img_store")
-    doc = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    try:
-        st = os.stat(doc)
-        ident = f"{doc}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        ident = f"{doc}|missing"
-    fp = hashlib.md5(
-        f"{ident}|imgdhash|{SCENE_MIN}|{SCENE_DOCS}|{IMG_W}x{IMG_H}|v1"
-        .encode()
-    ).hexdigest()[:16]
-    return os.path.join(base, fp, "image_hashes")
-
-
-# Bucket count for the published band table. At test scale 8 buckets
-# keep files non-trivial; at 100 TB size so a bucket is a few hundred
-# MB (save_bucketed's guidance) — the constant is the TEST-scale
-# setting of a per-deployment knob, not part of the hash semantics.
-IMG_BAND_BUCKETS = 8
-
-_IMG_BAND_STORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+    index (media_index.store_table_dir with IMAGE_SPEC): fixture
+    bytes (path, size, mtime) + the LIVE algorithm parameters (never
+    hand-written literals — the pair-store r8 lesson)."""
+    return media_index.store_table_dir(IMAGE_SPEC, sf_dir)
 
 
 def image_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dHash BAND table as a published BUCKETED layout — the
-    probe side of incremental media dedup (r12 VERDICT ask #2): the
-    index's (band, bval) exploded table is written ONCE, hash-
-    bucketed by the join key via sinks.save_bucketed, and every
-    maintenance batch equi-joins arrival bands against it with NO
-    Exchange on the index side (the zero-shuffle co-bucketed join
-    plan-proven since r5) and no per-run O(index) band re-derivation.
-
-    Lifecycle mirrors image_hash_store: content-addressed directory
-    next to the hash artifact, computed from the PUBLISHED hash index
-    on first use, re-registered as an external bucketed table (DDL
-    over the existing files — no rewrite) when a fresh session finds
-    the files already on disk. An empty index returns the empty band
-    frame directly without publishing."""
-    import hashlib
-    import os
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _IMG_BAND_STORE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from .. import sinks
-
-    path = os.path.join(
-        os.path.dirname(_img_store_table(sf_dir)), "image_bands"
-    )
-    # table identity binds to the FULL path (not just the fixture
-    # fingerprint): two store base dirs in one session must not share
-    # a catalog entry pointing at whichever was registered first
-    name = "img_bands_" + hashlib.md5(path.encode()).hexdigest()[:12]
-    if not spark.catalog.tableExists(name):
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            # files already published by an earlier session — the
-            # in-memory catalog forgot the table, the bucket layout
-            # didn't: re-register, zero rewrite
-            spark.sql(
-                f"CREATE TABLE {name} "
-                f"(media_id BIGINT, band INT, bval BIGINT) "
-                f"USING PARQUET "
-                f"CLUSTERED BY (band, bval) "
-                f"INTO {IMG_BAND_BUCKETS} BUCKETS "
-                f"LOCATION '{path}'"
-            )
-        else:
-            bands = _band_frame(image_hash_store(spark, sf_dir))
-            if bands.limit(1).count() == 0:  # bounded 1-value scalar
-                return bands
-            sinks.save_bucketed(
-                bands, name, path,
-                bucket_by=["band", "bval"],
-                n_buckets=IMG_BAND_BUCKETS,
-                sort_by=["band", "bval"],
-            )
-    table = spark.table(name)
-    _IMG_BAND_STORE_CACHE[key] = table
-    return table
+    probe side of incremental media dedup (r12 VERDICT ask #2): one
+    hash-bucketed write by the (band, bval) join key, zero-Exchange
+    probes forever after; see media_index.band_store."""
+    return media_index.band_store(spark, sf_dir, IMAGE_SPEC)
 
 
 def image_hash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-hash index AS A PUBLISHED ARTIFACT — the
-    verified_pair_store pattern for the media tier: at 100 TB the
-    perceptual-hash index is computed once per corpus version,
-    published through the K8 validated-swap layer, and every
-    maintenance batch / dedup report reads the published parquet. On
-    first use the index is computed (the Arrow codec kernel — the
-    producer pays its own cost wherever IT is measured) and
-    published; afterwards consumers read the artifact. Correctness is
-    unaffected: the hash derivation is deterministic and the parquet
-    roundtrip of six long columns is exact. An EMPTY index (legal on
-    an empty fixture) is returned directly without publishing
-    (publish_versioned rejects empty tables by design)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _IMG_STORE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from ..publish import publish_versioned, read_versioned
-
-    table_dir = _img_store_table(sf_dir)
-    try:
-        stored = read_versioned(spark, table_dir)
-    except FileNotFoundError:
-        computed = _image_hash_table(spark, sf_dir)
-        if computed.limit(1).count() == 0:
-            return computed
-        publish_versioned(computed, table_dir)
-        stored = read_versioned(spark, table_dir)
-    _IMG_STORE_CACHE[key] = stored
-    return stored
+    verified_pair_store pattern for the media tier (computed once,
+    K8 validated-swap published, read by every consumer); see
+    media_index.hash_store."""
+    return media_index.hash_store(spark, sf_dir, IMAGE_SPEC)

@@ -116,9 +116,21 @@ def main() -> None:
     # same per-run isolation for the JSONL roundtrip's written shard
     # trees (each timed run re-writes — the query IS the roundtrip)
     os.environ[JSONL_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_jsonl_")
-    # and for the published image-hash index the incremental
-    # maintenance query probes (image_hash_store)
+    # and for the published media-hash indexes the incremental
+    # maintenance queries probe (media_index.hash_store/band_store
+    # per modality)
+    from programmers_data_spark.queries.media_lifecycle_ops import (
+        AUDIO_SPEC,
+        VIDEO_SPEC,
+    )
+
     os.environ[IMG_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_img_")
+    os.environ[AUDIO_SPEC.store_env] = tempfile.mkdtemp(
+        prefix="pds_bench_aud_"
+    )
+    os.environ[VIDEO_SPEC.store_env] = tempfile.mkdtemp(
+        prefix="pds_bench_vid_"
+    )
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

@@ -69,6 +69,10 @@ PYTHON_TIER = frozenset({
     "video_neardup_pairs",  # composes the video fingerprint table
     "video_neardup_clusters",  # same table + component labels
     "video_lsh_recall",  # composes the same Arrow video kernel
+    "audio_neardup_incremental",  # engine arrivals pay the WAV kernel
+    "video_neardup_incremental",  # engine arrivals pay the PNG kernel
+    "stream_audio_neardup_ingest",  # per-batch WAV kernel in replay
+    "stream_video_neardup_ingest",  # per-batch PNG kernel in replay
     "crossmodal_trimodal_consistency",  # composes the image + audio
     #                                     kernels AND dedup_minhash's
     #                                     Arrow pass

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
+    "programmers_data_spark.queries.media_lifecycle_ops",  # 4 (→250)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -69,18 +70,20 @@ _QUERY_MODULES = (
 # state and self-expired the moment CORRECTNESS_r09.json landed).
 WINDOW_ROUND = 13
 
-# ROUND-14 ROTATION PLAN: the backlog after this window is the
-# 47-name r9 tail trimmed from _WINDOW_STALE (starting, in
-# registration order: dup_span_mine, cube_order_stats,
-# running_revenue, asof_last_order, ... — derive the full list from
-# the records as always: names whose latest green round is 9, in
-# (module position, definition line) order, minus the 1-name prefix
-# taken below), then the r10 tier, then r11, then r12.
-# Take any round-14 NEW registrations FIRST (never-driver-checked
+# ROUND-14 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
+# below — the late-r13 registrations that could not take an r13 slot
+# without evicting r8-tail names (audio_neardup_incremental,
+# stream_audio_neardup_ingest, stream_video_neardup_ingest) — ahead
+# of any round-14 NEW registrations (group 2; never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
 # round-13-green sentinels on whatever the r14 diff touches, then
-# backlog names in (vintage, registration-order) order to fill 50 —
-# older tiers drained COMPLETELY before the next begins (the
+# the backlog: the COMPLETE 48-name r9 tier (starting, in
+# registration order: cross_source_dup_matrix, dup_span_mine,
+# cube_order_stats, running_revenue, asof_last_order, ... — derive
+# the full list from the records as always: names whose latest green
+# round is 9, in (module position, definition line) order), then
+# r10, r11, r12 names in (vintage, registration-order) order to fill
+# 50 — older tiers drained COMPLETELY before the next begins (the
 # bookkeeping test enforces the multi-tier oldest-first rule since
 # r11). Keep stream_tws_value_stats OUTSIDE the window (honestly
 # gated: google.protobuf absent, installs disallowed — semantics
@@ -140,6 +143,14 @@ _WINDOW_NEW = (
     "video_neardup_pairs",
     "video_neardup_clusters",
     "video_lsh_recall",
+    # late round 13: the shared media-maintenance engine
+    # (media_index.py) instantiated for video — certifies the
+    # published-store + bucketed-probe economics for the newest
+    # modality (its audio/streaming siblings queue in
+    # NEXT_WINDOW_LEADS below; the engine code path itself is ALSO
+    # driver-certified through the image sentinels, which delegate
+    # to it)
+    "video_neardup_incremental",
 )
 
 # Group 3 — r12-green sentinels sitting directly on the round-13
@@ -157,9 +168,11 @@ _WINDOW_SENTINELS = (
 
 # Group 4 — stale tiers oldest-first, in registration order: the
 # ENTIRE 36-name r8 tail (trimmed from the r12 window; latest green
-# driver row r8 — oldest vintage in the record), then the first 1 of
-# the 48-name r9 tier. The 47 trimmed r9 tail names lead the r14
-# backlog (see the ROUND-14 ROTATION PLAN above).
+# driver row r8 — oldest vintage in the record). The r9 tier (48
+# names, starting cross_source_dup_matrix — its former 1-name prefix
+# here returned to the backlog when video_neardup_incremental took
+# the slot) follows the NEXT_WINDOW_LEADS in the r14 backlog (see
+# the ROUND-14 ROTATION PLAN above).
 _WINDOW_STALE = (
     # r8 remainder — complete (36)
     "bigram_stats",
@@ -198,11 +211,28 @@ _WINDOW_STALE = (
     "dsir_importance_proxy",
     "span_corruption_plan",
     "tokenizer_fertility_by_source",
-    # r9 tier prefix (1 of 48, registration order)
-    "cross_source_dup_matrix",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
+
+# Never-driver-checked registrations that COULD NOT take a window
+# slot this round without evicting r8-tail names (the r12 VERDICT's
+# explicit "all 36 r8 names present" bar): they are queued here and
+# the ROUND-14 window MUST lead with them (group 1), ahead of any
+# r14 registrations and all stale refreshes. The bookkeeping test
+# asserts this tuple is EXACTLY the set of never-checked
+# registrations outside the window — a name can neither be forgotten
+# (not in window, not queued -> red) nor parked here while a slot
+# was free (queued but window lacks the r8 names it protects ->
+# the window arithmetic would show it). Each carries a full oracle,
+# is hash-checked by test_oracle_parity at sf0.01 in every suite
+# run, and runs the SAME engine code path (media_index.py) that the
+# in-window image sentinels and video_neardup_incremental certify.
+NEXT_WINDOW_LEADS = (
+    "audio_neardup_incremental",
+    "stream_audio_neardup_ingest",
+    "stream_video_neardup_ingest",
+)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

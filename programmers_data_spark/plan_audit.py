@@ -73,9 +73,9 @@ PYTHON_TIER = frozenset({
     "video_neardup_incremental",  # engine arrivals pay the PNG kernel
     "stream_audio_neardup_ingest",  # per-batch WAV kernel in replay
     "stream_video_neardup_ingest",  # per-batch PNG kernel in replay
-    "crossmodal_trimodal_consistency",  # composes the image + audio
-    #                                     kernels AND dedup_minhash's
-    #                                     Arrow pass
+    "crossmodal_quadmodal_consistency",  # composes the image + audio
+    #                                      + video kernels AND
+    #                                      dedup_minhash's Arrow pass
     "multimodal_funnel_contract",  # composes the pair store's Arrow
     #                                signature pass + both media hash
     #                                kernels (curate_corpus media path)

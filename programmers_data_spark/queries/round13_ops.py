@@ -1,40 +1,50 @@
-"""Round-13 operators: the trimodal dedup story completed (r12
-VERDICT asks #3 and #8) plus the audio tier's cluster resolution.
+"""Round-13 operators: the multimodal dedup story completed (r12
+VERDICT asks #3 and #8), the audio tier's cluster resolution and
+recall twin, the VIDEO tier (the fourth modality), and the
+cross-modal adjudication over all four.
 
 - `audio_neardup_clusters` — connected components over the audio
   near-dup pair graph, the same cluster machinery the image tier
-  certified (one banding/verify/cluster engine, three modalities).
-- `crossmodal_trimodal_consistency` — text x image x audio duplicate
-  adjudication over the shared augmented corpus. The audio side keys
-  clips by the SAME canonical id as the image side (an augmented
-  mutation renders a near-duplicate clip of its original) but
-  partitions the corpus with scenes+1 — a genuinely different
-  partition, so the image and audio pair sets are not identical by
-  construction and the adjudication is non-vacuous.
+  certified (one banding/verify/cluster engine, every modality).
+- `crossmodal_quadmodal_consistency` — text x image x audio x video
+  duplicate adjudication over the shared augmented corpus (began
+  life as the trimodal adjudication early in the round, absorbed the
+  video flag when the video tier landed). Every media side keys
+  clips by the SAME canonical id (an augmented mutation renders a
+  near-duplicate clip of its original) but partitions the corpus
+  with a different residue system (scenes / scenes+1 / scenes+2), so
+  the media pair sets are not identical by construction and the
+  adjudication is non-vacuous.
 - `multimodal_funnel_contract` — pipelines.curate_corpus with the
-  media-dedup stage enabled (image + audio pair sets unioned into
-  the text near-dup graph before the best-quality keeper), stage
-  counts hash-certified cross-engine — the pipeline_funnel_contract
-  pattern extended to the multimodal funnel.
+  media-dedup stage enabled (media pair sets unioned into the text
+  near-dup graph before the best-quality keeper), stage counts
+  hash-certified cross-engine — the pipeline_funnel_contract pattern
+  extended to the multimodal funnel.
+- `video_framehash` / `video_neardup_pairs` / `video_neardup_clusters`
+  / `video_lsh_recall` — the video tier (see the video section
+  comment for the frame-sampled XOR-fold construction).
 
 Reference anchor: the reference has no media pipeline; this tier is
 north-star (training-data pipeline) scope, extending the dedup family
 exactly the way dedup_ops.py did for text (SURVEY.md §2's
 "LLM-data-pipeline operators" mandate).
 
-Class population on the synthetic fixtures (trimodal): an augmented
-copy shares its original's canonical id, hence its image scene AND
-audio clip — a copy pair near-dups in all three modalities when its
-text passes the Jaccard gate ('text_image_audio'). Unrelated
-documents congruent mod scenes ('image_only') or mod scenes+1
-('audio_only') populate the single-modality classes; text pairs
-between non-copy documents (degenerate/boilerplate texts the MinHash
-path legitimately pairs) land in different scenes and populate
-'text_only' / 'text_audio' / 'text_image'; a perturbation flipping
-more than the usual bit budget can push one modality past HAM_T and
-leaves 'image_audio'. Measured at sf0.01: ALL SEVEN classes
-non-empty (text_image_audio 24, image_only 5027, audio_only 4819,
-text_only 24, text_audio 2, text_image 1, image_audio 1).
+Class population on the synthetic fixtures (quadmodal): an augmented
+copy shares its original's canonical id, hence its image scene,
+audio clip, AND video scene — a copy pair near-dups in all four
+modalities when its text passes the Jaccard gate
+('text_image_audio_video'). Unrelated documents congruent mod scenes
+('image'), mod scenes+1 ('audio'), or mod scenes+2 ('video')
+populate the single-modality classes; documents congruent mod BOTH
+scenes and scenes+2 (i.e. mod lcm — possible because the two moduli
+share parity) populate 'image_video'; text pairs between non-copy
+documents (degenerate/boilerplate texts the MinHash path
+legitimately pairs) populate 'text' and the text+media coincidence
+classes; a perturbation flipping more than the usual bit budget can
+push one modality past HAM_T ('image_audio_video'). Measured at
+sf0.01: TEN classes non-empty (text_image_audio_video 24, image
+4878, audio 4819, video 4521, image_video 149, text 23, text_audio
+2, text_image 1, text_video 1, image_audio_video 1).
 """
 
 from __future__ import annotations
@@ -104,7 +114,7 @@ def audio_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------ trimodal adjudication
+# -------------------------------------------- cross-modal keying
 
 # The audio partition over the augmented corpus uses scenes+1: same
 # canonical keying as the image side (copies land on their original's
@@ -142,20 +152,258 @@ def _xmodal_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table
 
 
-# Every combination the three flags can spell, in one CASE both
-# engines share verbatim (string-identical on both sides).
-_TRI_CLASS_SQL = """
-CASE WHEN in_text AND in_image AND in_audio THEN 'text_image_audio'
-     WHEN in_text AND in_image THEN 'text_image'
-     WHEN in_text AND in_audio THEN 'text_audio'
-     WHEN in_image AND in_audio THEN 'image_audio'
-     WHEN in_text THEN 'text_only'
-     WHEN in_image THEN 'image_only'
-     ELSE 'audio_only' END
+# ------------------------------------------------ video tier
+
+# The FOURTH modality: video clips as frame sequences. Synthetic
+# clip: VIDEO_FRAMES 16x16 grayscale frames per document, frame
+# pixels from an md5 counter chain keyed by (scene, frame, block)
+# ('v' prefix decorrelates from the image/audio chains); the
+# document perturbs ONE pixel of ONE frame (frame = first md5 byte
+# % VIDEO_FRAMES, position = second byte, value = third). Every
+# frame passes through the REAL PNG codec (encode -> decode), the
+# decoded pixels pool to 8x8 and dHash per frame, and the CLIP
+# fingerprint is the bitwise XOR fold of the per-frame dHashes — a
+# one-frame perturbation flips <= 2 pooled cells -> <= 4 bits of
+# that frame's dHash -> <= 4 bits of the fold, so a within-scene
+# pair is <= 8 = HAM_T apart and the SAME banded pair machinery
+# applies unchanged (measured: within-scene 0-4, cross-scene ~28-37).
+VIDEO_FRAMES = 4
+
+_VIDEO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _video_frame_buffer(
+    doc_id: int, text: str, scenes: int, f: int
+) -> bytearray:
+    import hashlib
+
+    scene = doc_id % scenes
+    buf = bytearray()
+    for blk in range(16):
+        buf += hashlib.md5(f"v{scene}:{f}:{blk}".encode()).digest()
+    nh = hashlib.md5((text or "").encode("utf-8")).digest()
+    if nh[0] % VIDEO_FRAMES == f:
+        buf[nh[1]] = nh[2]
+    return buf
+
+
+def _video_hash_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    scenes: int,
+    canon_mod: int | None = None,
+) -> DataFrame:
+    """The Arrow video-fingerprint kernel over a (doc_id, text) frame
+    — the _hash_frame discipline for the video modality: VIDEO_FRAMES
+    frame buffers, each through the real PNG encode->decode roundtrip,
+    2x2 pool + per-frame dHash, bitwise XOR fold into one 64-bit clip
+    fingerprint. ``canon_mod`` optionally reduces doc_id before scene
+    keying (the quadmodal query maps a mutated copy at doc_id + 1e6
+    onto its original's scene). Factored out of _video_hash_table so
+    the incremental-maintenance engine can hash an ARRIVAL batch with
+    the index's frozen scene count (the image-tier _hash_frame
+    economics)."""
+    import numpy as np  # noqa: F401 (kernel dependency, checked early)
+
+    from ..multimodal.png import decode as png_decode
+    from ..multimodal.png import encode as png_encode
+    from .round12_ops import IMG_H, IMG_W, _pool
+
+    def video_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        w32 = np.int64(1) << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                canon = int(doc_id) % canon_mod if canon_mod else int(doc_id)
+                acc = np.zeros(64, dtype=np.int64)
+                for f in range(VIDEO_FRAMES):
+                    buf = _video_frame_buffer(canon, text, scenes, f)
+                    raw = png_encode(IMG_W, IMG_H, bytes(buf), channels=1)
+                    w, h, ch, px = png_decode(raw)
+                    assert (w, h, ch) == (IMG_W, IMG_H, 1)
+                    cells = np.asarray(
+                        _pool(px, 16, 2), dtype=np.int64
+                    ).reshape(8, 8)
+                    dbits = (
+                        cells > np.roll(cells, -1, axis=1)
+                    ).astype(np.int64).ravel()
+                    acc ^= dbits
+                out["media_id"].append(int(doc_id))
+                out["scene"].append(canon % scenes)
+                out["dhash_lo"].append(int(acc[:32] @ w32))
+                out["dhash_hi"].append(int(acc[32:] @ w32))
+            yield pd.DataFrame(out)
+
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        video_batches,
+        schema="media_id long, scene long, dhash_lo long, dhash_hi long",
+    )
+
+
+def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip XOR-fold fingerprints through the real PNG codec path
+    (one encode->decode roundtrip PER FRAME — the production shape:
+    frame-sample, decode, hash, fold). Persisted + memoized; generic
+    (media_id, scene, dhash_lo, dhash_hi) columns so _pairs_from /
+    _pair_cte serve this modality verbatim like image and audio."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VIDEO_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scenes = _scene_count(_doc_stats(spark, sf_dir)[0])
+    table = _video_hash_frame(spark, docs, scenes).persist()
+    _VIDEO_HASH_CACHE[key] = table
+    return table
+
+
+def _video_hash_cte(
+    doc_rel: str = "documents",
+    canon_mod: int | None = None,
+    prefix: str = "",
+    scene_extra: int = 0,
+) -> str:
+    """The video fingerprint derivation as DuckDB CTEs ending in
+    `hashes` — per-frame pixel chain, 2x2 pooling, per-frame dHash,
+    XOR fold as sum(bit) % 2 per bit position (XOR of 0/1 bits IS
+    their parity). Parameterized exactly like the image/audio
+    builders: source relation, optional canonical-id modulus (the
+    quadmodal query keys an augmented copy onto its original's
+    scene), CTE-name prefix for multi-fragment composition, and an
+    optional ``scene_extra`` so the video partition of the corpus is
+    a genuinely different residue system from the image (extra 0) and
+    audio (extra 1) partitions."""
+    from .round12_ops import SCENE_DOCS, SCENE_MIN
+
+    def canon(expr: str) -> str:
+        return f"({expr} % {canon_mod})" if canon_mod else expr
+
+    scenes_sql = f"greatest({SCENE_MIN}, count(*) // {SCENE_DOCS})"
+    if scene_extra:
+        scenes_sql = f"{scenes_sql} + {scene_extra}"
+    params, noise, px, cells, dbits, fold, hashes = (
+        f"{prefix}{n}"
+        for n in ("params", "noise", "px", "cells", "dbits", "fold", "hashes")
+    )
+    return f"""
+{params} AS (
+  SELECT {scenes_sql} AS scenes
+  FROM {doc_rel}
+),
+{noise} AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(coalesce(text,'')), 1, 2))::INT
+           % {VIDEO_FRAMES} AS nf,
+         ('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT AS np,
+         ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS nv
+  FROM {doc_rel}
+),
+{px} AS (
+  SELECT d.doc_id, fr.f, t.p,
+         CASE WHEN fr.f = n.nf AND t.p = n.np THEN n.nv
+              ELSE ('0x' || substr(
+                       md5('v' || CAST({canon('d.doc_id')} % {params}.scenes
+                                       AS VARCHAR)
+                           || ':' || CAST(fr.f AS VARCHAR)
+                           || ':' || CAST(t.p // 16 AS VARCHAR)),
+                       (t.p % 16) * 2 + 1, 2))::INT
+         END AS v
+  FROM {doc_rel} d
+  JOIN {noise} n USING (doc_id), {params},
+       generate_series(0, {VIDEO_FRAMES - 1}) AS fr(f),
+       generate_series(0, 255) AS t(p)
+),
+{cells} AS (
+  SELECT doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2 AS k,
+         CAST(sum(v) // 4 AS BIGINT) AS cell
+  FROM {px} GROUP BY doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2
+),
+{dbits} AS (
+  SELECT a.doc_id, a.f, a.k,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM {cells} a JOIN {cells} b
+    ON a.doc_id = b.doc_id AND a.f = b.f
+   AND b.k = (a.k // 8) * 8 + ((a.k % 8) + 1) % 8
+),
+{fold} AS (
+  SELECT doc_id, k, CAST(sum(bit) % 2 AS BIGINT) AS bit
+  FROM {dbits} GROUP BY doc_id, k
+),
+{hashes} AS (
+  SELECT doc_id AS media_id,
+         CAST({canon('doc_id')} % (SELECT scenes FROM {params}) AS BIGINT)
+           AS scene,
+         CAST(sum(CASE WHEN bit = 1 AND k < 32
+                       THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
+           AS dhash_lo,
+         CAST(sum(CASE WHEN bit = 1 AND k >= 32
+                       THEN (1::BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
+           AS dhash_hi
+  FROM {fold} GROUP BY doc_id
+)"""
+
+
+# The video partition over the augmented corpus uses scenes+2: a
+# third residue system, independent of image (scenes) and audio
+# (scenes+1) for unrelated documents, while copies still key onto
+# their original canonically.
+XMODAL_VIDEO_SCENE_EXTRA = 2
+
+_XMODAL_VIDEO_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _xmodal_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fingerprints over the AUGMENTED corpus with canonical
+    clip keying (the _xmodal_hash_table discipline for video):
+    scene = (doc_id % 1e6) % (scenes+2), so a mutated copy renders a
+    near-duplicate CLIP of its original while the partition differs
+    from both the image and audio sides'. Persisted + memoized (pair
+    join branches)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _XMODAL_VIDEO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .dedup_ops import _augmented_docs
+
+    n, n20, max_doc = _doc_stats(spark, sf_dir)
+    # the same loud aliasing guard as the image/audio cross-modal
+    # tables
+    assert max_doc < 1_000_000, (
+        f"documents.doc_id reaches {max_doc}: the +1e6 augmentation "
+        f"offset would alias originals with copies under % 1e6 clip "
+        f"keying"
+    )
+    docs = _augmented_docs(spark, sf_dir)
+    scenes = _scene_count(n + n20) + XMODAL_VIDEO_SCENE_EXTRA
+    table = _video_hash_frame(
+        spark, docs, scenes, canon_mod=1_000_000
+    ).persist()
+    _XMODAL_VIDEO_CACHE[key] = table
+    return table
+
+
+# Every combination the four flags can spell, in one expression both
+# engines share verbatim (string-identical on both sides): the class
+# is the '_'-joined list of agreeing modalities (CASE without ELSE
+# yields NULL; concat_ws skips NULLs in BOTH engines), e.g. 'image',
+# 'text_image', 'text_image_audio_video'.
+_QUAD_CLASS_SQL = """
+concat_ws('_',
+  CASE WHEN in_text THEN 'text' END,
+  CASE WHEN in_image THEN 'image' END,
+  CASE WHEN in_audio THEN 'audio' END,
+  CASE WHEN in_video THEN 'video' END)
 """
 
 
-def _trimodal_oracle() -> str:
+def _quadmodal_oracle() -> str:
     # imported DIRECTLY so a test bypassing registry.load_all still
     # finds the composed fragment; dedup_ops registers EARLIER in
     # _QUERY_MODULES, so this never reorders registration.
@@ -169,11 +417,15 @@ def _trimodal_oracle() -> str:
     {_audio_hash_cte("aug", canon_mod=1_000_000, prefix="a_",
                      scene_extra=XMODAL_AUDIO_SCENE_EXTRA)},
     {_pair_cte("a_")},
+    {_video_hash_cte("aug", canon_mod=1_000_000, prefix="v_",
+                     scene_extra=XMODAL_VIDEO_SCENE_EXTRA)},
+    {_pair_cte("v_")},
     tp AS (
       SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash"]})
     ),
     ip AS (SELECT media_a AS doc_a, media_b AS doc_b FROM i_pairs),
     ap AS (SELECT media_a AS doc_a, media_b AS doc_b FROM a_pairs),
+    vp AS (SELECT media_a AS doc_a, media_b AS doc_b FROM v_pairs),
     ti AS (
       SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
              coalesce(t.doc_b, i.doc_b) AS doc_b,
@@ -190,42 +442,55 @@ def _trimodal_oracle() -> str:
              a.doc_a IS NOT NULL AS in_audio
       FROM ti x FULL OUTER JOIN ap a
         ON x.doc_a = a.doc_a AND x.doc_b = a.doc_b
+    ),
+    quad AS (
+      SELECT coalesce(x.doc_a, v.doc_a) AS doc_a,
+             coalesce(x.doc_b, v.doc_b) AS doc_b,
+             coalesce(x.in_text, FALSE) AS in_text,
+             coalesce(x.in_image, FALSE) AS in_image,
+             coalesce(x.in_audio, FALSE) AS in_audio,
+             v.doc_a IS NOT NULL AS in_video
+      FROM tri x FULL OUTER JOIN vp v
+        ON x.doc_a = v.doc_a AND x.doc_b = v.doc_b
     )
-    SELECT doc_a, doc_b, {_TRI_CLASS_SQL} AS dup_class
-    FROM tri ORDER BY doc_a, doc_b
+    SELECT doc_a, doc_b, {_QUAD_CLASS_SQL} AS dup_class
+    FROM quad ORDER BY doc_a, doc_b
     """
 
 
-@query("crossmodal_trimodal_consistency", oracle=_trimodal_oracle())
-def crossmodal_trimodal_consistency(
+@query("crossmodal_quadmodal_consistency", oracle=_quadmodal_oracle())
+def crossmodal_quadmodal_consistency(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """THREE-modality duplicate adjudication (r12 VERDICT ask #3) —
-    the decision a multimodal curation pipeline makes per candidate
-    pair, now across text (MinHash-LSH + Jaccard >= 0.5), image
-    (banded dHash, Hamming <= HAM_T), and audio (banded energy-delta
-    fingerprint, same threshold): a pair near-duplicate in all three
-    is a true multimodal duplicate; partial agreement localizes WHAT
-    was re-used (same media re-captioned, same text over new media,
-    one modality's banding miss).
+    """FOUR-modality duplicate adjudication — the decision a
+    multimodal curation pipeline makes per candidate pair, across
+    text (MinHash-LSH + Jaccard >= 0.5), image (banded dHash, Hamming
+    <= HAM_T), audio (banded energy-delta fingerprint), and video
+    (banded XOR-fold frame fingerprint, same threshold): a pair
+    near-duplicate in all four is a true multimodal duplicate;
+    partial agreement localizes WHAT was re-used (same media
+    re-captioned, same soundtrack over new footage, one modality's
+    banding miss). This query began life as the r13 trimodal
+    adjudication (r12 VERDICT ask #3) and absorbed the fourth
+    modality when the video tier landed — one row per candidate pair,
+    class = the '_'-joined agreeing modalities.
 
-    All three sides run over the SAME augmented corpus; image and
-    audio key media by the canonical id (doc_id % 1e6) so a mutated
-    copy near-dups its original in BOTH media, while the audio
-    partition uses scenes+1 — a different residue system, so the two
-    media pair sets differ for unrelated documents and the
-    adjudication is non-vacuous (see the module docstring for which
-    of the seven classes the fixture construction populates).
+    All four sides run over the SAME augmented corpus; every media
+    tier keys by the canonical id (doc_id % 1e6) so a mutated copy
+    near-dups its original in ALL media, while the partitions use
+    three different residue systems (scenes / scenes+1 / scenes+2) —
+    unrelated documents near-dup in at most one media modality, so
+    the pair sets differ by construction and the adjudication is
+    non-vacuous.
 
     Full hash parity by COMPOSITION: the oracle recomposes the
-    registered dedup_minhash SQL, the shared image-hash fragment, and
-    the shared audio fragment (scene_extra=1) over the same augmented
-    relation, chained through two full outer joins on the pair key —
-    drift in ANY tier, the augmentation, or the join semantics breaks
-    the hash.
+    registered dedup_minhash SQL and the shared image/audio/video
+    hash fragments over the same augmented relation, chained through
+    three full outer joins on the pair key — drift in ANY tier, the
+    augmentation, or the join semantics breaks the hash.
 
-    Scale shape: three banded equi-join pair generators (never
-    all-pairs) and two keyed full outer joins over the bounded pair
+    Scale shape: four banded equi-join pair generators (never
+    all-pairs) and three keyed full outer joins over the bounded pair
     sets — one shuffle each."""
     from .dedup_ops import dedup_minhash
 
@@ -242,19 +507,26 @@ def crossmodal_trimodal_consistency(
         F.col("media_b").alias("doc_b"),
         F.lit(True).alias("in_audio"),
     )
-    tri = (
+    vp = _pairs_from(_xmodal_video_table(spark, sf_dir)).select(
+        F.col("media_a").alias("doc_a"),
+        F.col("media_b").alias("doc_b"),
+        F.lit(True).alias("in_video"),
+    )
+    quad = (
         tp.join(ip, ["doc_a", "doc_b"], "full_outer")
         .join(ap, ["doc_a", "doc_b"], "full_outer")
+        .join(vp, ["doc_a", "doc_b"], "full_outer")
         .select(
             "doc_a",
             "doc_b",
             F.coalesce("in_text", F.lit(False)).alias("in_text"),
             F.coalesce("in_image", F.lit(False)).alias("in_image"),
             F.coalesce("in_audio", F.lit(False)).alias("in_audio"),
+            F.coalesce("in_video", F.lit(False)).alias("in_video"),
         )
     )
-    return tri.select(
-        "doc_a", "doc_b", F.expr(_TRI_CLASS_SQL).alias("dup_class")
+    return quad.select(
+        "doc_a", "doc_b", F.expr(_QUAD_CLASS_SQL).alias("dup_class")
     ).orderBy("doc_a", "doc_b")
 
 
@@ -660,204 +932,6 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-# ------------------------------------------------ video tier
-
-# The FOURTH modality: video clips as frame sequences. Synthetic
-# clip: VIDEO_FRAMES 16x16 grayscale frames per document, frame
-# pixels from an md5 counter chain keyed by (scene, frame, block)
-# ('v' prefix decorrelates from the image/audio chains); the
-# document perturbs ONE pixel of ONE frame (frame = first md5 byte
-# % VIDEO_FRAMES, position = second byte, value = third). Every
-# frame passes through the REAL PNG codec (encode -> decode), the
-# decoded pixels pool to 8x8 and dHash per frame, and the CLIP
-# fingerprint is the bitwise XOR fold of the per-frame dHashes — a
-# one-frame perturbation flips <= 2 pooled cells -> <= 4 bits of
-# that frame's dHash -> <= 4 bits of the fold, so a within-scene
-# pair is <= 8 = HAM_T apart and the SAME banded pair machinery
-# applies unchanged (measured: within-scene 0-4, cross-scene ~28-37).
-VIDEO_FRAMES = 4
-
-_VIDEO_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _video_frame_buffer(
-    doc_id: int, text: str, scenes: int, f: int
-) -> bytearray:
-    import hashlib
-
-    scene = doc_id % scenes
-    buf = bytearray()
-    for blk in range(16):
-        buf += hashlib.md5(f"v{scene}:{f}:{blk}".encode()).digest()
-    nh = hashlib.md5((text or "").encode("utf-8")).digest()
-    if nh[0] % VIDEO_FRAMES == f:
-        buf[nh[1]] = nh[2]
-    return buf
-
-
-def _video_hash_frame(
-    spark: SparkSession,
-    docs: DataFrame,
-    scenes: int,
-    canon_mod: int | None = None,
-) -> DataFrame:
-    """The Arrow video-fingerprint kernel over a (doc_id, text) frame
-    — the _hash_frame discipline for the video modality: VIDEO_FRAMES
-    frame buffers, each through the real PNG encode->decode roundtrip,
-    2x2 pool + per-frame dHash, bitwise XOR fold into one 64-bit clip
-    fingerprint. ``canon_mod`` optionally reduces doc_id before scene
-    keying (the quadmodal query maps a mutated copy at doc_id + 1e6
-    onto its original's scene). Factored out of _video_hash_table so
-    the incremental-maintenance engine can hash an ARRIVAL batch with
-    the index's frozen scene count (the image-tier _hash_frame
-    economics)."""
-    import numpy as np  # noqa: F401 (kernel dependency, checked early)
-
-    from ..multimodal.png import decode as png_decode
-    from ..multimodal.png import encode as png_encode
-    from .round12_ops import IMG_H, IMG_W, _pool
-
-    def video_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        w32 = np.int64(1) << np.arange(32, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = {"media_id": [], "scene": [], "dhash_lo": [], "dhash_hi": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                canon = int(doc_id) % canon_mod if canon_mod else int(doc_id)
-                acc = np.zeros(64, dtype=np.int64)
-                for f in range(VIDEO_FRAMES):
-                    buf = _video_frame_buffer(canon, text, scenes, f)
-                    raw = png_encode(IMG_W, IMG_H, bytes(buf), channels=1)
-                    w, h, ch, px = png_decode(raw)
-                    assert (w, h, ch) == (IMG_W, IMG_H, 1)
-                    cells = np.asarray(
-                        _pool(px, 16, 2), dtype=np.int64
-                    ).reshape(8, 8)
-                    dbits = (
-                        cells > np.roll(cells, -1, axis=1)
-                    ).astype(np.int64).ravel()
-                    acc ^= dbits
-                out["media_id"].append(int(doc_id))
-                out["scene"].append(canon % scenes)
-                out["dhash_lo"].append(int(acc[:32] @ w32))
-                out["dhash_hi"].append(int(acc[32:] @ w32))
-            yield pd.DataFrame(out)
-
-    return docs.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(
-        video_batches,
-        schema="media_id long, scene long, dhash_lo long, dhash_hi long",
-    )
-
-
-def _video_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-clip XOR-fold fingerprints through the real PNG codec path
-    (one encode->decode roundtrip PER FRAME — the production shape:
-    frame-sample, decode, hash, fold). Persisted + memoized; generic
-    (media_id, scene, dhash_lo, dhash_hi) columns so _pairs_from /
-    _pair_cte serve this modality verbatim like image and audio."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _VIDEO_HASH_CACHE.get(key)
-    if cached is not None:
-        return cached
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scenes = _scene_count(_doc_stats(spark, sf_dir)[0])
-    table = _video_hash_frame(spark, docs, scenes).persist()
-    _VIDEO_HASH_CACHE[key] = table
-    return table
-
-
-def _video_hash_cte(
-    doc_rel: str = "documents",
-    canon_mod: int | None = None,
-    prefix: str = "",
-    scene_extra: int = 0,
-) -> str:
-    """The video fingerprint derivation as DuckDB CTEs ending in
-    `hashes` — per-frame pixel chain, 2x2 pooling, per-frame dHash,
-    XOR fold as sum(bit) % 2 per bit position (XOR of 0/1 bits IS
-    their parity). Parameterized exactly like the image/audio
-    builders: source relation, optional canonical-id modulus (the
-    quadmodal query keys an augmented copy onto its original's
-    scene), CTE-name prefix for multi-fragment composition, and an
-    optional ``scene_extra`` so the video partition of the corpus is
-    a genuinely different residue system from the image (extra 0) and
-    audio (extra 1) partitions."""
-    from .round12_ops import SCENE_DOCS, SCENE_MIN
-
-    def canon(expr: str) -> str:
-        return f"({expr} % {canon_mod})" if canon_mod else expr
-
-    scenes_sql = f"greatest({SCENE_MIN}, count(*) // {SCENE_DOCS})"
-    if scene_extra:
-        scenes_sql = f"{scenes_sql} + {scene_extra}"
-    params, noise, px, cells, dbits, fold, hashes = (
-        f"{prefix}{n}"
-        for n in ("params", "noise", "px", "cells", "dbits", "fold", "hashes")
-    )
-    return f"""
-{params} AS (
-  SELECT {scenes_sql} AS scenes
-  FROM {doc_rel}
-),
-{noise} AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(coalesce(text,'')), 1, 2))::INT
-           % {VIDEO_FRAMES} AS nf,
-         ('0x' || substr(md5(coalesce(text,'')), 3, 2))::INT AS np,
-         ('0x' || substr(md5(coalesce(text,'')), 5, 2))::INT AS nv
-  FROM {doc_rel}
-),
-{px} AS (
-  SELECT d.doc_id, fr.f, t.p,
-         CASE WHEN fr.f = n.nf AND t.p = n.np THEN n.nv
-              ELSE ('0x' || substr(
-                       md5('v' || CAST({canon('d.doc_id')} % {params}.scenes
-                                       AS VARCHAR)
-                           || ':' || CAST(fr.f AS VARCHAR)
-                           || ':' || CAST(t.p // 16 AS VARCHAR)),
-                       (t.p % 16) * 2 + 1, 2))::INT
-         END AS v
-  FROM {doc_rel} d
-  JOIN {noise} n USING (doc_id), {params},
-       generate_series(0, {VIDEO_FRAMES - 1}) AS fr(f),
-       generate_series(0, 255) AS t(p)
-),
-{cells} AS (
-  SELECT doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2 AS k,
-         CAST(sum(v) // 4 AS BIGINT) AS cell
-  FROM {px} GROUP BY doc_id, f, ((p // 16) // 2) * 8 + (p % 16) // 2
-),
-{dbits} AS (
-  SELECT a.doc_id, a.f, a.k,
-         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
-  FROM {cells} a JOIN {cells} b
-    ON a.doc_id = b.doc_id AND a.f = b.f
-   AND b.k = (a.k // 8) * 8 + ((a.k % 8) + 1) % 8
-),
-{fold} AS (
-  SELECT doc_id, k, CAST(sum(bit) % 2 AS BIGINT) AS bit
-  FROM {dbits} GROUP BY doc_id, k
-),
-{hashes} AS (
-  SELECT doc_id AS media_id,
-         CAST({canon('doc_id')} % (SELECT scenes FROM {params}) AS BIGINT)
-           AS scene,
-         CAST(sum(CASE WHEN bit = 1 AND k < 32
-                       THEN (1::BIGINT) << k ELSE 0 END) AS BIGINT)
-           AS dhash_lo,
-         CAST(sum(CASE WHEN bit = 1 AND k >= 32
-                       THEN (1::BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
-           AS dhash_hi
-  FROM {fold} GROUP BY doc_id
-)"""
 
 
 @query(

@@ -125,16 +125,21 @@ ROWS_ONLY = frozenset({
 _WINDOW_LEADS = ()
 
 # Group 2 — round-13 NEW registrations (never driver-checked): the
-# audio tier's cluster resolution and recall twin, the trimodal
-# text x image x audio pair adjudication, the multimodal curation
-# funnel (curate_corpus with the media-dedup stage enabled), the
-# declared-vs-detected language confusion audit, the corpus snapshot
-# diff, and the VIDEO tier (frame-sampled XOR-fold fingerprints
+# audio tier's cluster resolution and recall twin, the quadmodal
+# text x image x audio x video pair adjudication, the multimodal
+# curation funnel (curate_corpus with the media-dedup stage enabled),
+# the declared-vs-detected language confusion audit, the corpus
+# snapshot diff, the VIDEO tier (frame-sampled XOR-fold fingerprints
 # through the PNG codec + the shared banded pair/cluster machinery +
-# its recall twin — the fourth modality). All ten carry full oracles.
+# its recall twin — the fourth modality), and the video instantiation
+# of the shared maintenance engine. All eleven carry full oracles.
 _WINDOW_NEW = (
     "audio_neardup_clusters",
-    "crossmodal_trimodal_consistency",
+    # registered as the trimodal adjudication early in r13, absorbed
+    # the video flag (same query, fourth modality) when the video
+    # tier landed — still never driver-checked, so it keeps its
+    # new-registration slot under the new name
+    "crossmodal_quadmodal_consistency",
     "multimodal_funnel_contract",
     "audio_lsh_recall",
     "lang_confusion_matrix",

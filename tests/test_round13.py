@@ -1,4 +1,4 @@
-"""Round-13 tier: audio cluster resolution, trimodal adjudication,
+"""Round-13 tier: audio cluster resolution, quadmodal adjudication,
 and the multimodal curation funnel (media dedup in curate_corpus)."""
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from programmers_data_spark.queries import round12_ops, round13_ops  # noqa: E40
 @pytest.fixture(scope="module")
 def planted_dir(tmp_path_factory):
     """The round-12 planted corpus shape: 26 documents, scene count
-    SCENE_MIN (23) on the image side and 24 on the trimodal audio
+    SCENE_MIN (23) on the image side and 24 on the cross-modal audio
     side — (0,23), (1,24), (2,25) are same-image-scene pairs;
     (0,24), (1,25) are same-audio-scene pairs (mod 24)."""
     d = tmp_path_factory.mktemp("planted_round13")
@@ -65,7 +65,7 @@ def test_audio_clusters_merge_scenes(spark, planted_dir):
     "name",
     [
         "audio_neardup_clusters",
-        "crossmodal_trimodal_consistency",
+        "crossmodal_quadmodal_consistency",
         "multimodal_funnel_contract",
     ],
 )
@@ -77,46 +77,52 @@ def test_planted_fixture_oracle_parity(spark, planted_dir, name):
     assert result.ok, str(result)
 
 
-# ------------------------------------------------ trimodal adjudication
+# --------------------------------------------- quadmodal adjudication
 
 
-def test_trimodal_class_expression_covers_all_combos(spark):
-    """The shared CASE maps every flag combination to its class name
-    — identical string on both engines, so one table drives both."""
+def test_quadmodal_class_expression_joins_flags(spark):
+    """The shared class expression maps every flag combination to the
+    '_'-joined agreeing-modality list — identical string on both
+    engines, so one expression drives both."""
     rows = [
-        (t, i, a)
+        (t, i, a, v)
         for t in (True, False)
         for i in (True, False)
-        for a in (False, True)
-        if t or i or a
+        for a in (True, False)
+        for v in (True, False)
+        if t or i or a or v
     ]
     df = spark.createDataFrame(
-        rows, "in_text boolean, in_image boolean, in_audio boolean"
+        rows,
+        "in_text boolean, in_image boolean, in_audio boolean,"
+        " in_video boolean",
     ).select(
-        "in_text", "in_image", "in_audio",
-        F.expr(round13_ops._TRI_CLASS_SQL).alias("c"),
+        "in_text", "in_image", "in_audio", "in_video",
+        F.expr(round13_ops._QUAD_CLASS_SQL).alias("c"),
     )
-    got = {(r.in_text, r.in_image, r.in_audio): r.c for r in df.collect()}
-    assert got == {
-        (True, True, True): "text_image_audio",
-        (True, True, False): "text_image",
-        (True, False, True): "text_audio",
-        (True, False, False): "text_only",
-        (False, True, True): "image_audio",
-        (False, True, False): "image_only",
-        (False, False, True): "audio_only",
-    }
+    for r in df.collect():
+        want = "_".join(
+            n
+            for n, flag in (
+                ("text", r.in_text),
+                ("image", r.in_image),
+                ("audio", r.in_audio),
+                ("video", r.in_video),
+            )
+            if flag
+        )
+        assert r.c == want, (r, want)
 
 
-def test_trimodal_consistent_with_bimodal(spark, planted_dir):
-    """The trimodal adjudication must agree with the r12-certified
-    bimodal query on the text and image flags: a pair's trimodal
+def test_quadmodal_consistent_with_bimodal(spark, planted_dir):
+    """The quadmodal adjudication must agree with the r12-certified
+    bimodal query on the text and image flags: a pair's quadmodal
     class contains 'text'/'image' exactly when the bimodal class does
-    (the audio flag only refines, never rewrites, the shared
+    (the audio/video flags only refine, never rewrite, the shared
     sub-adjudication)."""
-    tri = {
+    quad = {
         (r.doc_a, r.doc_b): r.dup_class
-        for r in round13_ops.crossmodal_trimodal_consistency(
+        for r in round13_ops.crossmodal_quadmodal_consistency(
             spark, planted_dir
         ).collect()
     }
@@ -126,41 +132,43 @@ def test_trimodal_consistent_with_bimodal(spark, planted_dir):
             spark, planted_dir
         ).collect()
     }
+
     def flags(cls):
         if cls.endswith("_only"):
             return {cls[: -len("_only")]}
         return set(cls.split("_"))
 
     for pair, bcls in bi.items():
-        tcls = tri.get(pair, "")
+        qcls = quad.get(pair, "")
         bflags = flags(bcls) if bcls != "both" else {"text", "image"}
-        assert flags(tcls) & {"text", "image"} == bflags, (
-            pair, bcls, tcls,
+        assert flags(qcls) & {"text", "image"} == bflags, (
+            pair, bcls, qcls,
         )
-    # and no trimodal pair carrying a text/image flag is missing
+    # and no quadmodal pair carrying a text/image flag is missing
     # from the bimodal view
-    for pair, tcls in tri.items():
-        if flags(tcls) & {"text", "image"}:
-            assert pair in bi, (pair, tcls)
+    for pair, qcls in quad.items():
+        if flags(qcls) & {"text", "image"}:
+            assert pair in bi, (pair, qcls)
 
 
-def test_trimodal_audio_partition_differs_from_image(spark, planted_dir):
-    """The audio side's scenes+1 keying yields a genuinely different
-    partition: at least one pair is image_only and at least one is
-    audio_only on the planted corpus ((0,23) image-scene pair vs
-    (0,24) audio-scene pair)."""
+def test_quadmodal_partitions_differ_per_modality(spark, planted_dir):
+    """The three media residue systems (scenes / scenes+1 / scenes+2)
+    yield genuinely different partitions: the planted corpus has a
+    pure image pair, a pure audio pair, and a pure video pair, and
+    augmented copies agree in ALL FOUR modalities."""
     cls = {
         (r.doc_a, r.doc_b): r.dup_class
-        for r in round13_ops.crossmodal_trimodal_consistency(
+        for r in round13_ops.crossmodal_quadmodal_consistency(
             spark, planted_dir
         ).collect()
     }
-    assert cls.get((0, 23)) == "image_only"
-    assert cls.get((0, 24)) == "audio_only"
-    # copies don't exist on this fixture slice (26 docs -> augmented
-    # copies at 1e6+0/1e6+20 pair in all three modalities)
-    assert cls.get((0, 1_000_000)) == "text_image_audio"
-    assert cls.get((20, 1_000_020)) == "text_image_audio"
+    assert cls.get((0, 23)) == "image"   # same scene mod 23
+    assert cls.get((0, 24)) == "audio"   # same clip mod 24
+    assert cls.get((0, 25)) == "video"   # same scene mod 25
+    # copies pair in all four modalities (canonical keying + the
+    # Jaccard-passing mutated text)
+    assert cls.get((0, 1_000_000)) == "text_image_audio_video"
+    assert cls.get((20, 1_000_020)) == "text_image_audio_video"
 
 
 # ------------------------------------------------ multimodal funnel

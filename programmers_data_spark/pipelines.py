@@ -268,12 +268,13 @@ def curation_stage_frames(
     `curate_corpus` for stage semantics and strategy choices.
 
     ``media=True`` widens the near-dup edge set to the MEDIA
-    modalities (r12 VERDICT ask #8): banded image-dHash pairs and
-    banded audio-fingerprint pairs (the r12-certified
-    image_neardup_pairs / audio_neardup_pairs machinery) union into
-    the SAME pair graph the text pairs feed, so every keeper strategy
-    (greedy / canonical / best_quality) applies to the multimodal
-    graph unchanged — one dedup engine, three modalities."""
+    modalities (r12 VERDICT ask #8): banded image-dHash pairs, banded
+    audio-fingerprint pairs, and banded video XOR-fold pairs (the
+    image_neardup_pairs / audio_neardup_pairs / video_neardup_pairs
+    machinery) union into the SAME pair graph the text pairs feed, so
+    every keeper strategy (greedy / canonical / best_quality) applies
+    to the multimodal graph unchanged — one dedup engine, four
+    modalities."""
     key = (spark.sparkContext.applicationId, sf_dir, near_dup, media)
     cached = _STAGES_CACHE.get(key)
     if cached is not None:
@@ -312,13 +313,15 @@ def curation_stage_frames(
             _image_hash_table,
             _pairs_from,
         )
+        from .queries.round13_ops import _video_hash_table
 
         media_pairs = [
             _pairs_from(tbl(spark, sf_dir)).select(
                 F.col("media_a").alias("doc_a"),
                 F.col("media_b").alias("doc_b"),
             )
-            for tbl in (_image_hash_table, _audio_hash_table)
+            for tbl in (_image_hash_table, _audio_hash_table,
+                        _video_hash_table)
         ]
         for mp in media_pairs:
             pairs = pairs.unionByName(mp)
@@ -452,9 +455,9 @@ def curate_corpus(
     `quality_logits` classifier pass the registered query certifies.
     Every strategy leaves no surviving pair a near-dup.
 
-    ``media_dedup=True`` additionally drops image/audio near-dups:
-    the r12-certified banded media pair sets union into the same
-    graph before the keeper strategy runs (curation_stage_frames'
+    ``media_dedup=True`` additionally drops image/audio/video
+    near-dups: the certified banded media pair sets union into the
+    same graph before the keeper strategy runs (curation_stage_frames'
     ``media`` flag), and the registered multimodal_funnel_contract
     query hash-certifies the resulting funnel cross-engine.
 

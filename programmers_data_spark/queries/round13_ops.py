@@ -537,8 +537,8 @@ def _multimodal_funnel_oracle() -> str:
     """The pipeline_funnel_contract oracle with the media edge sets
     unioned into the near-dup graph — every stage recomposed from the
     already-registered fragments, the media pairs from the shared
-    image/audio hash + pair CTEs over the BASE documents (exactly
-    what curation_stage_frames(media=True) joins in)."""
+    image/audio/video hash + pair CTEs over the BASE documents
+    (exactly what curation_stage_frames(media=True) joins in)."""
     from . import dedup_ops, sampling_ops, text_quality_ops  # noqa: F401
     from ._oracle_shared import _DUCK_TOKS
     from .round10_ops import _QL_W_DUCK
@@ -549,6 +549,8 @@ def _multimodal_funnel_oracle() -> str:
     {_pair_cte("i_")},
     {_audio_hash_cte(prefix="a_")},
     {_pair_cte("a_")},
+    {_video_hash_cte(prefix="v_")},
+    {_pair_cte("v_")},
     gq AS ({ORACLE["gopher_quality_flags"]}),
     gated AS (
       SELECT d.doc_id, d.text FROM documents d
@@ -568,6 +570,8 @@ def _multimodal_funnel_oracle() -> str:
       SELECT media_a AS doc_a, media_b AS doc_b FROM i_pairs
       UNION
       SELECT media_a AS doc_a, media_b AS doc_b FROM a_pairs
+      UNION
+      SELECT media_a AS doc_a, media_b AS doc_b FROM v_pairs
     ),
     pe AS (
       SELECT doc_a, doc_b FROM allpairs
@@ -638,13 +642,14 @@ def multimodal_funnel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`pipelines.curate_corpus` with MEDIA dedup enabled, as a
     driver-certified contract (r12 VERDICT ask #8): stage survival
     counts for the multimodal funnel — raw -> Gopher gate -> exact
-    content dedup -> near-dup keeper over the UNION of text, image,
-    and audio pair graphs (best-quality keeper) -> train/val split —
-    computed from the SAME `curation_stage_frames(media=True)` the
-    production pipeline publishes from. The oracle recomposes every
-    stage from the already-certified fragments with the media edge
-    sets unioned into the graph, so drift in any modality's pair
-    semantics, the union scoping, or the keeper rule breaks the hash.
+    content dedup -> near-dup keeper over the UNION of the text,
+    image, audio, and video pair graphs (best-quality keeper) ->
+    train/val split — computed from the SAME
+    `curation_stage_frames(media=True)` the production pipeline
+    publishes from. The oracle recomposes every stage from the
+    already-certified fragments with the media edge sets unioned into
+    the graph, so drift in any modality's pair semantics, the union
+    scoping, or the keeper rule breaks the hash.
 
     Scale shape: each pair generator is its own banded equi join; the
     union adds one distinct over bounded pair sets; component

@@ -181,8 +181,8 @@ _SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 def test_multimodal_funnel_leaves_no_media_neardup_pair(spark):
     """After the media-dedup stage, no surviving pair is a near-dup
-    in ANY modality (text, image, or audio) — the defining property
-    of the widened graph under every keeper strategy."""
+    in ANY modality (text, image, audio, or video) — the defining
+    property of the widened graph under every keeper strategy."""
     from programmers_data_spark.pipelines import curation_stage_frames
 
     frames = curation_stage_frames(
@@ -194,6 +194,7 @@ def test_multimodal_funnel_leaves_no_media_neardup_pair(spark):
     for pairs in (
         round12_ops._pairs_from(round12_ops._image_hash_table(spark, _SF)),
         round12_ops._pairs_from(round12_ops._audio_hash_table(spark, _SF)),
+        round12_ops._pairs_from(round13_ops._video_hash_table(spark, _SF)),
     ):
         surviving = [
             (r.media_a, r.media_b)

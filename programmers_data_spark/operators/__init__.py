@@ -385,9 +385,16 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14),
     which converges in O(log^2 n) rounds of the same join+agg shape.
     """
+    # Materialize the caller's edge list ONCE before symmetrizing:
+    # the union's two branches are separate scans of `edges`, so an
+    # unpersisted input (e.g. a banded pair join) would run its whole
+    # upstream pipeline twice in the first job (measured ~1s extra
+    # per media cluster query at sf0.1).
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
@@ -440,6 +447,7 @@ def connected_components(
         # unconverged partition as a correct result
         sym.unpersist()
         _free_blocks(labels)
+        _free_blocks(e0)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing); the graph's "
@@ -447,6 +455,7 @@ def connected_components(
             "connected_components_two_phase (O(log^2 n) rounds)."
         )
     sym.unpersist()
+    _free_blocks(e0)
     return labels
 
 
@@ -472,18 +481,27 @@ def connected_components_two_phase(
     every round.
     """
     a, b = F.col("_u"), F.col("_v")
+    # Materialize the caller's edge list ONCE: symmetrize and the
+    # vertex set are FOUR scans of `edges` between them — an
+    # unpersisted input (a banded pair join, the funnel's scoped
+    # union graph) would re-run its upstream per scan.
+    e0 = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).localCheckpoint(eager=True)
     cur = (
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        e0.union(e0.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         .filter(a != b)
         .distinct()
         .persist()
     )
+    # eagerly checkpointed (not just persisted): the final vertex →
+    # component join materializes lazily AFTER e0's blocks are freed
+    # below, so it must not depend on e0 through a lazy persist
     vertices = (
-        edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
+        e0.select(F.col("_u").alias("vertex"))
+        .union(e0.select(F.col("_v").alias("vertex")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -539,12 +557,14 @@ def connected_components_two_phase(
         if same:
             break
     else:
+        _free_blocks(e0)
         raise RuntimeError(
             f"connected_components_two_phase did not converge in "
             f"{max_iterations} rounds (edge set still changing); "
             "raise max_iterations — O(log^2 n) rounds suffice for any "
             "graph, so hitting this cap indicates n far beyond design."
         )
+    _free_blocks(e0)
 
     # converged edges are (child → root) stars; roots map to themselves
     mapping = cur.select(

@@ -73,6 +73,7 @@ PYTHON_TIER = frozenset({
     "video_neardup_incremental",  # engine arrivals pay the PNG kernel
     "stream_audio_neardup_ingest",  # per-batch WAV kernel in replay
     "stream_video_neardup_ingest",  # per-batch PNG kernel in replay
+    "image_hamming_topk",  # reads the store the image kernel produces
     "crossmodal_quadmodal_consistency",  # composes the image + audio
     #                                      + video kernels AND
     #                                      dedup_minhash's Arrow pass

@@ -33,6 +33,7 @@ family the way dedup_ops.py did for text.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import media_index
 from ..registry import query
@@ -148,6 +149,131 @@ def stream_audio_neardup_ingest(
     pair delta. Slices partition the corpus so the accumulated store
     equals the full rebuild exactly — which is the oracle."""
     return media_index.streaming_ingest(spark, sf_dir, AUDIO_SPEC)
+
+
+# ------------------------------------------------ index read path
+
+# Reverse-image-search depth: the K nearest banded candidates per
+# query image.
+IMG_TOPK = 3
+
+# The directed band rule — MUST stay textually in sync with the band
+# CASE inside round12_ops._pair_cte (one banding rule engine-wide;
+# tests/test_round13b.py asserts the fragment is embedded there).
+_BAND_CASE_SQL = """CASE b.band
+           WHEN 0 THEN dhash_lo % 65536
+           WHEN 1 THEN dhash_lo // 65536
+           WHEN 2 THEN dhash_hi % 65536
+           ELSE dhash_hi // 65536 END"""
+
+
+def _img_hash_cte_default() -> str:
+    from .round12_ops import _img_hash_cte
+
+    return _img_hash_cte()
+
+
+@query(
+    "image_hamming_topk",
+    oracle=f"""
+    WITH {_img_hash_cte_default()},
+    bands AS (
+      SELECT media_id, b.band,
+             {_BAND_CASE_SQL} AS bval
+      FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS query_id, b.media_id AS neighbor_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      WHERE a.media_id <> b.media_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(bit_count(xor(ha.dhash_lo, hb.dhash_lo))
+                + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) AS INTEGER)
+               AS ham_d
+      FROM cand c
+      JOIN hashes ha ON ha.media_id = c.query_id
+      JOIN hashes hb ON hb.media_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ham_d,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY ham_d, neighbor_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, ham_d
+    FROM ranked WHERE rnk <= {IMG_TOPK}
+    ORDER BY query_id, rnk
+    """,
+)
+def image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse image search — the READ path the published media index
+    serves (the maintenance queries are its write path): for every
+    image, the {IMG_TOPK} nearest others by 64-bit Hamming distance
+    among its banded LSH candidates, deterministic ties by
+    neighbor id. This is ann_lsh_topk's shape for the media tier:
+    candidates come from the band table (share >= 1 exact 16-bit
+    band — never all-pairs), the exact distance reranks them.
+
+    Scale shape: BOTH sides of the candidate self-join read the
+    PUBLISHED BUCKETED band table (media_index.band_store), so the
+    join is bucket-aligned with ZERO Exchange on either side
+    (tests/test_round13b.py::test_topk_band_self_join_plans_without_
+    exchange); the hash lookups read the published hash store (no
+    kernel recompute); the per-query top-K is a window over the
+    band-bounded candidate set. At 100 TB this is exactly a
+    reverse-image-search serving job over the published index.
+
+    Oracle: the same derivation from the shared image-hash CTE —
+    identical band rule (the fragment is asserted to match
+    _pair_cte's), integer Hamming, row_number with the same tie
+    order."""
+    from pyspark.sql import Window
+
+    from .round12_ops import IMAGE_SPEC
+
+    h = media_index.hash_store(spark, sf_dir, IMAGE_SPEC)
+    if h.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, rnk int, neighbor_id long, ham_d int"
+        )
+    b = media_index.band_store(spark, sf_dir, IMAGE_SPEC)
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "bval"])
+        .filter(F.col("a.media_id") != F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("query_id"),
+            F.col("b.media_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("query_id"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("neighbor_id"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    w = Window.partitionBy("query_id").orderBy("ham_d", "neighbor_id")
+    return (
+        cand.join(ha, "query_id")
+        .join(hb, "neighbor_id")
+        .withColumn("ham_d", ham)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= IMG_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "ham_d")
+        .orderBy("query_id", "rnk")
+    )
 
 
 @query(

@@ -171,6 +171,72 @@ def test_streaming_ingest_cleans_scratch(spark, planted_dir):
     assert glob.glob(os.path.join(base, spec.ing_prefix + "*")) == []
 
 
+def test_topk_planted_parity(spark, planted_dir):
+    """Full hash parity for the reverse-image-search read path on the
+    planted corpus."""
+    name = "image_hamming_topk"
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, result
+
+
+def test_topk_semantics_on_planted(spark, planted_dir):
+    """On the planted corpus the only banded candidates are the
+    same-scene mates: 0's nearest neighbor is 23 (and vice versa),
+    at Hamming <= 8, rank 1; scene-unique docs return no rows."""
+    rows = registry.QUERIES["image_hamming_topk"](
+        spark, planted_dir
+    ).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert by_query[0][0].neighbor_id == 23
+    assert by_query[23][0].neighbor_id == 0
+    assert by_query[0][0].rnk == 1
+    assert by_query[0][0].ham_d <= 8
+    for q, rs in by_query.items():
+        ranks = [r.rnk for r in rs]
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+    # docs 3..22 are scene-unique on 26 docs mod 23 — no candidates
+    assert 5 not in by_query
+
+
+def test_topk_band_self_join_plans_without_exchange(
+    spark, planted_dir, tmp_path, monkeypatch
+):
+    """The read path's candidate generation self-joins the PUBLISHED
+    bucketed band table: with broadcast disabled, the join must plan
+    bucket-aligned with ZERO Exchange (both sides read the bucket
+    layout)."""
+    import re
+
+    from programmers_data_spark.queries import round12_ops
+
+    spec = round12_ops.IMAGE_SPEC
+    _isolate(monkeypatch, tmp_path, spec)
+    b = media_index.band_store(spark, planted_dir, spec)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = b.alias("a").join(b.alias("b"), ["band", "bval"])
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 0, f"expected 0 exchanges (co-bucketed), got {n_ex}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_band_case_fragment_matches_pair_cte():
+    """The directed band rule the read path's oracle uses must be the
+    SAME text as the shared pair fragment's — one banding rule
+    engine-wide (the shared-fragment discipline)."""
+    from programmers_data_spark.queries.round12_ops import _pair_cte
+
+    assert media_lifecycle_ops._BAND_CASE_SQL in _pair_cte()
+
+
 def test_image_spec_preserves_round12_identities(planted_dir):
     """The engine refactor must not re-key the image tier's published
     artifacts or scratch envs (round-12 stores carry over)."""

@@ -404,6 +404,24 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence test: per-vertex labels are MONOTONE non-increasing
+    # (new = least(old, neighbor-min) <= old) over a fixed vertex set,
+    # so the label SUM strictly decreases until the fixpoint — one
+    # single-column aggregate on the fresh checkpoint replaces the
+    # former join-old-vs-new + count (a per-round shuffle join).
+    # decimal(38,0) keeps the sum exact far past int64 (1e9 vertices
+    # with 2^40 ids would overflow a BIGINT sum).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.coalesce(
+                F.sum(F.col("component").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).collect()[0][0]  # bounded 1-value scalar
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["a"] == labels["vertex"])
@@ -423,13 +441,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        # new_labels is eagerly materialized and `changed` computed, so
+        new_sum = _label_sum(new_labels)
+        # new_labels is eagerly materialized and its sum computed, so
         # the previous round's checkpoint blocks are dead — free them
         # immediately (Dataset.unpersist alone would leak them; see
         # _free_blocks). Executor-loss note: local (non-reliable)
@@ -438,9 +451,11 @@ def connected_components(
         # tradeoff for not writing per-round state to reliable storage.
         _free_blocks(labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    else:
+        prev_sum = new_sum
+    if not converged:
         # the loop exhausted with labels still moving: the graph's
         # diameter exceeds max_iterations and the labels are NOT
         # component ids — returning them silently would present an
@@ -450,9 +465,9 @@ def connected_components(
         _free_blocks(e0)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); the graph's "
-            "diameter exceeds the cap — raise max_iterations or use "
-            "connected_components_two_phase (O(log^2 n) rounds)."
+            f"iterations (the label sum is still decreasing); the "
+            "graph's diameter exceeds the cap — raise max_iterations "
+            "or use connected_components_two_phase (O(log^2 n) rounds)."
         )
     sym.unpersist()
     _free_blocks(e0)

@@ -202,6 +202,109 @@ def band_store(
     return table
 
 
+_CLUSTER_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cluster_store(
+    spark: SparkSession, sf_dir: str, spec: MediaIndexSpec
+) -> DataFrame:
+    """Cluster assignments over the EXISTING corpus (doc_id % 3 !=
+    spec.arrival_residue) as a published artifact — the third
+    published table of the media index (hashes, bands, clusters),
+    and the state incremental cluster maintenance starts from: at
+    100 TB the cluster table is computed once per corpus version and
+    every ingest batch MERGES into it (incremental_clusters below)
+    instead of re-clustering the corpus. Columns: (media_id,
+    cluster_id), cluster_id = min member id; singletons map to
+    themselves. An empty existing corpus returns the computed empty
+    frame directly (publish_versioned rejects empty tables)."""
+    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    cached = _CLUSTER_STORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .operators import connected_components_auto
+    from .publish import publish_versioned, read_versioned
+    from .queries.round12_ops import _pairs_from
+
+    table_dir = os.path.join(
+        os.path.dirname(store_table_dir(spec, sf_dir)),
+        f"{spec.name}_clusters_r{spec.arrival_residue}",
+    )
+    try:
+        stored = read_versioned(spark, table_dir)
+    except FileNotFoundError:
+        h = hash_store(spark, sf_dir, spec).filter(
+            F.col("media_id") % 3 != spec.arrival_residue
+        )
+        labels = connected_components_auto(
+            _pairs_from(h), "media_a", "media_b"
+        )
+        computed = (
+            h.select("media_id")
+            .join(labels, h["media_id"] == labels["vertex"], "left")
+            .select(
+                "media_id",
+                F.coalesce("component", "media_id").alias("cluster_id"),
+            )
+        )
+        if computed.limit(1).count() == 0:  # bounded 1-value scalar
+            return computed
+        publish_versioned(computed, table_dir)
+        stored = read_versioned(spark, table_dir)
+    _CLUSTER_STORE_CACHE[key] = stored
+    return stored
+
+
+def incremental_clusters(
+    spark: SparkSession, sf_dir: str, spec: MediaIndexSpec
+) -> DataFrame:
+    """Incremental cluster maintenance — the step AFTER the pair
+    delta: merge an ingest batch into the PUBLISHED cluster table by
+    star contraction, never re-clustering the existing corpus.
+
+    The existing cluster table contracts the whole existing pair
+    graph into star edges (member -> cluster root); the batch's pair
+    delta (incremental_delta — arrival-proportional by construction)
+    is the only new connectivity, so components over
+    (stars ∪ delta) equal the FULL rebuild's components exactly:
+    contracting a subgraph's components preserves connectivity of
+    the union, delta edges reach non-root members through their star
+    edge, and labels are vertex ids so min-propagation recovers the
+    true minimum member per merged cluster. The registered oracle IS
+    the full rebuild, so any gap in that argument breaks the hash.
+
+    Scale shape: reads two published artifacts (clusters, hashes —
+    nothing about the existing corpus is re-hashed, re-paired, or
+    re-clustered), runs component resolution over |existing stars| +
+    |delta| edges, and the delta side is proportional to the arrival
+    batch. This is how a production media-dedup index absorbs a
+    day's crawl."""
+    from .operators import connected_components_auto
+
+    stored = cluster_store(spark, sf_dir, spec)
+    delta = incremental_delta(spark, sf_dir, spec)
+    stars = stored.filter(
+        F.col("media_id") != F.col("cluster_id")
+    ).select(
+        F.col("media_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    edges = stars.unionByName(
+        delta.select(
+            F.col("media_a").alias("src"), F.col("media_b").alias("dst")
+        )
+    )
+    labels = connected_components_auto(edges, "src", "dst")
+    ids = hash_store(spark, sf_dir, spec).select("media_id")
+    return (
+        ids.join(labels, ids["media_id"] == labels["vertex"], "left")
+        .select(
+            "media_id",
+            F.coalesce("component", "media_id").alias("cluster_id"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _ham(prefix_a: str = "a", prefix_b: str = "b"):
     return (
         F.bit_count(F.col(f"lo_{prefix_a}").bitwiseXOR(F.col(f"lo_{prefix_b}")))

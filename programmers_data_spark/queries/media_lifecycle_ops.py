@@ -151,6 +151,40 @@ def stream_audio_neardup_ingest(
     return media_index.streaming_ingest(spark, sf_dir, AUDIO_SPEC)
 
 
+# ----------------------------------------- cluster maintenance
+
+
+def _full_cluster_oracle() -> str:
+    # the registered full-rebuild SQL, verbatim (round12_ops
+    # registers earlier in _QUERY_MODULES) — incremental ≡ full is
+    # the whole contract, so the oracle IS the full rebuild
+    from ..registry import ORACLE
+
+    return ORACLE["image_neardup_clusters"]
+
+
+@query("image_neardup_clusters_incremental", oracle=_full_cluster_oracle())
+def image_neardup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CLUSTER maintenance — the lifecycle step after the
+    pair delta: the ingest batch merges into the PUBLISHED cluster
+    table by star contraction (media_index.incremental_clusters with
+    IMAGE_SPEC). The existing corpus is never re-hashed, re-paired,
+    or re-clustered: the published cluster table contributes one star
+    edge per non-root member, the arrival-proportional pair delta
+    contributes the only new connectivity, and component resolution
+    runs over that contracted graph. Oracle: the registered
+    image_neardup_clusters full-rebuild SQL verbatim — a green hash
+    proves merge-into-stars ≡ re-cluster-everything on every fixture
+    generation (the incremental ≡ full discipline, now at the
+    cluster level: fingerprints, pairs, AND clusters all maintain
+    incrementally)."""
+    from .round12_ops import IMAGE_SPEC
+
+    return media_index.incremental_clusters(spark, sf_dir, IMAGE_SPEC)
+
+
 # ------------------------------------------------ index read path
 
 # Reverse-image-search depth: the K nearest banded candidates per

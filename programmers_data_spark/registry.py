@@ -57,7 +57,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
-    "programmers_data_spark.queries.media_lifecycle_ops",  # 5 (→251)
+    "programmers_data_spark.queries.media_lifecycle_ops",  # 6 (→252)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -74,7 +74,7 @@ WINDOW_ROUND = 13
 # below — the late-r13 registrations that could not take an r13 slot
 # without evicting r8-tail names (audio_neardup_incremental,
 # stream_audio_neardup_ingest, stream_video_neardup_ingest,
-# image_hamming_topk) — ahead
+# image_neardup_clusters_incremental, image_hamming_topk) — ahead
 # of any round-14 NEW registrations (group 2; never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
 # round-13-green sentinels on whatever the r14 diff touches, then
@@ -238,6 +238,7 @@ NEXT_WINDOW_LEADS = (
     "audio_neardup_incremental",
     "stream_audio_neardup_ingest",
     "stream_video_neardup_ingest",
+    "image_neardup_clusters_incremental",
     "image_hamming_topk",
 )
 

@@ -237,6 +237,32 @@ def test_band_case_fragment_matches_pair_cte():
     assert media_lifecycle_ops._BAND_CASE_SQL in _pair_cte()
 
 
+def test_incremental_clusters_planted_parity(spark, planted_dir):
+    """Merge-into-stars ≡ re-cluster-everything, hash-checked on the
+    planted corpus (the oracle IS the full rebuild)."""
+    name = "image_neardup_clusters_incremental"
+    df = registry.QUERIES[name](spark, planted_dir)
+    result = compare_to_oracle(name, df, registry.ORACLE[name], planted_dir)
+    assert result.ok, result
+
+
+def test_incremental_clusters_equal_full(spark, planted_dir):
+    """The same identity stated without the oracle: the star-merge
+    result equals image_neardup_clusters row for row. Arrivals are
+    doc_id % 3 == 1 (1, 4, ..., 25), so the planted pairs exercise
+    both graph sides: (0,23) is existing-existing (resolved by the
+    published star alone), while (1,24) and (2,25) each connect an
+    arrival through the delta."""
+    inc = registry.QUERIES["image_neardup_clusters_incremental"](
+        spark, planted_dir
+    )
+    full = registry.QUERIES["image_neardup_clusters"](spark, planted_dir)
+    assert inc.subtract(full).count() == 0
+    assert full.subtract(inc).count() == 0
+    rows = {r.media_id: r.cluster_id for r in inc.collect()}
+    assert rows[23] == 0 and rows[24] == 1 and rows[25] == 2
+
+
 def test_image_spec_preserves_round12_identities(planted_dir):
     """The engine refactor must not re-key the image tier's published
     artifacts or scratch envs (round-12 stores carry over)."""

@@ -90,10 +90,13 @@ class MediaIndexSpec:
         return self.ingest_prefix or f"{self.name}ingest_"
 
 
-# Memoized per (applicationId, sf_dir, spec.name). The image tier's
-# round-12 module-level caches alias these dicts so existing tests'
-# .clear() calls (and bench._reset's package-wide *_CACHE sweep)
-# reach them unchanged.
+# Memoized per (applicationId, sf_dir, spec.name, resolved store
+# table dir) — the last element makes a mid-session
+# SPARK_GRAFT_*_STORE change naturally miss the cache instead of
+# serving the previously published artifact (r13 ADVICE #2). The
+# image tier's round-12 module-level caches alias these dicts so
+# existing tests' .clear() calls (and bench._reset's package-wide
+# *_CACHE sweep) reach them unchanged.
 _HASH_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _BAND_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _INCR_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
@@ -117,6 +120,20 @@ def store_table_dir(spec: MediaIndexSpec, sf_dir: str) -> str:
     return os.path.join(base, fp, f"{spec.name}_hashes")
 
 
+def _memo_key(
+    spark: SparkSession, sf_dir: str, spec: MediaIndexSpec
+) -> tuple[str, str, str, str]:
+    """Cache key for the published-artifact memos: binds the RESOLVED
+    store table dir (env var + fixture fingerprint) so changing
+    SPARK_GRAFT_*_STORE mid-session misses the cache naturally."""
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        spec.name,
+        store_table_dir(spec, sf_dir),
+    )
+
+
 def hash_store(
     spark: SparkSession, sf_dir: str, spec: MediaIndexSpec
 ) -> DataFrame:
@@ -129,7 +146,7 @@ def hash_store(
     unaffected. An EMPTY index (legal on an empty fixture) is
     returned directly without publishing (publish_versioned rejects
     empty tables by design)."""
-    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    key = _memo_key(spark, sf_dir, spec)
     cached = _HASH_STORE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -159,7 +176,7 @@ def band_store(
     no per-run O(index) band re-derivation. A fresh session that
     finds the files already on disk re-registers the external
     bucketed table via DDL (no rewrite)."""
-    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    key = _memo_key(spark, sf_dir, spec)
     cached = _BAND_STORE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -218,7 +235,7 @@ def cluster_store(
     cluster_id), cluster_id = min member id; singletons map to
     themselves. An empty existing corpus returns the computed empty
     frame directly (publish_versioned rejects empty tables)."""
-    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    key = _memo_key(spark, sf_dir, spec)
     cached = _CLUSTER_STORE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -347,7 +364,7 @@ def incremental_delta(
     # table and both Hamming-lookup sides). Memoized per (app,
     # sf_dir, modality) so repeated invocations don't stack cached
     # RDDs (the r12 ADVICE #1 discipline).
-    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    key = _memo_key(spark, sf_dir, spec)
     h = _INCR_INDEX_CACHE.get(key)
     if h is None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -467,7 +484,10 @@ def streaming_ingest(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]  # bounded 2-value scalar
     lo, hi = bounds.lo, bounds.hi
-    n = spec.n_slices
+    # the replay protocol needs >= 2 slices (cuts[0]/cuts[-1] below
+    # index an empty list for n == 1); clamp rather than raise so a
+    # degenerate spec still streams one seed + one batch
+    n = max(2, spec.n_slices)
     cuts = [lo + k * (hi - lo + 1) // n for k in range(1, n)]
     d = F.col("doc_id")
     slices = [docs.filter(d < cuts[0])]

@@ -245,8 +245,8 @@ def _img_hash_cte_default() -> str:
 def image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse image search — the READ path the published media index
     serves (the maintenance queries are its write path): for every
-    image, the {IMG_TOPK} nearest others by 64-bit Hamming distance
-    among its banded LSH candidates, deterministic ties by
+    image, the top-K (K = IMG_TOPK) nearest others by 64-bit Hamming
+    distance among its banded LSH candidates, deterministic ties by
     neighbor id. This is ann_lsh_topk's shape for the media tier:
     candidates come from the band table (share >= 1 exact 16-bit
     band — never all-pairs), the exact distance reranks them.

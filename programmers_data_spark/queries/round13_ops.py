@@ -479,9 +479,11 @@ def crossmodal_quadmodal_consistency(
     tier keys by the canonical id (doc_id % 1e6) so a mutated copy
     near-dups its original in ALL media, while the partitions use
     three different residue systems (scenes / scenes+1 / scenes+2) —
-    unrelated documents near-dup in at most one media modality, so
-    the pair sets differ by construction and the adjudication is
-    non-vacuous.
+    unrelated documents near-dup in at most one media modality
+    except where the scenes and scenes+2 residue systems coincide on
+    an lcm cycle (the image_video class; see the module docstring's
+    sf0.01 measurement), so the pair sets differ by construction and
+    the adjudication is non-vacuous.
 
     Full hash parity by COMPOSITION: the oracle recomposes the
     registered dedup_minhash SQL and the shared image/audio/video

@@ -220,6 +220,83 @@ def band_store(
 
 
 _CLUSTER_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIR_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def pair_store(
+    spark: SparkSession, sf_dir: str, spec: MediaIndexSpec
+) -> DataFrame:
+    """The verified near-dup PAIR set as a published artifact — the
+    text tier's ``dedup_ops.verified_pair_store`` pattern for the
+    media index (its fourth published table: hashes, bands, clusters,
+    pairs). Computed ONCE per corpus version and read by every
+    composer afterwards (the multimodal funnel, dup-rate reports):
+    at 100 TB the full-corpus pair graph is an artifact a curation
+    run reads, never something each report re-derives.
+
+    The producer itself composes the other published artifacts: the
+    candidate self-join reads the BUCKETED band table on both sides
+    (bucket-aligned, zero Exchange — the image_hamming_topk plan
+    shape), and the Hamming rerank reads the published hash store, so
+    even the one-time build never re-runs the Arrow codec kernel.
+    Content is exactly ``_pairs_from(hash_table)`` (parquet
+    roundtrips of long columns are exact); columns
+    (media_a, media_b, ham_d), normalized media_a < media_b. An
+    empty pair set (legal: a corpus with no near-dups) is returned
+    directly without publishing (publish_versioned rejects empty
+    tables by design)."""
+    key = _memo_key(spark, sf_dir, spec)
+    cached = _PAIR_STORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .publish import publish_versioned, read_versioned
+    from .queries.round12_ops import HAM_T
+
+    table_dir = os.path.join(
+        os.path.dirname(store_table_dir(spec, sf_dir)), f"{spec.name}_pairs"
+    )
+    try:
+        stored = read_versioned(spark, table_dir)
+    except FileNotFoundError:
+        h = hash_store(spark, sf_dir, spec)
+        if h.limit(1).count() == 0:  # bounded 1-value scalar
+            return spark.createDataFrame(
+                [], "media_a long, media_b long, ham_d int"
+            )
+        b = band_store(spark, sf_dir, spec)
+        cand = (
+            b.alias("a")
+            .join(b.alias("b"), ["band", "bval"])
+            .filter(F.col("a.media_id") < F.col("b.media_id"))
+            .select(
+                F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+            )
+            .distinct()
+        )
+        ha = h.select(
+            F.col("media_id").alias("media_a"),
+            F.col("dhash_lo").alias("lo_a"),
+            F.col("dhash_hi").alias("hi_a"),
+        )
+        hb = h.select(
+            F.col("media_id").alias("media_b"),
+            F.col("dhash_lo").alias("lo_b"),
+            F.col("dhash_hi").alias("hi_b"),
+        )
+        computed = (
+            cand.join(ha, "media_a")
+            .join(hb, "media_b")
+            .withColumn("ham_d", _ham())
+            .filter(F.col("ham_d") <= HAM_T)
+            .select("media_a", "media_b", "ham_d")
+        )
+        if computed.limit(1).count() == 0:  # bounded 1-value scalar
+            return computed
+        publish_versioned(computed, table_dir)
+        stored = read_versioned(spark, table_dir)
+    _PAIR_STORE_CACHE[key] = stored
+    return stored
 
 
 def cluster_store(

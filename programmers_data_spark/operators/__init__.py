@@ -487,13 +487,16 @@ def connected_components_two_phase(
     contract as connected_components: returns (vertex, component),
     component = min vertex id.
 
-    Each round is two map+groupBy passes over the edge list:
-    large-star hangs every larger neighbor of u onto min(Γ(u) ∪ u);
-    small-star re-hangs the smaller neighborhood onto its min. The
+    Each round fuses the two star passes over the symmetric edge
+    set: large-star hangs every larger neighbor of u onto
+    min(Γ(u) ∪ u); small-star re-hangs the smaller neighborhood onto
+    its min; ONE distinct canonicalizes the round output (the
+    intermediate stages tolerate duplicates, so the textbook
+    per-stage dedups — a full shuffle each — are fused away). The
     edge list monotonically flattens into stars (child → root);
-    convergence is detected when the edge set stops changing. All
-    shuffles key on the vertex — the same single partitioning reused
-    every round.
+    convergence is detected when the canonical edge set stops
+    changing. All shuffles key on the vertex — the same single
+    partitioning reused every round.
     """
     a, b = F.col("_u"), F.col("_v")
     # Materialize the caller's edge list ONCE: symmetrize and the
@@ -503,11 +506,15 @@ def connected_components_two_phase(
     e0 = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     ).localCheckpoint(eager=True)
+    # The round state is the SYMMETRIC distinct edge set, eagerly
+    # checkpointed (a lazily-persisted first state pushed its whole
+    # materialization into round 0 — measured ~4.5s of the funnel
+    # graph's resolution before the fused-round rewrite).
     cur = (
-        e0.union(e0.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        e0.union(e0.select(b.alias("_u"), a.alias("_v")))
         .filter(a != b)
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # eagerly checkpointed (not just persisted): the final vertex →
     # component join materializes lazily AFTER e0's blocks are freed
@@ -519,39 +526,38 @@ def connected_components_two_phase(
         .localCheckpoint(eager=True)
     )
 
-    def _large_star(e: DataFrame) -> DataFrame:
-        # m(u) = min over Γ(u) ∪ {u}; connect each v > u to m(u)
+    def _round(e: DataFrame) -> DataFrame:
+        # One fused large-star + small-star pass over the symmetric
+        # edge set, with a SINGLE distinct per round (the final
+        # canonicalization). The intermediate stages tolerate
+        # duplicate edges — both star steps are min-aggregates +
+        # joins, where duplicates cost a few extra rows but never
+        # change the result — so the two inner distincts the textbook
+        # formulation carries are dropped: each was a full shuffle
+        # per round, and the convergence check below only ever sees
+        # the canonical (distinct, symmetric) round output.
+        #   large-star: m(u) = min(Γ(u) ∪ u); hang each v > u on m(u)
         m = e.groupBy("_u").agg(F.least(F.min("_v"), F.col("_u")).alias("_m"))
-        return (
+        ls = (
             e.join(m, "_u")
             .filter(b > a)
-            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
-            .filter(F.col("_u") != F.col("_v"))
-            .distinct()
+            .select(b.alias("_u"), F.col("_m").alias("_v"))
+            .filter(a != b)
         )
-
-    def _small_star(e: DataFrame) -> DataFrame:
-        # orient each edge (max, min); re-hang u's smaller
-        # neighborhood (and u itself) onto its minimum
-        d = e.filter(b < a)
-        m = d.groupBy("_u").agg(F.min("_v").alias("_m"))
-        hang_nbrs = (
-            d.join(m, "_u")
-            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        #   small-star: orient (max, min); re-hang u's smaller
+        #   neighborhood (and u itself) onto its minimum
+        d = ls.filter(b < a)
+        m2 = d.groupBy("_u").agg(F.min("_v").alias("_m"))
+        hang = (
+            d.join(m2, "_u")
+            .select(b.alias("_u"), F.col("_m").alias("_v"))
+            .union(m2.select("_u", F.col("_m").alias("_v")))
+            .filter(a != b)
         )
-        hang_self = m.select("_u", F.col("_m").alias("_v"))
+        # canonicalize: symmetric + distinct (the ONE shuffle-dedup)
         return (
-            hang_nbrs.union(hang_self)
-            .filter(F.col("_u") != F.col("_v"))
-            .distinct()
-        )
-
-    def _sym(e: DataFrame) -> DataFrame:
-        # large-star works on the symmetric neighborhood; each round's
-        # output is directed (child → min), so re-symmetrize first
-        return (
-            e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-            .filter(F.col("_u") != F.col("_v"))
+            hang.union(hang.select(b.alias("_u"), a.alias("_v")))
+            .filter(a != b)
             .distinct()
         )
 
@@ -559,14 +565,13 @@ def connected_components_two_phase(
         # localCheckpoint (not persist): each round's plan nests the
         # previous round's unions/joins, so lineage depth is
         # exponential in rounds unless truncated here
-        nxt = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=True)
+        nxt = _round(cur).localCheckpoint(eager=True)
         same = (
             nxt.count() == cur.count()
             and nxt.subtract(cur).limit(1).count() == 0
         )
-        # nxt is eagerly checkpointed and `same` computed — the retired
-        # round's blocks (persist on round 1, localCheckpoint after)
-        # are dead; free both kinds via _free_blocks
+        # nxt is eagerly checkpointed and `same` computed — the
+        # retired round's checkpoint blocks are dead; free them
         _free_blocks(cur)
         cur = nxt
         if same:
@@ -581,8 +586,9 @@ def connected_components_two_phase(
         )
     _free_blocks(e0)
 
-    # converged edges are (child → root) stars; roots map to themselves
-    mapping = cur.select(
+    # the converged symmetric set holds each star edge both ways;
+    # the (child → root) direction is the one pointing downward
+    mapping = cur.filter(b < a).select(
         F.col("_u").alias("vertex"), F.col("_v").alias("component")
     )
     out = (

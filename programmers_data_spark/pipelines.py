@@ -308,20 +308,24 @@ def curation_stage_frames(
     alive = exact.select("doc_id")
     pairs = verified_pair_store(spark, sf_dir).select("doc_a", "doc_b")
     if media:
-        from .queries.round12_ops import (
-            _audio_hash_table,
-            _image_hash_table,
-            _pairs_from,
-        )
-        from .queries.round13_ops import _video_hash_table
+        # read the PUBLISHED pair stores (media_index.pair_store —
+        # the index's fourth artifact) instead of re-deriving each
+        # modality's band join per invocation (r13 VERDICT ask #2):
+        # the producer cost lands once per corpus version; the funnel
+        # composes three parquet reads. Content is identical to the
+        # inline _pairs_from derivation, so the registered funnel
+        # oracle (which recomposes the pair CTEs) still certifies the
+        # chain.
+        from . import media_index
+        from .queries.media_lifecycle_ops import AUDIO_SPEC, VIDEO_SPEC
+        from .queries.round12_ops import IMAGE_SPEC
 
         media_pairs = [
-            _pairs_from(tbl(spark, sf_dir)).select(
+            media_index.pair_store(spark, sf_dir, spec).select(
                 F.col("media_a").alias("doc_a"),
                 F.col("media_b").alias("doc_b"),
             )
-            for tbl in (_image_hash_table, _audio_hash_table,
-                        _video_hash_table)
+            for spec in (IMAGE_SPEC, AUDIO_SPEC, VIDEO_SPEC)
         ]
         for mp in media_pairs:
             pairs = pairs.unionByName(mp)

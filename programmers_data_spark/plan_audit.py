@@ -74,6 +74,8 @@ PYTHON_TIER = frozenset({
     "stream_audio_neardup_ingest",  # per-batch WAV kernel in replay
     "stream_video_neardup_ingest",  # per-batch PNG kernel in replay
     "image_hamming_topk",  # reads the store the image kernel produces
+    "audio_hamming_topk",  # reads the store the audio kernel produces
+    "video_hamming_topk",  # reads the store the video kernel produces
     "image_neardup_clusters_incremental",  # store producer runs the
     #                                         image kernel + pair delta
     "crossmodal_quadmodal_consistency",  # composes the image + audio

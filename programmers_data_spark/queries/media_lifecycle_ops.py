@@ -207,10 +207,14 @@ def _img_hash_cte_default() -> str:
     return _img_hash_cte()
 
 
-@query(
-    "image_hamming_topk",
-    oracle=f"""
-    WITH {_img_hash_cte_default()},
+def _hamming_topk_oracle(hash_cte: str) -> str:
+    """The read-path top-K derivation over any modality's `hashes`
+    CTE — band the index, candidate self-join, integer Hamming
+    rerank, per-query row_number with deterministic ties. ONE SQL
+    builder for all modalities so the image/audio/video serving
+    contracts cannot drift from each other."""
+    return f"""
+    WITH {hash_cte},
     bands AS (
       SELECT media_id, b.band,
              {_BAND_CASE_SQL} AS bval
@@ -240,40 +244,27 @@ def _img_hash_cte_default() -> str:
     SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, ham_d
     FROM ranked WHERE rnk <= {IMG_TOPK}
     ORDER BY query_id, rnk
-    """,
-)
-def image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reverse image search — the READ path the published media index
-    serves (the maintenance queries are its write path): for every
-    image, the top-K (K = IMG_TOPK) nearest others by 64-bit Hamming
-    distance among its banded LSH candidates, deterministic ties by
-    neighbor id. This is ann_lsh_topk's shape for the media tier:
-    candidates come from the band table (share >= 1 exact 16-bit
-    band — never all-pairs), the exact distance reranks them.
+    """
 
-    Scale shape: BOTH sides of the candidate self-join read the
-    PUBLISHED BUCKETED band table (media_index.band_store), so the
-    join is bucket-aligned with ZERO Exchange on either side
-    (tests/test_round13b.py::test_topk_band_self_join_plans_without_
-    exchange); the hash lookups read the published hash store (no
-    kernel recompute); the per-query top-K is a window over the
-    band-bounded candidate set. At 100 TB this is exactly a
-    reverse-image-search serving job over the published index.
 
-    Oracle: the same derivation from the shared image-hash CTE —
-    identical band rule (the fragment is asserted to match
-    _pair_cte's), integer Hamming, row_number with the same tie
-    order."""
+def _hamming_topk(
+    spark: SparkSession, sf_dir: str, spec: media_index.MediaIndexSpec
+) -> DataFrame:
+    """The spec-parameterized serving read path every modality's
+    *_hamming_topk query delegates to: both sides of the candidate
+    self-join read the PUBLISHED BUCKETED band table
+    (media_index.band_store — bucket-aligned, zero Exchange either
+    side), the exact-distance rerank reads the published hash store
+    (no kernel recompute), and the per-query top-K is a window over
+    the band-bounded candidate set."""
     from pyspark.sql import Window
 
-    from .round12_ops import IMAGE_SPEC
-
-    h = media_index.hash_store(spark, sf_dir, IMAGE_SPEC)
+    h = media_index.hash_store(spark, sf_dir, spec)
     if h.isEmpty():
         return spark.createDataFrame(
             [], "query_id long, rnk int, neighbor_id long, ham_d int"
         )
-    b = media_index.band_store(spark, sf_dir, IMAGE_SPEC)
+    b = media_index.band_store(spark, sf_dir, spec)
     cand = (
         b.alias("a")
         .join(b.alias("b"), ["band", "bval"])
@@ -308,6 +299,59 @@ def image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "ham_d")
         .orderBy("query_id", "rnk")
     )
+
+
+@query("image_hamming_topk", oracle=_hamming_topk_oracle(_img_hash_cte_default()))
+def image_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse image search — the READ path the published media index
+    serves (the maintenance queries are its write path): for every
+    image, the top-K (K = IMG_TOPK) nearest others by 64-bit Hamming
+    distance among its banded LSH candidates, deterministic ties by
+    neighbor id. This is ann_lsh_topk's shape for the media tier:
+    candidates come from the band table (share >= 1 exact 16-bit
+    band — never all-pairs), the exact distance reranks them.
+
+    Scale shape: BOTH sides of the candidate self-join read the
+    PUBLISHED BUCKETED band table (media_index.band_store), so the
+    join is bucket-aligned with ZERO Exchange on either side
+    (tests/test_round13b.py::test_topk_band_self_join_plans_without_
+    exchange); the hash lookups read the published hash store (no
+    kernel recompute); the per-query top-K is a window over the
+    band-bounded candidate set. At 100 TB this is exactly a
+    reverse-image-search serving job over the published index.
+
+    Oracle: the same derivation from the shared image-hash CTE —
+    identical band rule (the fragment is asserted to match
+    _pair_cte's), integer Hamming, row_number with the same tie
+    order."""
+    from .round12_ops import IMAGE_SPEC
+
+    return _hamming_topk(spark, sf_dir, IMAGE_SPEC)
+
+
+@query("audio_hamming_topk", oracle=_hamming_topk_oracle(_audio_hash_cte()))
+def audio_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse AUDIO search — the published audio index's serving
+    read path, completing 'one engine, four modalities' for serving
+    (not just maintenance): the engine seam (media_index.band_store +
+    hash_store) makes this a spec instantiation of the EXACT
+    zero-Exchange plan shape the driver-certified image_hamming_topk
+    runs — top-K nearest clips by 64-bit Hamming among banded LSH
+    candidates, deterministic ties. Oracle: the shared top-K
+    derivation over the audio fingerprint CTE (one SQL builder for
+    every modality's serving contract)."""
+    return _hamming_topk(spark, sf_dir, AUDIO_SPEC)
+
+
+@query("video_hamming_topk", oracle=_hamming_topk_oracle(_video_hash_cte()))
+def video_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse VIDEO search — the published video index's serving
+    read path (the newest modality gets the same zero-Exchange
+    bucket-aligned candidate join + store-read rerank as image and
+    audio; the XOR-fold clip fingerprints make whole-clip similarity
+    a 64-bit Hamming query). Oracle: the shared top-K derivation
+    over the video fingerprint CTE."""
+    return _hamming_topk(spark, sf_dir, VIDEO_SPEC)
 
 
 @query(

@@ -201,18 +201,25 @@ def test_topk_semantics_on_planted(spark, planted_dir):
     assert 5 not in by_query
 
 
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
 def test_topk_band_self_join_plans_without_exchange(
-    spark, planted_dir, tmp_path, monkeypatch
+    spark, planted_dir, tmp_path, monkeypatch, modality
 ):
-    """The read path's candidate generation self-joins the PUBLISHED
-    bucketed band table: with broadcast disabled, the join must plan
-    bucket-aligned with ZERO Exchange (both sides read the bucket
-    layout)."""
+    """The serving read path's candidate generation self-joins the
+    PUBLISHED bucketed band table: with broadcast disabled, the join
+    must plan bucket-aligned with ZERO Exchange (both sides read the
+    bucket layout) — for EVERY modality's spec, since
+    audio_hamming_topk / video_hamming_topk instantiate the same
+    _hamming_topk engine path as the image tier."""
     import re
 
     from programmers_data_spark.queries import round12_ops
 
-    spec = round12_ops.IMAGE_SPEC
+    spec = {
+        "image": round12_ops.IMAGE_SPEC,
+        "audio": media_lifecycle_ops.AUDIO_SPEC,
+        "video": media_lifecycle_ops.VIDEO_SPEC,
+    }[modality]
     _isolate(monkeypatch, tmp_path, spec)
     b = media_index.band_store(spark, planted_dir, spec)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -76,6 +76,9 @@ PYTHON_TIER = frozenset({
     "image_hamming_topk",  # reads the store the image kernel produces
     "audio_hamming_topk",  # reads the store the audio kernel produces
     "video_hamming_topk",  # reads the store the video kernel produces
+    "media_curation_report",  # composes the four published pair stores
+    #                           (text Arrow signature pass + media kernels
+    #                            pay once in the store producers)
     "image_neardup_clusters_incremental",  # store producer runs the
     #                                         image kernel + pair delta
     "crossmodal_quadmodal_consistency",  # composes the image + audio

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
     "programmers_data_spark.queries.media_lifecycle_ops",  # 8 (→254)
+    "programmers_data_spark.queries.round14_ops",  # 1 (→255)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation

@@ -69,28 +69,24 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
-# ROUND-14 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
-# below — the late-r13 registrations that could not take an r13 slot
-# without evicting r8-tail names (audio_neardup_incremental,
-# stream_audio_neardup_ingest, stream_video_neardup_ingest,
-# image_neardup_clusters_incremental, image_hamming_topk) — ahead
-# of any round-14 NEW registrations (group 2; never-driver-checked
-# outranks stale refreshes — the standing principle), then 2-3
-# round-13-green sentinels on whatever the r14 diff touches, then
-# the backlog: the COMPLETE 48-name r9 tier (starting, in
-# registration order: cross_source_dup_matrix, dup_span_mine,
-# cube_order_stats, running_revenue, asof_last_order, ... — derive
-# the full list from the records as always: names whose latest green
-# round is 9, in (module position, definition line) order), then
-# r10, r11, r12 names in (vintage, registration-order) order to fill
-# 50 — older tiers drained COMPLETELY before the next begins (the
-# bookkeeping test enforces the multi-tier oldest-first rule since
-# r11). Keep stream_tws_value_stats OUTSIDE the window (honestly
-# gated: google.protobuf absent, installs disallowed — semantics
+# ROUND-15 ROTATION PLAN: group 1 (leads) = any round-15 NEW
+# registrations (never-driver-checked outranks stale refreshes — the
+# standing principle; NEXT_WINDOW_LEADS below is EMPTY because every
+# late-r13 registration took its promised r14 slot), then 2-3
+# round-14-green sentinels on whatever the r15 diff touches, then
+# the backlog: the REMAINING 9-name r9 tail (in registration order:
+# idle_rich_customers, bulk_suppliers_for_parts, mau_approx_error,
+# jsonl_shard_roundtrip, lm_surprisal_bits, ccnet_perplexity_bands,
+# blocklist_doc_flags, length_bucket_batches, oov_rate_by_vocab —
+# derive from the records as always: names whose latest green round
+# is 9), then the r10 tier COMPLETELY before r11 begins, in
+# (vintage, registration-order) order to fill 50. Keep
+# stream_tws_value_stats OUTSIDE the window (honestly gated:
+# google.protobuf absent, installs disallowed — semantics
 # driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 14 in the same commit that rewrites the groups —
+# WINDOW_ROUND to 15 in the same commit that rewrites the groups —
 # the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -117,131 +113,108 @@ ROWS_ONLY = frozenset({
 })
 
 # The first 50 names get_queries() yields — i.e. the names the
-# driver verifies this round (round WINDOW_ROUND = 13; r10 VERDICT
+# driver verifies this round (round WINDOW_ROUND = 14; r10 VERDICT
 # ask #2). The window is the concatenation of four explicit groups
 # so the bookkeeping test can check each group's defining property
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# none remain (every r12 registration got its r12 row).
-_WINDOW_LEADS = ()
-
-# Group 2 — round-13 NEW registrations (never driver-checked): the
-# audio tier's cluster resolution and recall twin, the quadmodal
-# text x image x audio x video pair adjudication, the multimodal
-# curation funnel (curate_corpus with the media-dedup stage enabled),
-# the declared-vs-detected language confusion audit, the corpus
-# snapshot diff, the VIDEO tier (frame-sampled XOR-fold fingerprints
-# through the PNG codec + the shared banded pair/cluster machinery +
-# its recall twin — the fourth modality), and the video instantiation
-# of the shared maintenance engine. All eleven carry full oracles.
-_WINDOW_NEW = (
-    "audio_neardup_clusters",
-    # registered as the trimodal adjudication early in r13, absorbed
-    # the video flag (same query, fourth modality) when the video
-    # tier landed — still never driver-checked, so it keeps its
-    # new-registration slot under the new name
-    "crossmodal_quadmodal_consistency",
-    "multimodal_funnel_contract",
-    "audio_lsh_recall",
-    "lang_confusion_matrix",
-    "corpus_snapshot_diff",
-    "video_framehash",
-    "video_neardup_pairs",
-    "video_neardup_clusters",
-    "video_lsh_recall",
-    # late round 13: the shared media-maintenance engine
-    # (media_index.py) instantiated for video — certifies the
-    # published-store + bucketed-probe economics for the newest
-    # modality (its audio/streaming siblings queue in
-    # NEXT_WINDOW_LEADS below; the engine code path itself is ALSO
-    # driver-certified through the image sentinels, which delegate
-    # to it)
-    "video_neardup_incremental",
-)
-
-# Group 3 — r12-green sentinels sitting directly on the round-13
-# diff: image_neardup_incremental and stream_image_neardup_ingest now
-# probe the PUBLISHED BUCKETED band table (r12 VERDICT ask #2) instead
-# of re-deriving bands from the whole index, and
-# crossmodal_dup_consistency's shared hash table gained the
-# augmentation-offset guard + memoized corpus stats (r12 ADVICE) —
-# each driver row re-certifies the changed code path.
-_WINDOW_SENTINELS = (
-    "image_neardup_incremental",
-    "stream_image_neardup_ingest",
-    "crossmodal_dup_consistency",
-)
-
-# Group 4 — stale tiers oldest-first, in registration order: the
-# ENTIRE 36-name r8 tail (trimmed from the r12 window; latest green
-# driver row r8 — oldest vintage in the record). The r9 tier (48
-# names, starting cross_source_dup_matrix — its former 1-name prefix
-# here returned to the backlog when video_neardup_incremental took
-# the slot) follows the NEXT_WINDOW_LEADS in the r14 backlog (see
-# the ROUND-14 ROTATION PLAN above).
-_WINDOW_STALE = (
-    # r8 remainder — complete (36)
-    "bigram_stats",
-    "doc_lang_mix",
-    "knn_label_vote",
-    "adaptive_quality_gate",
-    "near_dup_rate_by_source",
-    "corpus_shuffle",
-    "skew_profile",
-    "stream_tumbling_daily",
-    "stream_sliding_2d",
-    "stream_dedup",
-    "sessionization",
-    "stream_session_window",
-    "stream_stateful_counts",
-    "stream_enrich_segment",
-    "stream_join_attribution",
-    "stream_corpus_quality",
-    "stream_vocab_drift",
-    "mau",
-    "corpus_mixture_weights",
-    "source_vocab_divergence",
-    "doc_line_dedup",
-    "customers_with_orders",
-    "customers_without_orders",
-    "rollup_revenue",
-    "returning_customers",
-    "churned_customers",
-    "ann_lsh_topk",
-    "embedding_neardup_lsh",
-    "contrastive_training_pairs",
-    "multimodal_png_roundtrip",
-    "ann_recall_at5",
-    "lsh_neardup_recall",
-    "split_neardup_leakage",
-    "dsir_importance_proxy",
-    "span_corruption_plan",
-    "tokenizer_fertility_by_source",
-)
-
-_WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
-
-# Never-driver-checked registrations that COULD NOT take a window
-# slot this round without evicting r8-tail names (the r12 VERDICT's
-# explicit "all 36 r8 names present" bar): they are queued here and
-# the ROUND-14 window MUST lead with them (group 1), ahead of any
-# r14 registrations and all stale refreshes. The bookkeeping test
-# asserts this tuple is EXACTLY the set of never-checked
-# registrations outside the window — a name can neither be forgotten
-# (not in window, not queued -> red) nor parked here while a slot
-# was free (queued but window lacks the r8 names it protects ->
-# the window arithmetic would show it). Each carries a full oracle,
-# is hash-checked by test_oracle_parity at sf0.01 in every suite
-# run, and runs the SAME engine code path (media_index.py) that the
-# in-window image sentinels and video_neardup_incremental certify.
-NEXT_WINDOW_LEADS = (
+# the five late-r13 registrations queued in r13's NEXT_WINDOW_LEADS
+# (the r13 VERDICT's explicit "the r14 window MUST lead with them"):
+# the audio/video instantiations of the engine's incremental and
+# streaming maintenance, incremental cluster maintenance, and the
+# serving read path. All five are oracle-certified in-suite and the
+# engine code they share is driver-green via the image sentinels.
+_WINDOW_LEADS = (
     "audio_neardup_incremental",
     "stream_audio_neardup_ingest",
     "stream_video_neardup_ingest",
     "image_neardup_clusters_incremental",
     "image_hamming_topk",
 )
+
+# Group 2 — round-14 NEW registrations (never driver-checked): the
+# audio/video serving read paths (the shared _hamming_topk engine
+# completing "one engine, four modalities" for serving, r13 VERDICT
+# ask #6) and the modality x provenance duplication report composed
+# from the four published pair stores (ask #8). All three carry full
+# oracles.
+_WINDOW_NEW = (
+    "audio_hamming_topk",
+    "video_hamming_topk",
+    "media_curation_report",
+)
+
+# Group 3 — r13-green sentinels sitting directly on the round-14
+# diff: multimodal_funnel_contract now composes the PUBLISHED media
+# pair stores (media_index.pair_store — r13 VERDICT ask #2) and runs
+# the fused-round two-phase component resolver;
+# video_neardup_incremental re-certifies the engine's
+# incremental_delta under the store-dir-aware memo keys (r13 ADVICE);
+# stream_image_neardup_ingest re-certifies streaming_ingest under the
+# same memo-key change plus the n_slices clamp.
+_WINDOW_SENTINELS = (
+    "multimodal_funnel_contract",
+    "video_neardup_incremental",
+    "stream_image_neardup_ingest",
+)
+
+# Group 4 — stale tiers oldest-first, in registration order: the
+# first 39 of the 48-name r9 tier (latest green driver row r9 — the
+# oldest vintage in the record after r13 drained the r8 tail). The
+# trimmed 9-name tail (idle_rich_customers onward) leads the r15
+# backlog per the ROUND-15 ROTATION PLAN above.
+_WINDOW_STALE = (
+    "cross_source_dup_matrix",
+    "dup_span_mine",
+    "cube_order_stats",
+    "running_revenue",
+    "asof_last_order",
+    "value_histogram",
+    "event_type_pivot",
+    "value_percentiles",
+    "post_purchase_clicks",
+    "acctbal_quartiles",
+    "grouping_sets_revenue",
+    "event_type_unpivot",
+    "salted_segment_revenue",
+    "cohort_retention",
+    "pricing_summary",
+    "region_revenue",
+    "top_customers",
+    "order_priority",
+    "top3_per_segment",
+    "nation_customer_stats",
+    "brand_revenue",
+    "daily_revenue",
+    "shipping_priority",
+    "promo_revenue_share",
+    "nation_trade_volume",
+    "returned_item_customers",
+    "order_count_distribution",
+    "top_supplier",
+    "large_orders",
+    "discounted_revenue",
+    "forecast_revenue_change",
+    "market_share",
+    "product_type_profit",
+    "cheapest_supplier_per_part",
+    "supplier_value_share",
+    "priority_line_counts",
+    "supplier_cnt_by_part",
+    "small_qty_revenue",
+    "waiting_suppliers",
+)
+
+_WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
+
+# Never-driver-checked registrations that could not take a window
+# slot without evicting protected stale names queue here, and the
+# NEXT round's window MUST lead with them (the bookkeeping test
+# asserts this tuple is EXACTLY the never-checked set outside the
+# window). EMPTY this round: all five r13 leads took their promised
+# r14 slots and every r14 registration is in-window.
+NEXT_WINDOW_LEADS: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

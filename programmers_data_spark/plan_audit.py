@@ -77,6 +77,8 @@ PYTHON_TIER = frozenset({
     "audio_hamming_topk",  # reads the store the audio kernel produces
     "video_hamming_topk",  # reads the store the video kernel produces
     "media_curation_report",  # composes the four published pair stores
+    "split_media_leakage",  # same four published pair stores
+    "eval_contamination_audit",  # same four published pair stores
     #                           (text Arrow signature pass + media kernels
     #                            pay once in the store producers)
     "image_neardup_clusters_incremental",  # store producer runs the

@@ -1,8 +1,15 @@
 """Round-14 operators: the multimodal curation REPORT layer — the
-roll-up a 100 TB multimodal crawl operator actually reads (r13
+roll-ups a 100 TB multimodal crawl operator actually reads (r13
 VERDICT ask #8), composed entirely from the PUBLISHED dedup
 artifacts (text verified_pair_store + the three media pair stores),
-never re-deriving a pair set.
+never re-deriving a pair set:
+
+- ``media_curation_report`` — modality x provenance duplication grid
+- ``split_media_leakage`` — the train/val near-dup leakage gate per
+  modality (split_neardup_leakage generalized to all four tiers)
+- ``eval_contamination_audit`` — benchmark-decontamination report:
+  training docs near-dup (any modality) with a held-out eval set,
+  rolled up per source
 
 Reference anchor: the reference (HyeM207/Programmers-DATA) has no
 media pipeline; this tier is north-star training-data-pipeline scope
@@ -169,4 +176,271 @@ def media_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_pct"),
         )
         .orderBy("modality", "source")
+    )
+
+
+# Augmented mutation twins (dedup-tier scaffolding, ids >= 1e6)
+# carry no split assignment — the split_neardup_leakage exclusion.
+_AUG_ID_BASE = 1_000_000
+
+# The synthetic held-out eval set for the contamination audit: every
+# doc whose id is ≡ 0 mod this. 97 is coprime to every residue system
+# the fixtures use (doc_id % 3 arrival batches, scene moduli), so the
+# eval set cuts across sources, scenes, and splits.
+EVAL_SET_MOD = 97
+
+
+def _split_leakage_oracle() -> str:
+    """All four modalities' registered pair semantics x the registered
+    content-hash split, rolled to per-modality leak counts over the
+    full 4-row grid."""
+    return f"""
+    WITH {_img_hash_cte(prefix="i_")},
+    {_pair_cte("i_")},
+    {_audio_hash_cte(prefix="a_")},
+    {_pair_cte("a_")},
+    {_video_hash_cte(prefix="v_")},
+    {_pair_cte("v_")},
+    tp AS ({ORACLE["dedup_minhash"]}),
+    sp AS ({ORACLE["train_val_split"]}),
+    pairs AS (
+      SELECT 'text' AS modality, doc_a, doc_b FROM tp
+      WHERE doc_a < {_AUG_ID_BASE} AND doc_b < {_AUG_ID_BASE}
+      UNION ALL SELECT 'image', media_a, media_b FROM i_pairs
+      UNION ALL SELECT 'audio', media_a, media_b FROM a_pairs
+      UNION ALL SELECT 'video', media_a, media_b FROM v_pairs
+    ),
+    j AS (
+      SELECT p.modality, sa.split != sb.split AS leaks
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.doc_a
+      JOIN sp sb ON sb.doc_id = p.doc_b
+    ),
+    m AS (
+      SELECT modality, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN leaks THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaks
+      FROM j GROUP BY modality
+    )
+    SELECT g.modality,
+           CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(m.n_leaks, 0) AS BIGINT) AS n_leaks,
+           CAST(CASE WHEN coalesce(m.n_pairs, 0) = 0 THEN 0
+                ELSE m.n_leaks * 100 // m.n_pairs END AS BIGINT)
+             AS leak_pct
+    FROM (SELECT unnest(['text','image','audio','video']) AS modality) g
+    LEFT JOIN m ON m.modality = g.modality
+    ORDER BY g.modality
+    """
+
+
+@query("split_media_leakage", oracle=_split_leakage_oracle())
+def split_media_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/val near-dup leakage gate for ALL FOUR dedup
+    modalities — split_neardup_leakage (text, pair-level) generalized
+    to the roll-up a pretraining pipeline actually gates on: per
+    modality, how many verified near-dup pairs exist and how many
+    cross the train/val boundary (a val document that near-dups a
+    train document leaks eval signal even when no byte-identical copy
+    crossed the split — and a re-encoded image/audio/video copy is
+    exactly such a leak in its modality). Full 4-row grid with exact
+    integer percentages; a nonzero leak_pct is the signal to re-split
+    by near-dup CLUSTER instead of by document.
+
+    Composes only published artifacts (the four pair stores) plus the
+    map-only registered split projection; two doc_id equi-joins AQE
+    can broadcast; the roll-up is a 4-row aggregate. Text pairs keep
+    the documented augmented-twin exclusion (ids >= 1e6 carry no
+    split assignment); media pairs are base-corpus by construction.
+
+    Oracle: every modality's registered pair SQL + the registered
+    train_val_split SQL recomposed verbatim — drift in any pair
+    tier, the split rule, or the zero-fill breaks the hash."""
+    from .. import media_index
+    from .dedup_ops import verified_pair_store
+    from .media_lifecycle_ops import AUDIO_SPEC, VIDEO_SPEC
+    from .round12_ops import IMAGE_SPEC
+    from .sampling_ops import train_val_split
+
+    tp = verified_pair_store(spark, sf_dir).filter(
+        (F.col("doc_a") < _AUG_ID_BASE) & (F.col("doc_b") < _AUG_ID_BASE)
+    )
+    pairs = tp.select(
+        F.lit("text").alias("modality"), "doc_a", "doc_b"
+    )
+    for mod, spec in (
+        ("image", IMAGE_SPEC), ("audio", AUDIO_SPEC), ("video", VIDEO_SPEC)
+    ):
+        pairs = pairs.unionByName(
+            media_index.pair_store(spark, sf_dir, spec).select(
+                F.lit(mod).alias("modality"),
+                F.col("media_a").alias("doc_a"),
+                F.col("media_b").alias("doc_b"),
+            )
+        )
+    sp = train_val_split(spark, sf_dir)
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a")), "doc_a"
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b")), "doc_b"
+        )
+        .select(
+            "modality",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+    )
+    m = j.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("leaks"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaks"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in ("text", "image", "audio", "video")])
+        ).alias("modality")
+    )
+    return (
+        grid.join(m, "modality", "left")
+        .select(
+            "modality",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_leaks", F.lit(0)).cast("long").alias("n_leaks"),
+            F.when(F.coalesce("n_pairs", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("n_leaks * 100 div n_pairs"))
+            .cast("long")
+            .alias("leak_pct"),
+        )
+        .orderBy("modality")
+    )
+
+
+def _contamination_oracle() -> str:
+    """Contaminated = a non-eval doc near-dup (ANY modality) with an
+    eval doc; rolled per source over the non-eval corpus."""
+    return f"""
+    WITH {_img_hash_cte(prefix="i_")},
+    {_pair_cte("i_")},
+    {_audio_hash_cte(prefix="a_")},
+    {_pair_cte("a_")},
+    {_video_hash_cte(prefix="v_")},
+    {_pair_cte("v_")},
+    tp AS ({ORACLE["dedup_minhash"]}),
+    pairs AS (
+      SELECT doc_a % {_AUG_ID_BASE} AS doc_a,
+             doc_b % {_AUG_ID_BASE} AS doc_b FROM tp
+      UNION ALL SELECT media_a, media_b FROM i_pairs
+      UNION ALL SELECT media_a, media_b FROM a_pairs
+      UNION ALL SELECT media_a, media_b FROM v_pairs
+    ),
+    contaminated AS (
+      SELECT DISTINCT t AS doc_id FROM (
+        SELECT doc_a AS t, doc_b AS e FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      )
+      WHERE t % {EVAL_SET_MOD} != 0 AND e % {EVAL_SET_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % {EVAL_SET_MOD} != 0
+    ),
+    counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+      FROM train GROUP BY source
+    ),
+    cells AS (
+      SELECT t.source, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM train t JOIN contaminated c ON c.doc_id = t.doc_id
+      GROUP BY t.source
+    )
+    SELECT k.source, k.n_train_docs,
+           CAST(coalesce(c.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           CAST(coalesce(c.n_contaminated, 0) * 100 // k.n_train_docs
+             AS BIGINT) AS contam_pct
+    FROM counts k LEFT JOIN cells c ON c.source = k.source
+    ORDER BY k.source
+    """
+
+
+@query("eval_contamination_audit", oracle=_contamination_oracle())
+def eval_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the audit every serious pretraining
+    pipeline runs before training: which TRAINING documents are
+    near-duplicates (in ANY modality) of a held-out EVAL document, so
+    reported benchmark numbers measure generalization rather than
+    memorization. The eval set here is the synthetic held-out slice
+    doc_id ≡ 0 mod EVAL_SET_MOD (97); contaminated = a non-eval doc
+    sharing a verified near-dup pair with an eval doc, rolled up per
+    source as a count and an exact integer percentage of that
+    source's training docs (the table that decides which scrape gets
+    scrubbed). At 100 TB the eval slice is the real benchmark suite
+    and the pair sets are the same published stores.
+
+    Composes only published artifacts (text verified_pair_store with
+    augmented ids canonicalized % 1e6, plus the three media pair
+    stores); membership is a distinct over bounded pair sets; the
+    source roll-up joins the doc->source dimension once.
+
+    Oracle: all four registered pair fragments recomposed verbatim
+    over the same eval-residue rule."""
+    from .. import media_index
+    from .dedup_ops import verified_pair_store
+    from .media_lifecycle_ops import AUDIO_SPEC, VIDEO_SPEC
+    from .round12_ops import IMAGE_SPEC
+
+    tp = verified_pair_store(spark, sf_dir).select(
+        (F.col("doc_a") % _AUG_ID_BASE).alias("doc_a"),
+        (F.col("doc_b") % _AUG_ID_BASE).alias("doc_b"),
+    )
+    pairs = tp
+    for spec in (IMAGE_SPEC, AUDIO_SPEC, VIDEO_SPEC):
+        pairs = pairs.unionByName(
+            media_index.pair_store(spark, sf_dir, spec).select(
+                F.col("media_a").alias("doc_a"),
+                F.col("media_b").alias("doc_b"),
+            )
+        )
+    directed = pairs.select(
+        F.col("doc_a").alias("t"), F.col("doc_b").alias("e")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("t"), F.col("doc_a").alias("e"))
+    )
+    contaminated = (
+        directed.filter(
+            (F.col("t") % EVAL_SET_MOD != 0) & (F.col("e") % EVAL_SET_MOD == 0)
+        )
+        .select(F.col("t").alias("doc_id"))
+        .distinct()
+    )
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .select("doc_id", "source")
+    )
+    counts = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs")
+    )
+    cells = (
+        train.join(contaminated, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    return (
+        counts.join(cells, "source", "left")
+        .select(
+            "source",
+            "n_train_docs",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr("coalesce(n_contaminated, 0) * 100 div n_train_docs")
+            .cast("long")
+            .alias("contam_pct"),
+        )
+        .orderBy("source")
     )

@@ -58,7 +58,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
     "programmers_data_spark.queries.media_lifecycle_ops",  # 8 (→254)
-    "programmers_data_spark.queries.round14_ops",  # 1 (→255)
+    "programmers_data_spark.queries.round14_ops",  # 3 (→257)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -71,10 +71,11 @@ _QUERY_MODULES = (
 # state and self-expired the moment CORRECTNESS_r09.json landed).
 WINDOW_ROUND = 14
 
-# ROUND-15 ROTATION PLAN: group 1 (leads) = any round-15 NEW
-# registrations (never-driver-checked outranks stale refreshes — the
-# standing principle; NEXT_WINDOW_LEADS below is EMPTY because every
-# late-r13 registration took its promised r14 slot), then 2-3
+# ROUND-15 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
+# below (split_media_leakage, eval_contamination_audit — the late
+# r14 registrations that landed after the window filled), ahead of
+# any round-15 NEW registrations (group 2; never-driver-checked
+# outranks stale refreshes — the standing principle), then 2-3
 # round-14-green sentinels on whatever the r15 diff touches, then
 # the backlog: the REMAINING 9-name r9 tail (in registration order:
 # idle_rich_customers, bulk_suppliers_for_parts, mau_approx_error,
@@ -212,9 +213,14 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). EMPTY this round: all five r13 leads took their promised
-# r14 slots and every r14 registration is in-window.
-NEXT_WINDOW_LEADS: tuple[str, ...] = ()
+# window). The two LATE round-14 registrations below landed after
+# the r14 window filled (its 39-name r9 prefix is the promised
+# drain); both are oracle-certified in-suite and compose ONLY the
+# published pair stores the in-window report/funnel certify.
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "split_media_leakage",
+    "eval_contamination_audit",
+)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

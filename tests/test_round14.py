@@ -8,6 +8,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
 from programmers_data_spark import registry  # noqa: E402
 from programmers_data_spark.testing import compare_to_oracle  # noqa: E402
 from tests.conftest import SF_ORACLE as SF_DIR  # noqa: E402
@@ -37,3 +38,43 @@ def test_report_oracle_parity(spark):
         SF_DIR,
     )
     assert res.ok, res
+
+
+def test_split_leakage_grid_and_bounds(spark):
+    """All four modality rows present; leak counts bounded by pair
+    counts; exact integer percentages (zero-guarded)."""
+    rows = registry.QUERIES["split_media_leakage"](spark, SF_DIR).collect()
+    assert [r.modality for r in rows] == ["audio", "image", "text", "video"]
+    for r in rows:
+        assert 0 <= r.n_leaks <= r.n_pairs
+        expect = 0 if r.n_pairs == 0 else r.n_leaks * 100 // r.n_pairs
+        assert r.leak_pct == expect
+
+
+def test_contamination_excludes_eval_docs(spark):
+    """Contaminated counts only ever cover TRAINING docs (the eval
+    slice itself is never reported as contaminated), and the per-
+    source totals partition the non-eval corpus."""
+    from programmers_data_spark.catalog import load_table
+    from programmers_data_spark.queries.round14_ops import EVAL_SET_MOD
+
+    rows = registry.QUERIES["eval_contamination_audit"](
+        spark, SF_DIR
+    ).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_train = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0).count()
+    assert sum(r.n_train_docs for r in rows) == n_train
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train_docs
+        assert r.contam_pct == r.n_contaminated * 100 // r.n_train_docs
+
+
+def test_new_report_oracle_parity(spark):
+    for name in ("split_media_leakage", "eval_contamination_audit"):
+        res = compare_to_oracle(
+            name,
+            registry.QUERIES[name](spark, SF_DIR),
+            registry.ORACLE[name],
+            SF_DIR,
+        )
+        assert res.ok, res

@@ -79,6 +79,7 @@ PYTHON_TIER = frozenset({
     "media_curation_report",  # composes the four published pair stores
     "split_media_leakage",  # same four published pair stores
     "eval_contamination_audit",  # same four published pair stores
+    "dedup_threshold_sweep",  # same four published pair stores
     #                           (text Arrow signature pass + media kernels
     #                            pay once in the store producers)
     "image_neardup_clusters_incremental",  # store producer runs the
@@ -97,6 +98,9 @@ PYTHON_TIER = frozenset({
 # ground-truth twin for an LSH path.
 BOUNDED_CARTESIAN = frozenset({
     "adaptive_quality_gate",   # 1-row p25 threshold broadcast
+    "dedup_threshold_sweep",   # <= 5-row literal threshold grids
+    #                            (the ivf_probe_sweep posture) joined
+    #                            non-equi against bounded pair stores
     "ann_recall_at5",          # bounded query set crossJoin (via ANN)
     "bpe_contract",            # crossJoins two 1-row corpus aggregates
     "ivf_recall_at5",          # same, via ivf_topk

@@ -444,3 +444,139 @@ def eval_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Threshold grids for the tuning sweeps: Jaccard cut points in exact
+# basis points (the store's jaccard is floor(j*1e4+0.5)/1e4, so a
+# >= comparison against these literals is float-exact on both
+# engines), and Hamming radii up to the live verify threshold (the
+# published pair stores hold every pair with ham_d <= HAM_T, so the
+# sweep is exact BY CONSTRUCTION up to that radius — beyond it the
+# banded candidate generation no longer guarantees recall, which is
+# exactly why the sweep stops there).
+TEXT_SWEEP_BPS = (5000, 6000, 7000, 8000, 9000)
+HAM_SWEEP = (0, 2, 4, 6, 8)
+
+
+def _dedup_threshold_oracle() -> str:
+    from .round12_ops import HAM_T
+
+    assert max(HAM_SWEEP) <= HAM_T  # sweep stays inside the verify radius
+    text_rows = " UNION ALL ".join(
+        f"SELECT {bp} AS threshold_bps" for bp in TEXT_SWEEP_BPS
+    )
+    ham_rows = " UNION ALL ".join(
+        f"SELECT {t} AS max_ham" for t in HAM_SWEEP
+    )
+    return f"""
+    WITH {_img_hash_cte(prefix="i_")},
+    {_pair_cte("i_")},
+    {_audio_hash_cte(prefix="a_")},
+    {_pair_cte("a_")},
+    {_video_hash_cte(prefix="v_")},
+    {_pair_cte("v_")},
+    tp AS ({ORACLE["dedup_minhash"]}),
+    tgrid AS ({text_rows}),
+    hgrid AS ({ham_rows}),
+    t_cells AS (
+      SELECT 'text' AS modality, g.threshold_bps AS threshold,
+             CAST(count(p.doc_a) AS BIGINT) AS n_pairs
+      FROM tgrid g LEFT JOIN tp p
+        ON p.jaccard >= g.threshold_bps / 10000.0
+      GROUP BY g.threshold_bps
+    ),
+    m_pairs AS (
+      SELECT 'audio' AS modality, ham_d FROM a_pairs
+      UNION ALL SELECT 'image', ham_d FROM i_pairs
+      UNION ALL SELECT 'video', ham_d FROM v_pairs
+    ),
+    m_cells AS (
+      SELECT m.modality, g.max_ham AS threshold,
+             CAST(count(p.ham_d) AS BIGINT) AS n_pairs
+      FROM (SELECT unnest(['audio','image','video']) AS modality) m
+      CROSS JOIN hgrid g
+      LEFT JOIN m_pairs p
+        ON p.modality = m.modality AND p.ham_d <= g.max_ham
+      GROUP BY m.modality, g.max_ham
+    )
+    SELECT modality, CAST(threshold AS BIGINT) AS threshold, n_pairs
+    FROM (SELECT * FROM t_cells UNION ALL SELECT * FROM m_cells)
+    ORDER BY modality, threshold
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_dedup_threshold_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-tier analogue of ivf_probe_sweep: the threshold
+    tuning curve an operator reads before committing a dedup config —
+    for text, verified near-dup pair counts at Jaccard cut points
+    (basis points 5000..9000, float-exact on the store's rounded
+    jaccard); for each media modality, pair counts at Hamming radii
+    0..HAM_T. A cliff in the curve marks the natural dup/distinct
+    separation; a flat curve says the threshold is not doing the
+    work. The sweep stops at the live verify radius because that is
+    the exact-recall region the banded candidates guarantee — sweep
+    rows beyond it would silently undercount, so they are not
+    offered.
+
+    Composes ONLY the published pair stores (the stores carry
+    jaccard / ham_d per pair, so every sweep row is a filter + count
+    over bounded published parquet — no re-hashing, no re-banding).
+    The per-threshold grid is a literal <= 5-row frame joined
+    non-equi against the bounded pair sets, grouped — never anything
+    corpus-sized on the build side.
+
+    Oracle: the four registered pair fragments recomposed verbatim
+    against the same literal grids."""
+    from .. import media_index
+    from .dedup_ops import verified_pair_store
+    from .media_lifecycle_ops import AUDIO_SPEC, VIDEO_SPEC
+    from .round12_ops import HAM_T, IMAGE_SPEC
+
+    assert max(HAM_SWEEP) <= HAM_T
+    tp = verified_pair_store(spark, sf_dir).select("jaccard")
+    tgrid = spark.createDataFrame(
+        [(bp,) for bp in TEXT_SWEEP_BPS], "threshold_bps long"
+    )
+    t_cells = (
+        tgrid.join(
+            tp, tp["jaccard"] >= tgrid["threshold_bps"] / F.lit(10000.0),
+            "left",
+        )
+        .groupBy("threshold_bps")
+        .agg(F.count("jaccard").cast("long").alias("n_pairs"))
+        .select(
+            F.lit("text").alias("modality"),
+            F.col("threshold_bps").cast("long").alias("threshold"),
+            "n_pairs",
+        )
+    )
+    m_pairs = None
+    for mod, spec in (
+        ("audio", AUDIO_SPEC), ("image", IMAGE_SPEC), ("video", VIDEO_SPEC)
+    ):
+        part = media_index.pair_store(spark, sf_dir, spec).select(
+            F.lit(mod).alias("modality"), "ham_d"
+        )
+        m_pairs = part if m_pairs is None else m_pairs.unionByName(part)
+    hgrid = spark.createDataFrame([(t,) for t in HAM_SWEEP], "max_ham long")
+    mods = spark.createDataFrame(
+        [("audio",), ("image",), ("video",)], "modality string"
+    )
+    m_cells = (
+        mods.crossJoin(hgrid)  # bounded 3x5 literal grid
+        .join(
+            m_pairs,
+            (mods["modality"] == m_pairs["modality"])
+            & (m_pairs["ham_d"] <= hgrid["max_ham"]),
+            "left",
+        )
+        .groupBy(mods["modality"], "max_ham")
+        .agg(F.count("ham_d").cast("long").alias("n_pairs"))
+        .select(
+            mods["modality"],
+            F.col("max_ham").cast("long").alias("threshold"),
+            "n_pairs",
+        )
+    )
+    return t_cells.unionByName(m_cells).orderBy("modality", "threshold")

@@ -58,7 +58,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
     "programmers_data_spark.queries.media_lifecycle_ops",  # 8 (→254)
-    "programmers_data_spark.queries.round14_ops",  # 3 (→257)
+    "programmers_data_spark.queries.round14_ops",  # 4 (→258)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -72,7 +72,8 @@ _QUERY_MODULES = (
 WINDOW_ROUND = 14
 
 # ROUND-15 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
-# below (split_media_leakage, eval_contamination_audit — the late
+# below (split_media_leakage, eval_contamination_audit,
+# dedup_threshold_sweep — the late
 # r14 registrations that landed after the window filled), ahead of
 # any round-15 NEW registrations (group 2; never-driver-checked
 # outranks stale refreshes — the standing principle), then 2-3
@@ -220,6 +221,7 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 NEXT_WINDOW_LEADS: tuple[str, ...] = (
     "split_media_leakage",
     "eval_contamination_audit",
+    "dedup_threshold_sweep",
 )
 
 

@@ -78,3 +78,24 @@ def test_new_report_oracle_parity(spark):
             SF_DIR,
         )
         assert res.ok, res
+
+
+def test_threshold_sweep_is_monotone_and_anchored(spark):
+    """Pair counts are monotone non-decreasing in the threshold
+    direction that admits more pairs, and the loosest row equals the
+    store's full pair count per modality."""
+    rows = registry.QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect()
+    by_mod: dict = {}
+    for r in rows:
+        by_mod.setdefault(r.modality, []).append((r.threshold, r.n_pairs))
+    assert set(by_mod) == {"text", "audio", "image", "video"}
+    for mod, cells in by_mod.items():
+        cells.sort()
+        counts = [n for _, n in cells]
+        if mod == "text":
+            # tighter jaccard admits FEWER pairs
+            assert counts == sorted(counts, reverse=True), (mod, cells)
+        else:
+            # larger hamming radius admits MORE pairs
+            assert counts == sorted(counts), (mod, cells)
+        assert len(cells) == 5

@@ -535,8 +535,14 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert max(HAM_SWEEP) <= HAM_T
     tp = verified_pair_store(spark, sf_dir).select("jaccard")
-    tgrid = spark.createDataFrame(
-        [(bp,) for bp in TEXT_SWEEP_BPS], "threshold_bps long"
+    # literal grids as SINGLE-PARTITION explodes (a createDataFrame
+    # literal spreads over defaultParallelism partitions, and the
+    # 3x5 grid cartesian then scheduled ~32x32 tasks — measured 11s
+    # of pure task scheduling for 15 rows)
+    tgrid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(b) for b in TEXT_SWEEP_BPS])
+        ).alias("threshold_bps")
     )
     t_cells = (
         tgrid.join(
@@ -556,25 +562,28 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("audio", AUDIO_SPEC), ("image", IMAGE_SPEC), ("video", VIDEO_SPEC)
     ):
         part = media_index.pair_store(spark, sf_dir, spec).select(
-            F.lit(mod).alias("modality"), "ham_d"
+            F.lit(mod).alias("pmod"), "ham_d"
         )
         m_pairs = part if m_pairs is None else m_pairs.unionByName(part)
-    hgrid = spark.createDataFrame([(t,) for t in HAM_SWEEP], "max_ham long")
-    mods = spark.createDataFrame(
-        [("audio",), ("image",), ("video",)], "modality string"
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(m) for m in ("audio", "image", "video")])
+        ).alias("modality")
+    ).select(
+        "modality",
+        F.explode(F.array(*[F.lit(t) for t in HAM_SWEEP])).alias("max_ham"),
     )
     m_cells = (
-        mods.crossJoin(hgrid)  # bounded 3x5 literal grid
-        .join(
+        grid.join(
             m_pairs,
-            (mods["modality"] == m_pairs["modality"])
-            & (m_pairs["ham_d"] <= hgrid["max_ham"]),
+            (grid["modality"] == m_pairs["pmod"])
+            & (m_pairs["ham_d"] <= grid["max_ham"]),
             "left",
         )
-        .groupBy(mods["modality"], "max_ham")
+        .groupBy("modality", "max_ham")
         .agg(F.count("ham_d").cast("long").alias("n_pairs"))
         .select(
-            mods["modality"],
+            "modality",
             F.col("max_ham").cast("long").alias("threshold"),
             "n_pairs",
         )

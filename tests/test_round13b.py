@@ -283,3 +283,43 @@ def test_image_spec_preserves_round12_identities(planted_dir):
     # the content-address embeds the LIVE constants via algo_fp
     assert f"{round12_ops.SCENE_MIN}" in spec.algo_fp
     assert f"{round12_ops.IMG_W}x{round12_ops.IMG_H}" in spec.algo_fp
+
+
+def test_pair_store_publishes_once_then_reads(
+    spark, planted_dir, tmp_path, monkeypatch
+):
+    """The pair store (the index's fourth published artifact) pays
+    its build exactly once per corpus version: the first call
+    publishes a generation, later calls — even across cleared memos —
+    read it back without writing a new one, and the published content
+    equals the inline _pairs_from derivation exactly."""
+    import glob as _glob
+
+    from programmers_data_spark.queries import round12_ops
+
+    spec = round12_ops.IMAGE_SPEC
+    _isolate(monkeypatch, tmp_path, spec)
+    media_index._PAIR_STORE_CACHE.clear()
+
+    first = media_index.pair_store(spark, planted_dir, spec)
+    rows1 = [(r.media_a, r.media_b, r.ham_d)
+             for r in first.orderBy("media_a", "media_b").collect()]
+    assert rows1, "planted corpus must have near-dup pairs"
+    pair_dirs = _glob.glob(str(tmp_path / "*" / "image_pairs" / "gen-*"))
+    assert len(pair_dirs) == 1, pair_dirs
+
+    media_index._PAIR_STORE_CACHE.clear()
+    again = media_index.pair_store(spark, planted_dir, spec)
+    rows2 = [(r.media_a, r.media_b, r.ham_d)
+             for r in again.orderBy("media_a", "media_b").collect()]
+    assert rows2 == rows1
+    pair_dirs2 = _glob.glob(str(tmp_path / "*" / "image_pairs" / "gen-*"))
+    assert pair_dirs2 == pair_dirs, "re-read must not publish again"
+
+    inline = round12_ops._pairs_from(
+        media_index.hash_store(spark, planted_dir, spec)
+    )
+    rows_inline = sorted(
+        (r.media_a, r.media_b, r.ham_d) for r in inline.collect()
+    )
+    assert rows_inline == rows1

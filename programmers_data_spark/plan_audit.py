@@ -98,9 +98,6 @@ PYTHON_TIER = frozenset({
 # ground-truth twin for an LSH path.
 BOUNDED_CARTESIAN = frozenset({
     "adaptive_quality_gate",   # 1-row p25 threshold broadcast
-    "dedup_threshold_sweep",   # <= 5-row literal threshold grids
-    #                            (the ivf_probe_sweep posture) joined
-    #                            non-equi against bounded pair stores
     "ann_recall_at5",          # bounded query set crossJoin (via ANN)
     "bpe_contract",            # crossJoins two 1-row corpus aggregates
     "ivf_recall_at5",          # same, via ivf_topk

@@ -522,9 +522,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes ONLY the published pair stores (the stores carry
     jaccard / ham_d per pair, so every sweep row is a filter + count
     over bounded published parquet — no re-hashing, no re-banding).
-    The per-threshold grid is a literal <= 5-row frame joined
-    non-equi against the bounded pair sets, grouped — never anything
-    corpus-sized on the build side.
+    No join carries the pair data: each pair row explodes the <= 5
+    literal thresholds it is tested against and feeds one groupBy
+    (linear in the store, map-side combinable); the literal grids
+    only zero-fill the output through an equi left join — nothing
+    corpus-sized is ever built or broadcast.
 
     Oracle: the four registered pair fragments recomposed verbatim
     against the same literal grids."""
@@ -535,57 +537,50 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert max(HAM_SWEEP) <= HAM_T
     tp = verified_pair_store(spark, sf_dir).select("jaccard")
-    # literal grids as SINGLE-PARTITION explodes (a createDataFrame
-    # literal spreads over defaultParallelism partitions, and the
-    # 3x5 grid cartesian then scheduled ~32x32 tasks — measured 11s
-    # of pure task scheduling for 15 rows)
-    tgrid = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(b) for b in TEXT_SWEEP_BPS])
-        ).alias("threshold_bps")
+    # Scale posture: NO join carries the pair data — each pair row
+    # explodes the <= 5-element literal threshold array, filters, and
+    # feeds one groupBy (linear in the bounded pair store, no
+    # broadcast of data). The literal grids live in single-partition
+    # frames (spark.range(1) + explode — a createDataFrame literal
+    # spreads over defaultParallelism partitions and an early version
+    # scheduled ~1024 tasks for the 15-cell grid) and only zero-fill
+    # the output via an equi left join.
+    t_arr = F.array(*[F.lit(int(b)) for b in TEXT_SWEEP_BPS])
+    t_counts = (
+        tp.select(F.explode(t_arr).alias("threshold"), "jaccard")
+        .filter(F.col("jaccard") >= F.col("threshold") / F.lit(10000.0))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    t_cells = (
-        tgrid.join(
-            tp, tp["jaccard"] >= tgrid["threshold_bps"] / F.lit(10000.0),
-            "left",
-        )
-        .groupBy("threshold_bps")
-        .agg(F.count("jaccard").cast("long").alias("n_pairs"))
-        .select(
-            F.lit("text").alias("modality"),
-            F.col("threshold_bps").cast("long").alias("threshold"),
-            "n_pairs",
-        )
+    tgrid = spark.range(1).select(F.explode(t_arr).alias("threshold"))
+    t_cells = tgrid.join(t_counts, "threshold", "left").select(
+        F.lit("text").alias("modality"),
+        F.col("threshold").cast("long"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_pairs"),
     )
     m_pairs = None
     for mod, spec in (
         ("audio", AUDIO_SPEC), ("image", IMAGE_SPEC), ("video", VIDEO_SPEC)
     ):
         part = media_index.pair_store(spark, sf_dir, spec).select(
-            F.lit(mod).alias("pmod"), "ham_d"
+            F.lit(mod).alias("modality"), "ham_d"
         )
         m_pairs = part if m_pairs is None else m_pairs.unionByName(part)
-    grid = spark.range(1).select(
+    h_arr = F.array(*[F.lit(int(t)) for t in HAM_SWEEP])
+    m_counts = (
+        m_pairs.select("modality", F.explode(h_arr).alias("threshold"), "ham_d")
+        .filter(F.col("ham_d") <= F.col("threshold"))
+        .groupBy("modality", "threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    mgrid = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(m) for m in ("audio", "image", "video")])
         ).alias("modality")
-    ).select(
+    ).select("modality", F.explode(h_arr).alias("threshold"))
+    m_cells = mgrid.join(m_counts, ["modality", "threshold"], "left").select(
         "modality",
-        F.explode(F.array(*[F.lit(t) for t in HAM_SWEEP])).alias("max_ham"),
-    )
-    m_cells = (
-        grid.join(
-            m_pairs,
-            (grid["modality"] == m_pairs["pmod"])
-            & (m_pairs["ham_d"] <= grid["max_ham"]),
-            "left",
-        )
-        .groupBy("modality", "max_ham")
-        .agg(F.count("ham_d").cast("long").alias("n_pairs"))
-        .select(
-            "modality",
-            F.col("max_ham").cast("long").alias("threshold"),
-            "n_pairs",
-        )
+        F.col("threshold").cast("long"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_pairs"),
     )
     return t_cells.unionByName(m_cells).orderBy("modality", "threshold")

@@ -90,17 +90,18 @@ class MediaIndexSpec:
         return self.ingest_prefix or f"{self.name}ingest_"
 
 
-# Memoized per (applicationId, sf_dir, spec.name, resolved store
-# table dir) — the last element makes a mid-session
+# Memoized per _memo_key: (applicationId, sf_dir, spec.name,
+# resolved store table dir) — the last element makes a mid-session
 # SPARK_GRAFT_*_STORE change naturally miss the cache instead of
 # serving the previously published artifact (r13 ADVICE #2). The
 # image tier's round-12 module-level caches alias these dicts so
 # existing tests' .clear() calls (and bench._reset's package-wide
 # *_CACHE sweep) reach them unchanged.
-_HASH_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_BAND_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_INCR_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_INGEST_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_MemoKey = tuple[str, str, str, str]
+_HASH_STORE_CACHE: dict[_MemoKey, DataFrame] = {}
+_BAND_STORE_CACHE: dict[_MemoKey, DataFrame] = {}
+_INCR_INDEX_CACHE: dict[_MemoKey, DataFrame] = {}
+_INGEST_CACHE: dict[_MemoKey, DataFrame] = {}
 
 
 def store_table_dir(spec: MediaIndexSpec, sf_dir: str) -> str:
@@ -219,8 +220,8 @@ def band_store(
     return table
 
 
-_CLUSTER_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_PAIR_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CLUSTER_STORE_CACHE: dict[_MemoKey, DataFrame] = {}
+_PAIR_STORE_CACHE: dict[_MemoKey, DataFrame] = {}
 
 
 def pair_store(
@@ -541,7 +542,11 @@ def streaming_ingest(
     )
     from .storeutil import store_base
 
-    key = (spark.sparkContext.applicationId, sf_dir, spec.name)
+    # Same _memo_key discipline as the four store memos (r14 ADVICE
+    # #1): the checkpointed result is location-independent once built,
+    # but the uniform key keeps the mid-session-env-change staleness
+    # class closed for every memo in this module.
+    key = _memo_key(spark, sf_dir, spec)
     cached = _INGEST_CACHE.get(key)
     if cached is not None:
         return cached

@@ -28,7 +28,21 @@ from .round12_ops import _audio_hash_cte, _img_hash_cte, _pair_cte
 from .round13_ops import _video_hash_cte
 
 # The four dedup modalities the report rolls up, in output order.
+# Every per-query modality grid below derives from this tuple (r14
+# ADVICE #4: a re-spelled literal could silently drift from it).
 REPORT_MODALITIES = ("audio", "image", "text", "video")
+MEDIA_MODALITIES = tuple(m for m in REPORT_MODALITIES if m != "text")
+
+
+def _modality_grid_sql(mods: tuple[str, ...] = REPORT_MODALITIES) -> str:
+    """DuckDB unnest fragment producing the modality grid."""
+    vals = ", ".join(f"'{m}'" for m in mods)
+    return f"(SELECT unnest([{vals}]) AS modality)"
+
+
+def _modality_array(mods: tuple[str, ...] = REPORT_MODALITIES):
+    """Spark literal array of the modality grid."""
+    return F.array(*[F.lit(m) for m in mods])
 
 
 def _media_report_oracle() -> str:
@@ -64,7 +78,7 @@ def _media_report_oracle() -> str:
     grid AS (
       SELECT m.modality, c.source, c.n_docs
       FROM counts c,
-           (SELECT unnest(['text','image','audio','video']) AS modality) m
+           {_modality_grid_sql()} m
     ),
     cells AS (
       SELECT m.modality, d.source,
@@ -154,11 +168,7 @@ def media_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    grid = counts.withColumn(
-        "modality",
-        F.explode(F.array(*[F.lit(m) for m in
-                            ("text", "image", "audio", "video")])),
-    )
+    grid = counts.withColumn("modality", F.explode(_modality_array()))
     cells = (
         members.join(docs, "doc_id")
         .groupBy("modality", "source")
@@ -228,7 +238,7 @@ def _split_leakage_oracle() -> str:
            CAST(CASE WHEN coalesce(m.n_pairs, 0) = 0 THEN 0
                 ELSE m.n_leaks * 100 // m.n_pairs END AS BIGINT)
              AS leak_pct
-    FROM (SELECT unnest(['text','image','audio','video']) AS modality) g
+    FROM {_modality_grid_sql()} g
     LEFT JOIN m ON m.modality = g.modality
     ORDER BY g.modality
     """
@@ -300,9 +310,7 @@ def split_media_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_leaks"),
     )
     grid = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(x) for x in ("text", "image", "audio", "video")])
-        ).alias("modality")
+        F.explode(_modality_array()).alias("modality")
     )
     return (
         grid.join(m, "modality", "left")
@@ -493,7 +501,7 @@ def _dedup_threshold_oracle() -> str:
     m_cells AS (
       SELECT m.modality, g.max_ham AS threshold,
              CAST(count(p.ham_d) AS BIGINT) AS n_pairs
-      FROM (SELECT unnest(['audio','image','video']) AS modality) m
+      FROM {_modality_grid_sql(MEDIA_MODALITIES)} m
       CROSS JOIN hgrid g
       LEFT JOIN m_pairs p
         ON p.modality = m.modality AND p.ham_d <= g.max_ham
@@ -574,9 +582,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     mgrid = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(m) for m in ("audio", "image", "video")])
-        ).alias("modality")
+        F.explode(_modality_array(MEDIA_MODALITIES)).alias("modality")
     ).select("modality", F.explode(h_arr).alias("threshold"))
     m_cells = mgrid.join(m_counts, ["modality", "threshold"], "left").select(
         "modality",

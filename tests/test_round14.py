@@ -99,3 +99,32 @@ def test_threshold_sweep_is_monotone_and_anchored(spark):
             # larger hamming radius admits MORE pairs
             assert counts == sorted(counts), (mod, cells)
         assert len(cells) == 5
+    # Anchoring: the loosest cell of every modality IS the store's
+    # full pair count — min(TEXT_SWEEP_BPS)/1e4 == JACCARD_THRESHOLD
+    # and max(HAM_SWEEP) == HAM_T, so the loosest filter admits
+    # every published pair (r14 ADVICE #3).
+    from programmers_data_spark import media_index
+    from programmers_data_spark.queries.dedup_ops import (
+        verified_pair_store,
+    )
+    from programmers_data_spark.queries.media_lifecycle_ops import (
+        AUDIO_SPEC,
+        VIDEO_SPEC,
+    )
+    from programmers_data_spark.queries.round12_ops import IMAGE_SPEC
+
+    loosest = {
+        "text": min(t for t, _ in by_mod["text"]),
+        "audio": max(t for t, _ in by_mod["audio"]),
+        "image": max(t for t, _ in by_mod["image"]),
+        "video": max(t for t, _ in by_mod["video"]),
+    }
+    stores = {
+        "text": verified_pair_store(spark, SF_DIR).count(),
+        "audio": media_index.pair_store(spark, SF_DIR, AUDIO_SPEC).count(),
+        "image": media_index.pair_store(spark, SF_DIR, IMAGE_SPEC).count(),
+        "video": media_index.pair_store(spark, SF_DIR, VIDEO_SPEC).count(),
+    }
+    for mod, cells in by_mod.items():
+        got = dict(cells)[loosest[mod]]
+        assert got == stores[mod], (mod, got, stores[mod])

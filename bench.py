@@ -27,6 +27,21 @@ from programmers_data_spark.session import get_spark
 # false-regression case of r8-r10 while re-timing only ~10 queries.
 SLOW_RETIME_SECS = 2.5
 
+# Flat-control gate (round 15, r14 VERDICT ask #2): the md5 host
+# index is single-core and provably misses scheduler-level noise —
+# r14's driver run read code-untouched multi-stage queries x2-3.6
+# their priors while md5 said the host was FINE (judge-confirmed with
+# flat-query controls). Before the timed loop, bench measures these
+# code-stable controls min-of-2 and records the MEDIAN ratio vs the
+# committed prior as `control_ratio`; a run whose controls read
+# >x1.3 self-labels `polluted: true` and its per-query deltas are
+# non-adjudicable by rule (SCALE.md "Pollution gate, round 15").
+# pricing_summary/mau cover the scan/join/agg path; ivf_probe_sweep
+# is the index-build-dominated multi-stage case that oscillated
+# 3.6-4.9s across five measurement contexts (r14 VERDICT #3).
+CONTROLS = ["pricing_summary", "mau", "ivf_probe_sweep"]
+CONTROL_POLLUTED_RATIO = 1.3
+
 # Headline set: the perf-graded shapes (scans, big-big join, star join,
 # semi join, windows, distinct-agg, time rollup) + LLM-pipeline ops.
 HEADLINE = [
@@ -208,6 +223,37 @@ def main() -> None:
             prior = _pd.get("queries", {})
     except (OSError, ValueError):
         pass
+
+    # Flat-control pass (see CONTROLS above): min-of-2 isolated runs
+    # of the code-stable controls BEFORE the main loop, ratioed
+    # against the committed prior. Runs first so the pollution label
+    # reflects the session state the timed loop starts from.
+    controls: dict[str, float] = {}
+    for name in CONTROLS:
+        if name not in registry.QUERIES:
+            continue
+        _reset(spark)
+        _force(registry.QUERIES[name](spark, sf_dir))  # untimed warmup
+        best = float("inf")
+        for _ in range(2):
+            _reset(spark)
+            t0 = time.perf_counter()
+            _force(registry.QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        controls[name] = round(best, 4)
+    ratios = sorted(
+        controls[n] / prior[n]
+        for n in controls
+        if prior.get(n)
+    )
+    control_ratio = (
+        round(ratios[len(ratios) // 2], 4) if ratios else None
+    )
+    polluted = (
+        None if control_ratio is None
+        else control_ratio > CONTROL_POLLUTED_RATIO
+    )
+
     for name in names:
         _reset(spark)
         _force(registry.QUERIES[name](spark, sf_dir))
@@ -252,6 +298,14 @@ def main() -> None:
                 "host_speed_md5_64mb": _host_speed_index(),
                 "queries": timings,
                 "retimed": sorted(retimed),
+                # flat-control gate (see CONTROLS): the controls'
+                # min-of-2 readings, their median ratio vs the
+                # committed prior, and the pollution verdict for THIS
+                # run — deltas from a polluted run are
+                # non-adjudicable by rule
+                "controls": controls,
+                "control_ratio": control_ratio,
+                "polluted": polluted,
             },
             f,
             indent=1,
@@ -292,6 +346,13 @@ def main() -> None:
                 # of host_speed_md5_64mb values before calling a move
                 # a regression (SCALE.md "Host drift, round 9")
                 "host_speed_md5_64mb": _host_speed_index(),
+                # flat-control gate (r14 VERDICT ask #2): median
+                # control ratio vs the committed prior; > 1.3 means
+                # this run is polluted and its per-query deltas are
+                # non-adjudicable (SCALE.md "Pollution gate")
+                "controls": controls,
+                "control_ratio": control_ratio,
+                "polluted": polluted,
                 "sf": sf,
             }
         )

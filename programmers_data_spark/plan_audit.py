@@ -84,6 +84,12 @@ PYTHON_TIER = frozenset({
     #                            pay once in the store producers)
     "image_neardup_clusters_incremental",  # store producer runs the
     #                                         image kernel + pair delta
+    "audio_neardup_clusters_incremental",  # store producer runs the
+    #                                         audio kernel + pair delta
+    "video_neardup_clusters_incremental",  # store producer runs the
+    #                                         video kernel + pair delta
+    "text_jaccard_topk",  # composes the Arrow signature pass (the
+    #                       dedup_minhash path, threshold-free rerank)
     "crossmodal_quadmodal_consistency",  # composes the image + audio
     #                                      + video kernels AND
     #                                      dedup_minhash's Arrow pass

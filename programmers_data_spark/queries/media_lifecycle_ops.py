@@ -185,6 +185,57 @@ def image_neardup_clusters_incremental(
     return media_index.incremental_clusters(spark, sf_dir, IMAGE_SPEC)
 
 
+def _full_audio_cluster_oracle() -> str:
+    from ..registry import ORACLE
+
+    return ORACLE["audio_neardup_clusters"]
+
+
+def _full_video_cluster_oracle() -> str:
+    from ..registry import ORACLE
+
+    return ORACLE["video_neardup_clusters"]
+
+
+@query(
+    "audio_neardup_clusters_incremental",
+    oracle=_full_audio_cluster_oracle(),
+)
+def audio_neardup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental AUDIO cluster maintenance — the engine's
+    star-contraction merge (media_index.incremental_clusters) with
+    AUDIO_SPEC, completing incremental maintenance at every lifecycle
+    level for every modality (r14 VERDICT ask #5: the cluster-merge
+    leg existed only for image). The published audio cluster table
+    contributes one star edge per non-root member, the
+    arrival-proportional pair delta (doc_id % 3 == 0 arrivals)
+    contributes the only new connectivity, and component resolution
+    runs over that contracted graph — the existing corpus is never
+    re-hashed, re-paired, or re-clustered. Oracle: the registered
+    audio_neardup_clusters full-rebuild SQL verbatim (incremental ≡
+    full at the cluster level)."""
+    return media_index.incremental_clusters(spark, sf_dir, AUDIO_SPEC)
+
+
+@query(
+    "video_neardup_clusters_incremental",
+    oracle=_full_video_cluster_oracle(),
+)
+def video_neardup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental VIDEO cluster maintenance — the engine's
+    star-contraction merge with VIDEO_SPEC (arrivals doc_id % 3 ==
+    2): the most expensive modality to re-hash (VIDEO_FRAMES PNG
+    roundtrips per clip) is exactly the one where merging into the
+    published cluster table instead of re-clustering pays most.
+    Oracle: the registered video_neardup_clusters full-rebuild SQL
+    verbatim."""
+    return media_index.incremental_clusters(spark, sf_dir, VIDEO_SPEC)
+
+
 # ------------------------------------------------ index read path
 
 # Reverse-image-search depth: the K nearest banded candidates per

@@ -57,8 +57,9 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round11_ops",  # 16 (→226)
     "programmers_data_spark.queries.round12_ops",  # 10 (→236)
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
-    "programmers_data_spark.queries.media_lifecycle_ops",  # 8 (→254)
-    "programmers_data_spark.queries.round14_ops",  # 4 (→258)
+    "programmers_data_spark.queries.media_lifecycle_ops",  # 10 (→256)
+    "programmers_data_spark.queries.round14_ops",  # 4 (→260)
+    "programmers_data_spark.queries.round15_ops",  # 1 (→261)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -69,26 +70,27 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
-# ROUND-15 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
-# below (split_media_leakage, eval_contamination_audit,
-# dedup_threshold_sweep — the late
-# r14 registrations that landed after the window filled), ahead of
-# any round-15 NEW registrations (group 2; never-driver-checked
-# outranks stale refreshes — the standing principle), then 2-3
-# round-14-green sentinels on whatever the r15 diff touches, then
-# the backlog: the REMAINING 9-name r9 tail (in registration order:
-# idle_rich_customers, bulk_suppliers_for_parts, mau_approx_error,
-# jsonl_shard_roundtrip, lm_surprisal_bits, ccnet_perplexity_bands,
-# blocklist_doc_flags, length_bucket_batches, oov_rate_by_vocab —
-# derive from the records as always: names whose latest green round
-# is 9), then the r10 tier COMPLETELY before r11 begins, in
-# (vintage, registration-order) order to fill 50. Keep
+# ROUND-16 ROTATION PLAN: group 1 (leads) = any r15 registrations
+# that could not take a window slot (NEXT_WINDOW_LEADS below —
+# empty as of authoring: all three r15 registrations hold window
+# slots), then round-16 NEW registrations (group 2;
+# never-driver-checked outranks stale refreshes — the standing
+# principle), then 2-3 round-15-green sentinels on whatever the r16
+# diff touches, then the backlog: the REMAINING 15-name r10 tail
+# (in registration order: sq8_topk_recall, mrl_truncation_recall,
+# phrase_match_positional, embedding_chunk_pool,
+# orc_partitioned_roundtrip, collocation_lift, vocab_growth_curve,
+# source_bigram_overlap, token_freq_spectrum, skipgram_cooccurrence,
+# quality_linear_score, cdc_apply_tombstones, neardup_cluster_profile,
+# ivf_probe_sweep, lang_confidence_margin — derive from the records
+# as always: names whose latest green round is 10), then the r11
+# tier in (vintage, registration-order) order to fill 50. Keep
 # stream_tws_value_stats OUTSIDE the window (honestly gated:
 # google.protobuf absent, installs disallowed — semantics
 # driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 15 in the same commit that rewrites the groups —
+# WINDOW_ROUND to 16 in the same commit that rewrites the groups —
 # the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -121,91 +123,93 @@ ROWS_ONLY = frozenset({
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# the five late-r13 registrations queued in r13's NEXT_WINDOW_LEADS
-# (the r13 VERDICT's explicit "the r14 window MUST lead with them"):
-# the audio/video instantiations of the engine's incremental and
-# streaming maintenance, incremental cluster maintenance, and the
-# serving read path. All five are oracle-certified in-suite and the
-# engine code they share is driver-green via the image sentinels.
+# the three late-r14 registrations queued in r14's NEXT_WINDOW_LEADS
+# (the r14 VERDICT's explicit "the r15 window MUST lead with them"):
+# the multimodal report tier's split-leakage gate, benchmark
+# decontamination audit, and dedup threshold-tuning sweep. All three
+# are oracle-certified in-suite and compose ONLY the published pair
+# stores the r14-green report/funnel queries certify.
 _WINDOW_LEADS = (
-    "audio_neardup_incremental",
-    "stream_audio_neardup_ingest",
-    "stream_video_neardup_ingest",
-    "image_neardup_clusters_incremental",
-    "image_hamming_topk",
+    "split_media_leakage",
+    "eval_contamination_audit",
+    "dedup_threshold_sweep",
 )
 
-# Group 2 — round-14 NEW registrations (never driver-checked): the
-# audio/video serving read paths (the shared _hamming_topk engine
-# completing "one engine, four modalities" for serving, r13 VERDICT
-# ask #6) and the modality x provenance duplication report composed
-# from the four published pair stores (ask #8). All three carry full
-# oracles.
+# Group 2 — round-15 NEW registrations (never driver-checked): the
+# audio/video incremental CLUSTER maintenance legs (the engine's
+# star-contraction merge, completing incremental maintenance at
+# every lifecycle level for every modality — r14 VERDICT ask #5) and
+# the text tier's serving read path (MinHash band candidates + exact
+# Jaccard rerank top-K, completing serving parity across all five
+# dedup families — ask #8). All three carry full oracles.
 _WINDOW_NEW = (
-    "audio_hamming_topk",
-    "video_hamming_topk",
+    "audio_neardup_clusters_incremental",
+    "video_neardup_clusters_incremental",
+    "text_jaccard_topk",
+)
+
+# Group 3 — r14-green sentinels sitting directly on the round-15
+# diff: image_neardup_clusters_incremental runs the SAME
+# media_index.incremental_clusters engine path the two new cluster
+# queries instantiate; stream_image_neardup_ingest re-certifies
+# streaming_ingest under the r15 _INGEST_CACHE memo-key change (r14
+# ADVICE #1); media_curation_report re-certifies the report tier
+# under the derived-modality-grid refactor (r14 ADVICE #4).
+_WINDOW_SENTINELS = (
+    "image_neardup_clusters_incremental",
+    "stream_image_neardup_ingest",
     "media_curation_report",
 )
 
-# Group 3 — r13-green sentinels sitting directly on the round-14
-# diff: multimodal_funnel_contract now composes the PUBLISHED media
-# pair stores (media_index.pair_store — r13 VERDICT ask #2) and runs
-# the fused-round two-phase component resolver;
-# video_neardup_incremental re-certifies the engine's
-# incremental_delta under the store-dir-aware memo keys (r13 ADVICE);
-# stream_image_neardup_ingest re-certifies streaming_ingest under the
-# same memo-key change plus the n_slices clamp.
-_WINDOW_SENTINELS = (
-    "multimodal_funnel_contract",
-    "video_neardup_incremental",
-    "stream_image_neardup_ingest",
-)
-
 # Group 4 — stale tiers oldest-first, in registration order: the
-# first 39 of the 48-name r9 tier (latest green driver row r9 — the
-# oldest vintage in the record after r13 drained the r8 tail). The
-# trimmed 9-name tail (idle_rich_customers onward) leads the r15
-# backlog per the ROUND-15 ROTATION PLAN above.
+# COMPLETE 9-name r9 tail (latest green driver row r9 — the oldest
+# vintage after r14 drained the first 39), then the first 32 of the
+# 47-name r10 tier. The trimmed 15-name r10 tail (sq8_topk_recall
+# onward) leads the r16 backlog per the ROUND-16 ROTATION PLAN above.
 _WINDOW_STALE = (
-    "cross_source_dup_matrix",
-    "dup_span_mine",
-    "cube_order_stats",
-    "running_revenue",
-    "asof_last_order",
-    "value_histogram",
-    "event_type_pivot",
-    "value_percentiles",
-    "post_purchase_clicks",
-    "acctbal_quartiles",
-    "grouping_sets_revenue",
-    "event_type_unpivot",
-    "salted_segment_revenue",
-    "cohort_retention",
-    "pricing_summary",
-    "region_revenue",
-    "top_customers",
-    "order_priority",
-    "top3_per_segment",
-    "nation_customer_stats",
-    "brand_revenue",
-    "daily_revenue",
-    "shipping_priority",
-    "promo_revenue_share",
-    "nation_trade_volume",
-    "returned_item_customers",
-    "order_count_distribution",
-    "top_supplier",
-    "large_orders",
-    "discounted_revenue",
-    "forecast_revenue_change",
-    "market_share",
-    "product_type_profit",
-    "cheapest_supplier_per_part",
-    "supplier_value_share",
-    "priority_line_counts",
-    "supplier_cnt_by_part",
-    "small_qty_revenue",
-    "waiting_suppliers",
+    # r9 tail — drains the tier completely
+    "idle_rich_customers",
+    "bulk_suppliers_for_parts",
+    "mau_approx_error",
+    "jsonl_shard_roundtrip",
+    "lm_surprisal_bits",
+    "ccnet_perplexity_bands",
+    "blocklist_doc_flags",
+    "length_bucket_batches",
+    "oov_rate_by_vocab",
+    # r10 tier, registration-order prefix (32 of 47)
+    "scd2_intervals",
+    "incr_mau_refresh",
+    "token_heavy_hitters",
+    "fuzzy_match_pairs",
+    "stream_stateful_value_stats",
+    "stream_late_data_audit",
+    "dau",
+    "channel_firstlast",
+    "nps",
+    "funnel_signup_purchase",
+    "dup_span_scrub",
+    "dup_rate_threshold_sweep",
+    "ohlc_daily",
+    "nation_pagerank",
+    "mad_outliers",
+    "ingest_freshness",
+    "volume_anomaly_days",
+    "embedding_topk",
+    "embedding_neardup",
+    "label_quality_profile",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_features",
+    "ivf_recall_at5",
+    "quantile_sketch_error",
+    "pq_recall_at5",
+    "train_val_split",
+    "token_budget_sample",
+    "mixture_resample",
+    "split_leakage_check",
+    "inverted_postings",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
@@ -214,15 +218,9 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). The two LATE round-14 registrations below landed after
-# the r14 window filled (its 39-name r9 prefix is the promised
-# drain); both are oracle-certified in-suite and compose ONLY the
-# published pair stores the in-window report/funnel certify.
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "split_media_leakage",
-    "eval_contamination_audit",
-    "dedup_threshold_sweep",
-)
+# window). Empty as of the round-15 rotation: all three r15
+# registrations hold window slots (group 2 above).
+NEXT_WINDOW_LEADS: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -90,6 +90,11 @@ PYTHON_TIER = frozenset({
     #                                         video kernel + pair delta
     "text_jaccard_topk",  # composes the Arrow signature pass (the
     #                       dedup_minhash path, threshold-free rerank)
+    "stream_text_neardup_ingest",  # per-batch Arrow signature pass
+    #                                in the replay harness
+    "text_neardup_clusters_incremental",  # composes the pair store's
+    #                                       Arrow signature pass + the
+    #                                       arrival delta's batch pass
     "crossmodal_quadmodal_consistency",  # composes the image + audio
     #                                      + video kernels AND
     #                                      dedup_minhash's Arrow pass

@@ -197,23 +197,14 @@ _N_BANDS = N_HASHES // BAND_SIZE
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingles + MinHash signature table over the augmented corpus,
-    as ONE Arrow-batched pass: tokenizing, 3-gram shingling, and
-    8×md5 MinHash in interpreted Catalyst HOFs costs ~5s/pass at
-    sf0.1 and downstream self-joins replan it 3-4×. hashlib md5 emits
-    the identical hex the oracle's md5() does, so parity is
-    untouched. Persisted because several downstream branches (pair-gen
-    a/b sides, Jaccard verify, sketch-accuracy estimates) read it; at
-    100 TB this is the "write the signature table once, reuse per
-    batch" pattern. Shared by dedup_minhash and
-    minhash_jaccard_estimate (round3_ops); memoized so they share one
-    cached copy."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
-    aug = _augmented_docs(spark, sf_dir)
+def sig_frame(docs: DataFrame) -> DataFrame:
+    """The Arrow MinHash signature pass over an ARBITRARY
+    (doc_id, text) frame — tokenizing, 3-gram shingling, and 8×md5
+    MinHash in ONE Arrow-batched pass (hashlib md5 emits the
+    identical hex the oracle's md5() does, so parity is untouched).
+    Factored out of minhash_signatures so a streaming-ingest batch
+    can run the EXACT kernel the full table runs (the media engine's
+    hash_frame seam, applied to the text tier)."""
 
     def _sig_batches(batches):
         import hashlib
@@ -248,11 +239,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread the Python stage across all cores — the parquet source is
     # one file, so without this the Arrow pass runs ~single-partition
-    sigs = (
-        aug.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(_sig_batches, schema=sig_schema)
-        .persist()
-    )
+    spark = docs.sparkSession
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_sig_batches, schema=sig_schema)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles + MinHash signature table over the augmented corpus —
+    sig_frame applied to the full corpus. Interpreted Catalyst HOFs
+    would cost ~5s/pass at sf0.1 and downstream self-joins replan it
+    3-4×, hence the Arrow pass. Persisted because several downstream
+    branches (pair-gen a/b sides, Jaccard verify, sketch-accuracy
+    estimates) read it; at 100 TB this is the "write the signature
+    table once, reuse per batch" pattern. Shared by dedup_minhash and
+    minhash_jaccard_estimate (round3_ops); memoized so they share one
+    cached copy."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sigs = sig_frame(_augmented_docs(spark, sf_dir)).persist()
     _SIG_CACHE[key] = sigs
     return sigs
 

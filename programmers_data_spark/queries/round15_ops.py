@@ -1,29 +1,45 @@
-"""Round-15 operators: the TEXT tier's serving read path — top-K
-most-similar documents by MinHash band candidates + exact Jaccard
-rerank (r14 VERDICT ask #8), completing serving parity across all
-five dedup families: the media tiers serve via *_hamming_topk, the
-vector tiers via ann/ivf/pq_topk, and this query is the text
-near-dup family's equivalent, reusing the `_hamming_topk` posture
-(bounded banded candidates, window top-K, pinned ties).
+"""Round-15 operators: TEXT-tier lifecycle symmetry with the media
+engine — the serving read path (r14 VERDICT ask #8), Structured
+Streaming index ingest, and incremental cluster maintenance:
+
+- ``text_jaccard_topk`` — top-K most-similar documents by MinHash
+  band candidates + exact Jaccard rerank, completing serving parity
+  across all five dedup families (media *_hamming_topk, vector
+  ann/ivf/pq_topk).
+- ``stream_text_neardup_ingest`` — the media engine's replay-harness
+  protocol applied to the MinHash index: per micro-batch, sign the
+  arrivals (the batch pays the Arrow pass), append their bands to
+  the accumulated bucketed band table, probe it, verify Jaccard
+  against the accumulated signature store, append the pair delta.
+- ``text_neardup_clusters_incremental`` — star-contraction cluster
+  merge over the text near-dup graph (the media
+  incremental_clusters argument applied to the MinHash pair set),
+  completing incremental maintenance at every lifecycle level for
+  every family.
 
 Reference anchor: the reference (HyeM207/Programmers-DATA) has no
 text-dedup pipeline; this tier is north-star training-data-pipeline
 scope (SURVEY.md §2 "LLM-data-pipeline operators"), the read-path
-face of the MinHash dedup family dedup_ops.py implements.
+and maintenance faces of the MinHash dedup family dedup_ops.py
+implements.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import ORACLE, query
 from .dedup_ops import (
     _AUG_SQL,
     _N_BANDS,
     _SHINGLES_DUCK,
     _TOKS_DUCK,
+    JACCARD_THRESHOLD,
     _band_cols_duck,
+    _band_cols_spark,
     _minhash_sig_duck,
 )
 
@@ -149,4 +165,259 @@ def text_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TEXT_TOPK)
         .select("query_id", "rnk", "neighbor_id", "jaccard")
         .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------- streaming MinHash ingest
+
+# Scratch-base env var for the replay harness (the media engine's
+# ing_env convention); per-run mkdtemp + rmtree in the finally, so
+# no cross-run contamination regardless of the base.
+TEXT_INGEST_ENV = "SPARK_GRAFT_TEXT_INGEST_STORE"
+
+# Replay micro-batch count (the media engine's n_slices protocol).
+N_TEXT_SLICES = 3
+
+# result handles per (applicationId, sf_dir) — *_CACHE contract
+# (bench._reset's package sweep reaches this dict by name)
+_TEXT_INGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "stream_text_neardup_ingest",
+    oracle=ORACLE["dedup_minhash"],
+)
+def stream_text_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured Streaming TEXT index maintenance — the media
+    engine's replay protocol (media_index.streaming_ingest) applied
+    to the MinHash index, completing streaming ingest across all
+    four dedup families: doc_id range slices of the augmented corpus
+    partition it into micro-batches; per batch, ONLY the arrivals
+    run the Arrow signature pass (dedup_ops.sig_frame — the exact
+    kernel the full table runs), the batch's bands APPEND to an
+    accumulated BUCKETED band table which the batch then probes
+    (bucket layout, no per-batch band re-derivation), and the
+    verified jaccard >= threshold pair delta appends to the pair
+    store. Slices partition the corpus, so each pair is found
+    exactly once — in its later member's batch — and the union of
+    per-batch deltas equals the FULL rebuild exactly. Oracle: the
+    registered dedup_minhash SQL verbatim.
+
+    Scale shape: per-batch cost is arrival-proportional (sign the
+    batch, probe the bucketed store, verify against the accumulated
+    signature store); nothing about earlier batches is re-signed or
+    re-banded. At 100 TB this is the text-dedup ingest job: a day's
+    crawl streams in, the published index absorbs it."""
+    import shutil
+    import tempfile
+
+    from ..storeutil import store_base
+    from .dedup_ops import _augmented_docs, sig_frame
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TEXT_INGEST_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    aug = _augmented_docs(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    )
+    if aug.isEmpty():
+        return empty
+    bounds = aug.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]  # bounded 2-value scalar
+    lo, hi = bounds.lo, bounds.hi
+    n = max(2, N_TEXT_SLICES)
+    cuts = [lo + k * (hi - lo + 1) // n for k in range(1, n)]
+    d = F.col("doc_id")
+    slices = [aug.filter(d < cuts[0])]
+    for a, b in zip(cuts, cuts[1:]):
+        slices.append(aug.filter((d >= a) & (d < b)))
+    slices.append(aug.filter(d >= cuts[-1]))
+
+    base = store_base(TEXT_INGEST_ENV, "spark_graft_textingest")
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="textingest_", dir=base)
+    src = os.path.join(root, "src")
+    sig_dir = os.path.join(root, "sigs")
+    pair_dir = os.path.join(root, "pairs")
+    band_dir = os.path.join(root, "bands")
+    # per-run external bucketed band table (the media engine's
+    # append-then-probe protocol; files go with the scratch tree)
+    band_tbl = "textingest_bands_" + os.path.basename(root)[len("textingest_"):]
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        s = bdf.sparkSession
+        sb = sig_frame(bdf.select("doc_id", "text")).persist()
+        if os.path.isdir(sig_dir):
+            index = sb.select("doc_id", "shingles").unionByName(
+                s.read.parquet(sig_dir)
+            )
+        else:
+            index = sb.select("doc_id", "shingles")
+        ab = sb.select(
+            "doc_id",
+            F.posexplode(F.array(*_band_cols_spark())).alias(
+                "band_idx", "band"
+            ),
+        )
+        # append THIS batch's bands first, then probe the accumulated
+        # bucketed table: same-batch pairs come from the batch's own
+        # appended bands, cross-batch pairs from the stored ones
+        (
+            ab.write.mode("append")
+            .option("path", band_dir)
+            .bucketBy(8, "band_idx", "band")
+            .saveAsTable(band_tbl, format="parquet")
+        )
+        allb = s.table(band_tbl)
+        cand = (
+            ab.alias("a")
+            .join(allb.alias("b"), ["band_idx", "band"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = index.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        sb2 = index.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+            "double"
+        ) / F.size(F.array_union("sh_a", "sh_b"))
+        delta = (
+            cand.join(sa, "doc_a")
+            .join(sb2, "doc_b")
+            .withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        delta.write.mode("append").parquet(pair_dir)
+        sb.select("doc_id", "shingles").write.mode("append").parquet(sig_dir)
+        sb.unpersist()
+
+    try:
+        slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
+        stream = spark.readStream.schema(aug.schema).parquet(f"{src}/*")
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # slice 0 seeds the index
+            for i, sl in enumerate(slices[1:], start=1):
+                sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+                q.processAllAvailable()  # one probe+append per batch
+        finally:
+            q.stop()
+
+        if not os.path.isdir(pair_dir):
+            result = empty  # no batch produced a pair
+        else:
+            # localCheckpoint severs lineage from the scratch stores
+            # so the replay tree is removable immediately
+            result = (
+                spark.read.parquet(pair_dir)
+                .orderBy("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+        _TEXT_INGEST_CACHE[key] = result
+        return result
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------- incremental cluster maintenance
+
+
+def _text_cluster_full_oracle() -> str:
+    """Components of the FULL MinHash near-dup graph over every
+    augmented doc (the registered dedup_minhash pair SQL verbatim as
+    the edge set) — the full-rebuild oracle the incremental merge
+    must reproduce exactly."""
+    return f"""
+    WITH RECURSIVE aug AS ({_AUG_SQL}),
+    fp AS ({ORACLE["dedup_minhash"]}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM fp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM fp
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM aug
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
+@query(
+    "text_neardup_clusters_incremental",
+    oracle=_text_cluster_full_oracle(),
+)
+def text_neardup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental TEXT cluster maintenance — the media engine's
+    star-contraction merge argument applied to the MinHash near-dup
+    graph, completing incremental maintenance at every lifecycle
+    level for every dedup family: the existing corpus's cluster
+    table (components over verified pairs whose BOTH endpoints
+    predate the arrival batch — doc_id % 10 != 7, the
+    neardup_incremental batch definition; augmented twin ids inherit
+    the residue) contributes one star edge per non-root member, the
+    registered arrival-proportional pair delta (neardup_incremental)
+    contributes the only new connectivity, and component resolution
+    runs over that contracted graph. Nothing about the existing
+    corpus is re-signed, re-banded, or re-clustered.
+
+    Correctness: the full pair set partitions into
+    existing-x-existing pairs (contracted into the stars) and pairs
+    touching an arrival (the delta — neardup_incremental's oracle
+    restriction), so components over (stars ∪ delta) equal the full
+    rebuild's components; labels are vertex ids, so min-propagation
+    recovers the exact minimum member. Oracle: the full rebuild
+    (reachability over the registered dedup_minhash pair SQL)."""
+    from ..operators import connected_components_auto
+    from .curation_ops import _NEW_BATCH_RESIDUE, neardup_incremental
+    from .dedup_ops import _augmented_docs, verified_pair_store
+
+    is_existing = lambda c: (F.col(c) % 10) != _NEW_BATCH_RESIDUE  # noqa: E731
+    existing_pairs = verified_pair_store(spark, sf_dir).filter(
+        is_existing("doc_a") & is_existing("doc_b")
+    )
+    stored = connected_components_auto(existing_pairs, "doc_a", "doc_b")
+    stars = stored.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("src"), F.col("component").alias("dst")
+    )
+    delta = neardup_incremental(spark, sf_dir)
+    edges = stars.unionByName(
+        delta.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    labels = connected_components_auto(edges, "src", "dst")
+    ids = _augmented_docs(spark, sf_dir).select("doc_id")
+    return (
+        ids.join(labels, ids["doc_id"] == labels["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
     )

@@ -59,7 +59,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round13_ops",  # 10 (→246)
     "programmers_data_spark.queries.media_lifecycle_ops",  # 10 (→256)
     "programmers_data_spark.queries.round14_ops",  # 4 (→260)
-    "programmers_data_spark.queries.round15_ops",  # 1 (→261)
+    "programmers_data_spark.queries.round15_ops",  # 3 (→263)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -72,10 +72,11 @@ _QUERY_MODULES = (
 # state and self-expired the moment CORRECTNESS_r09.json landed).
 WINDOW_ROUND = 15
 
-# ROUND-16 ROTATION PLAN: group 1 (leads) = any r15 registrations
-# that could not take a window slot (NEXT_WINDOW_LEADS below —
-# empty as of authoring: all three r15 registrations hold window
-# slots), then round-16 NEW registrations (group 2;
+# ROUND-16 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
+# below (stream_text_neardup_ingest,
+# text_neardup_clusters_incremental — the late r15 registrations
+# that landed after the window filled), then round-16 NEW
+# registrations (group 2;
 # never-driver-checked outranks stale refreshes — the standing
 # principle), then 2-3 round-15-green sentinels on whatever the r16
 # diff touches, then the backlog: the REMAINING 15-name r10 tail
@@ -218,9 +219,15 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). Empty as of the round-15 rotation: all three r15
-# registrations hold window slots (group 2 above).
-NEXT_WINDOW_LEADS: tuple[str, ...] = ()
+# window). The two LATE round-15 registrations below landed after
+# the r15 window filled (its 9+32 stale drain is the promised one);
+# both are oracle-certified in-suite and compose machinery the
+# in-window queries certify (the sig_frame Arrow kernel via
+# text_jaccard_topk, the verified pair store via the report tier).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "stream_text_neardup_ingest",
+    "text_neardup_clusters_incremental",
+)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

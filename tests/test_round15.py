@@ -19,6 +19,8 @@ _NEW = (
     "audio_neardup_clusters_incremental",
     "video_neardup_clusters_incremental",
     "text_jaccard_topk",
+    "stream_text_neardup_ingest",
+    "text_neardup_clusters_incremental",
 )
 
 
@@ -51,6 +53,60 @@ def test_incremental_clusters_equal_full_rebuild(spark):
             for r in registry.QUERIES[incr](spark, SF_DIR).collect()
         }
         assert a == b, (full, incr, len(a ^ b))
+
+
+def test_text_stream_ingest_equals_full_rebuild(spark):
+    """The union of per-batch pair deltas equals dedup_minhash's full
+    pair set EXACTLY — Spark-vs-Spark (the oracle proves the same
+    against DuckDB); slices partition the corpus so each pair lands
+    once, in its later member's batch."""
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["dedup_minhash"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["stream_text_neardup_ingest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert full, "full pair set empty on the oracle fixture"
+    assert streamed == full, len(streamed ^ full)
+
+
+def test_text_incremental_clusters_equal_full_rebuild(spark):
+    """Star-contraction merge over (existing clusters ∪ arrival pair
+    delta) reproduces components of the FULL near-dup graph —
+    Spark-vs-Spark (the SQL oracle proves the same against DuckDB)."""
+    from programmers_data_spark.operators import (
+        connected_components_auto,
+    )
+    from programmers_data_spark.queries.dedup_ops import (
+        _augmented_docs,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = registry.QUERIES["dedup_minhash"](spark, SF_DIR)
+    labels = connected_components_auto(pairs, "doc_a", "doc_b")
+    ids = _augmented_docs(spark, SF_DIR).select("doc_id")
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in ids.join(
+            labels, ids["doc_id"] == labels["vertex"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .collect()
+    }
+    incr = {
+        (r.doc_id, r.cluster_id)
+        for r in registry.QUERIES["text_neardup_clusters_incremental"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert incr == full, len(incr ^ full)
 
 
 def test_text_topk_rank_contract(spark):

@@ -355,11 +355,66 @@ def as_of_join(
     return matched.select(*out_cols)
 
 
+# Edge-count bound under which component resolution runs DRIVER-SIDE
+# (union-find over the collected edge list). Rationale, measured at
+# sf0.1: the distributed resolvers' per-round cost on local[32] is
+# scheduling-dominated for small graphs — the multimodal funnel's
+# 14,306-edge graph spent 6-8s across 6 star rounds (~0.6s/round of
+# stage overhead on a 5k-row round state) where a serial union-find
+# resolves the same list in milliseconds. A 200k-edge list is a few
+# MB on the driver (the bounded-collect discipline of the IVF/PQ
+# codebook training); anything bigger — a corpus-scale near-dup
+# graph at 100 TB — exceeds the bound and takes the distributed
+# paths unchanged. The bound is checked with ONE count job on the
+# already-checkpointed edge list, so large graphs pay one cheap
+# metadata-ish job, never a collect.
+DRIVER_RESOLVE_MAX_EDGES = 200_000
+
+
+def _resolve_driver_side(e0: DataFrame) -> DataFrame:
+    """Serial union-find over a COLLECTED 2-column edge list —
+    callers guarantee the list is under DRIVER_RESOLVE_MAX_EDGES.
+    Returns (vertex, component) for every edge-incident vertex,
+    component = min member id (identical contract to the distributed
+    resolvers; the hypothesis theorem in test_properties pins all
+    three paths to the same serial reference)."""
+    rows = e0.collect()  # bounded by DRIVER_RESOLVE_MAX_EDGES
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller, so every
+            # set's root stays its minimum member
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    data = [(w, find(w)) for w in sorted(parent)]
+    vt = e0.schema[0].dataType.simpleString()
+    return e0.sparkSession.createDataFrame(
+        data, f"vertex {vt}, component {vt}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    driver_cutoff: int = DRIVER_RESOLVE_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     every vertex repeatedly adopts the smallest label reachable over
@@ -393,6 +448,13 @@ def connected_components(
     e0 = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True)
+    # arrival-scale graphs resolve driver-side (see
+    # DRIVER_RESOLVE_MAX_EDGES); the count is one cheap job on the
+    # checkpointed blocks
+    if e0.count() <= driver_cutoff:
+        result = _resolve_driver_side(e0)
+        _free_blocks(e0)
+        return result
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -479,6 +541,7 @@ def connected_components_two_phase(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    driver_cutoff: int = DRIVER_RESOLVE_MAX_EDGES,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -506,6 +569,13 @@ def connected_components_two_phase(
     e0 = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
     ).localCheckpoint(eager=True)
+    # arrival-scale graphs resolve driver-side (see
+    # DRIVER_RESOLVE_MAX_EDGES); the count is one cheap job on the
+    # checkpointed blocks
+    if e0.count() <= driver_cutoff:
+        result = _resolve_driver_side(e0)
+        _free_blocks(e0)
+        return result
     # The round state is the SYMMETRIC distinct edge set, eagerly
     # checkpointed (a lazily-persisted first state pushed its whole
     # materialization into round 0 — measured ~4.5s of the funnel
@@ -603,10 +673,15 @@ def connected_components_auto(
     src: str = "src",
     dst: str = "dst",
     label_prop_cap: int = 8,
+    driver_cutoff: int = DRIVER_RESOLVE_MAX_EDGES,
 ) -> DataFrame:
     """Connected components with a DATA-DEPENDENT algorithm choice
     (VERDICT r4 #5). The rule:
 
+    - Edge lists under ``driver_cutoff`` (arrival-batch graphs,
+      near-dup deltas) resolve DRIVER-SIDE by union-find — both
+      distributed resolvers' per-round cost is pure scheduling
+      overhead at that size (see DRIVER_RESOLVE_MAX_EDGES).
     - Near-dup graphs are piles of small dense clusters whose diameter
       is a few hops; min-label propagation converges in diameter
       rounds at ONE join + one aggregate each — the cheapest path.
@@ -625,10 +700,14 @@ def connected_components_auto(
     citation paths)."""
     try:
         return connected_components(
-            edges, src, dst, max_iterations=label_prop_cap
+            edges, src, dst,
+            max_iterations=label_prop_cap,
+            driver_cutoff=driver_cutoff,
         )
     except RuntimeError:
-        return connected_components_two_phase(edges, src, dst)
+        return connected_components_two_phase(
+            edges, src, dst, driver_cutoff=driver_cutoff
+        )
 
 
 def distributed_rank(

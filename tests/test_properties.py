@@ -87,7 +87,7 @@ EDGES = st.lists(
 )
 
 
-@pytest.mark.parametrize("algorithm", ["label_prop", "two_phase"])
+@pytest.mark.parametrize("algorithm", ["label_prop", "two_phase", "driver"])
 @given(edges=EDGES)
 @settings(
     max_examples=6,
@@ -95,19 +95,27 @@ EDGES = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_connected_components_matches_union_find(spark, algorithm, edges):
-    """Both CC algorithms (min-label propagation and large-star/
-    small-star) must agree with a serial union-find on any random
-    graph (self-loops, multi-edges, chains, stars included)."""
+    """All THREE CC paths (min-label propagation, large-star/
+    small-star, and the bounded driver-side union-find escape) must
+    agree with a serial union-find on any random graph (self-loops,
+    multi-edges, chains, stars included). driver_cutoff=0 forces the
+    distributed paths; the 'driver' case uses the default cutoff
+    (every hypothesis graph is under it)."""
     from programmers_data_spark.operators import (
         connected_components,
         connected_components_two_phase,
     )
 
-    cc = (
-        connected_components
-        if algorithm == "label_prop"
-        else connected_components_two_phase
-    )
+    if algorithm == "label_prop":
+        cc = lambda df: connected_components(  # noqa: E731
+            df, driver_cutoff=0, max_iterations=60
+        )
+    elif algorithm == "two_phase":
+        cc = lambda df: connected_components_two_phase(  # noqa: E731
+            df, driver_cutoff=0
+        )
+    else:
+        cc = connected_components  # default cutoff → driver path
 
     parent: dict[int, int] = {}
 

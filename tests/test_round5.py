@@ -233,6 +233,22 @@ def test_two_phase_cc_converges_on_10k_chain(spark):
         connected_components_two_phase,
     )
 
+    labels = connected_components_two_phase(
+        _path_edges(spark, 10_000), driver_cutoff=0
+    )
+    rows = labels.collect()
+    assert len(rows) == 10_000
+    assert all(r.component == 0 for r in rows)
+
+
+def test_driver_escape_resolves_chain_without_rounds(spark):
+    """Under DRIVER_RESOLVE_MAX_EDGES the same chain resolves through
+    the bounded driver-side union-find (default cutoff) — identical
+    labels, no distributed rounds."""
+    from programmers_data_spark.operators import (
+        connected_components_two_phase,
+    )
+
     labels = connected_components_two_phase(_path_edges(spark, 10_000))
     rows = labels.collect()
     assert len(rows) == 10_000
@@ -245,7 +261,9 @@ def test_label_prop_raises_honestly_on_long_chain(spark):
     from programmers_data_spark.operators import connected_components
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_path_edges(spark, 200), max_iterations=5)
+        connected_components(
+            _path_edges(spark, 200), max_iterations=5, driver_cutoff=0
+        )
 
 
 def test_auto_cc_falls_back_to_two_phase(spark):
@@ -254,9 +272,10 @@ def test_auto_cc_falls_back_to_two_phase(spark):
     exhausts the cap — correct labels either way."""
     from programmers_data_spark.operators import connected_components_auto
 
-    # chain: forces the fallback
+    # chain: forces the fallback (driver_cutoff=0 keeps the test on
+    # the distributed paths the fallback logic is about)
     labels = connected_components_auto(
-        _path_edges(spark, 300), label_prop_cap=4
+        _path_edges(spark, 300), label_prop_cap=4, driver_cutoff=0
     )
     rows = labels.collect()
     assert len(rows) == 300
@@ -267,7 +286,9 @@ def test_auto_cc_falls_back_to_two_phase(spark):
 
     pairs = list(itertools.combinations(range(8), 2))
     star = spark.createDataFrame(pairs, "src long, dst long")
-    rows = connected_components_auto(star, label_prop_cap=4).collect()
+    rows = connected_components_auto(
+        star, label_prop_cap=4, driver_cutoff=0
+    ).collect()
     assert all(r.component == 0 for r in rows)
 
 

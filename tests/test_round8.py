@@ -159,7 +159,7 @@ def test_connected_components_frees_checkpoint_blocks(spark):
         [(i, i + 1) for i in range(12)], "src int, dst int"
     )
     before = len(_storage_blocks(spark))
-    labels = connected_components(edges, max_iterations=20)
+    labels = connected_components(edges, max_iterations=20, driver_cutoff=0)
     rows = labels.collect()
     assert {r.component for r in rows} == {0}
     after = _storage_blocks(spark)

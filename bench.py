@@ -63,6 +63,30 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def control_median_ratio(
+    controls: dict, prior: dict
+) -> "float | None":
+    """Median of control/prior ratios for the pollution gate — THE
+    shared implementation for bench and the reprice scripts (r15
+    ADVICE #1: each had its own copy, and both picked ratios[len//2],
+    the UPPER-middle element for even counts — a missing prior turned
+    the 2-ratio case into max(), biasing toward a false polluted=true
+    that voids the whole run's deltas by rule). True median: mean of
+    the two middle elements when the count is even."""
+    ratios = sorted(
+        controls[n] / prior[n] for n in controls if prior.get(n)
+    )
+    if not ratios:
+        return None
+    m = len(ratios) // 2
+    med = (
+        ratios[m]
+        if len(ratios) % 2
+        else (ratios[m - 1] + ratios[m]) / 2
+    )
+    return round(med, 4)
+
+
 def _reset(spark) -> None:
     """Per-query isolation: drop persisted tables, module-level memo
     caches, and accumulated heap garbage so each timed query pays its
@@ -241,14 +265,7 @@ def main() -> None:
             _force(registry.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         controls[name] = round(best, 4)
-    ratios = sorted(
-        controls[n] / prior[n]
-        for n in controls
-        if prior.get(n)
-    )
-    control_ratio = (
-        round(ratios[len(ratios) // 2], 4) if ratios else None
-    )
+    control_ratio = control_median_ratio(controls, prior)
     polluted = (
         None if control_ratio is None
         else control_ratio > CONTROL_POLLUTED_RATIO

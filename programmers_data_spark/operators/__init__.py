@@ -378,6 +378,24 @@ def _resolve_driver_side(e0: DataFrame) -> DataFrame:
     component = min member id (identical contract to the distributed
     resolvers; the hypothesis theorem in test_properties pins all
     three paths to the same serial reference)."""
+    # output type = the WIDER of the two edge columns, derived BEFORE
+    # the loop so a non-comparable mix fails with a clear contract
+    # error (r15 ADVICE #2: typing both outputs from schema[0] alone
+    # would error/truncate in createDataFrame on an (int src, long
+    # dst) frame, where the distributed paths coerce via the
+    # symmetric union)
+    s0 = e0.schema[0].dataType.simpleString()
+    s1 = e0.schema[1].dataType.simpleString()
+    if s0 == s1:
+        vt = s0
+    else:
+        rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+        if s0 not in rank or s1 not in rank:
+            raise TypeError(
+                f"heterogeneous non-integral edge columns ({s0}, {s1}):"
+                " pass homogeneous vertex-id types"
+            )
+        vt = s0 if rank[s0] >= rank[s1] else s1
     rows = e0.collect()  # bounded by DRIVER_RESOLVE_MAX_EDGES
     parent: dict = {}
 
@@ -403,7 +421,6 @@ def _resolve_driver_side(e0: DataFrame) -> DataFrame:
                 ru, rv = rv, ru
             parent[rv] = ru
     data = [(w, find(w)) for w in sorted(parent)]
-    vt = e0.schema[0].dataType.simpleString()
     return e0.sparkSession.createDataFrame(
         data, f"vertex {vt}, component {vt}"
     )

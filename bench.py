@@ -170,6 +170,11 @@ def main() -> None:
     os.environ[VIDEO_SPEC.store_env] = tempfile.mkdtemp(
         prefix="pds_bench_vid_"
     )
+    # and for the published embedding signature/pair/cluster stores
+    # the round-16 vector-maintenance queries probe
+    from programmers_data_spark.embedding_index import EMB_STORE_ENV
+
+    os.environ[EMB_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_emb_")
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

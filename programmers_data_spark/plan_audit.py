@@ -53,6 +53,10 @@ PYTHON_TIER = frozenset({
     #                              operator (oracle: recursive CTE)
     "ivf_incremental_assign",  # Arrow batch-assign GEMM + the full
     #                            index's assignment pass it audits
+    "embedding_neardup_incremental",  # arrival-batch signature GEMM
+    #                            probing the published LSH sig store
+    "embedding_neardup_clusters_incremental",  # composes the same
+    #                            arrival GEMM via the pair delta
     "image_dhash",  # Arrow PNG encode/decode + perceptual-hash kernel
     "image_neardup_pairs",  # composes image_dhash's Arrow hash table
     "image_neardup_clusters",  # same hash table + component labels

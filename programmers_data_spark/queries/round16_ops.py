@@ -1,0 +1,294 @@
+"""Round-16 operators: EMBEDDING-tier lifecycle symmetry with the
+hash families (r15 VERDICT ask #2) — the vector family's
+arrival-proportional incremental maintenance and Structured-Streaming
+ingest, built on the published stores in ``embedding_index``:
+
+- ``embedding_neardup_incremental`` — the pair DELTA an arrival batch
+  (vec_id % 10 == EMB_ARRIVAL_RESIDUE) contributes: only the batch
+  pays the signature GEMM, candidates come from probing the published
+  BUCKETED signature store, and the exact fold-cosine rerank verifies.
+- ``embedding_neardup_clusters_incremental`` — star-contraction
+  cluster merge over the published cluster table plus the arrival
+  delta, completing incremental maintenance at every lifecycle level
+  for all FIVE dedup families.
+- ``stream_embedding_neardup_ingest`` — the shared replay-ingest
+  engine (``ingest.replay_ingest``) instantiated for the vector
+  family: per micro-batch, sign the arrivals, append their
+  (tbl, bucket) rows to the accumulated bucketed band table, probe
+  it, verify cosine against the accumulated vector store, append the
+  pair delta.
+
+All three carry full DuckDB oracles composed from the SAME
+md5-derived signature fragments ``embedding_neardup_lsh`` registers
+(one fragment set for batch build, maintenance, and streaming — the
+discipline that keeps candidate semantics from drifting).
+
+Reference anchor: the reference (HyeM207/Programmers-DATA) has no
+vector pipeline; this tier is north-star training-data-pipeline scope
+(SURVEY.md §2 "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..embedding_index import EMB_ARRIVAL_RESIDUE
+from ..registry import ORACLE, query
+from ._oracle_shared import _DUCK_NONZERO
+from .similarity_ops import (
+    _DUCK_COS,
+    _ND_BITS,
+    _ND_SALT,
+    _ND_TABLES,
+    _duck_sig_ctes,
+    _signature_kernel,
+    NEARDUP_THRESHOLD,
+    load_vectors,
+)
+
+_SIG_SCHEMA = "vec_id long, emb array<double>, tbl int, bucket long"
+
+
+def _emb_pair_sql(restrict: str = "", trailing: str = "") -> str:
+    """The embedding LSH pair derivation over the similarity tier's
+    registered SQL fragments (nonzero corpus, md5-derived signatures,
+    banded candidate self-join, exact-cosine rerank — verbatim the
+    embedding_neardup_lsh fragments, so maintenance contracts cannot
+    drift from the batch operator), optionally restricted (the
+    incremental closed form) or re-wrapped (the cluster rebuild)."""
+    return f"""
+    WITH {"RECURSIVE " if trailing else ""}e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE {_DUCK_NONZERO}
+    ),
+    {_duck_sig_ctes(_ND_SALT, _ND_TABLES * _ND_BITS, _ND_BITS)},
+    cand AS (
+      SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+      FROM sigs sa JOIN sigs sb
+        ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket
+       AND sa.vec_id < sb.vec_id
+    ),
+    fp AS (
+      SELECT vec_a, vec_b
+      FROM cand
+      JOIN e a ON a.vec_id = cand.vec_a
+      JOIN e b ON b.vec_id = cand.vec_b
+      WHERE {_DUCK_COS} >= {NEARDUP_THRESHOLD} {restrict}
+    )
+    {trailing or "SELECT vec_a, vec_b FROM fp ORDER BY vec_a, vec_b"}
+    """
+
+
+@query(
+    "embedding_neardup_incremental",
+    oracle=_emb_pair_sql(
+        restrict=(
+            f"AND (vec_a % 10 = {EMB_ARRIVAL_RESIDUE}"
+            f" OR vec_b % 10 = {EMB_ARRIVAL_RESIDUE})"
+        )
+    ),
+)
+def embedding_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup maintenance — the operation a
+    production vector pipeline runs per ingest batch: NEW arrivals
+    (vec_id % 10 == EMB_ARRIVAL_RESIDUE) are signed (only the batch
+    pays the Arrow GEMM) and their (tbl, bucket) rows probe the
+    PUBLISHED BUCKETED signature store — arrival × (existing +
+    arrivals) candidates with no Exchange and no per-run O(index)
+    signature re-derivation on the index side; the exact fold-cosine
+    rerank verifies. Output: exactly the pair delta the batch
+    contributes.
+
+    Correctness: incremental ≡ full — hyperplane signatures are
+    per-vector local and the cosine is per-pair local, so the delta
+    has a closed form: the FULL rebuild's pairs restricted to those
+    touching an arrival. The oracle IS that restriction over the
+    registered embedding_neardup_lsh fragments, so any asymmetry in
+    the incremental probe breaks the hash.
+
+    Scale shape: cost proportional to the ARRIVAL batch and its
+    bucket mates, never the index size — at 100 TB this is the
+    vector-dedup ingest job absorbing a day's crawl."""
+    from ..embedding_index import sig_store
+    from ..functions.vectors import cosine
+
+    emb = load_vectors(spark, sf_dir)
+    arrivals = emb.filter(F.col("vec_id") % 10 == EMB_ARRIVAL_RESIDUE)
+    asig = arrivals.mapInPandas(
+        _signature_kernel(_ND_SALT, _ND_TABLES, _ND_BITS),
+        schema=_SIG_SCHEMA,
+    ).select("vec_id", "tbl", "bucket")
+    allb = sig_store(spark, sf_dir)
+    cand = (
+        asig.alias("a")
+        .join(allb.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "embedding_neardup_clusters_incremental",
+    oracle=_emb_pair_sql(
+        trailing=""",
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM fp
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM fp
+    ),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY vec_id
+    """,
+    ),
+)
+def embedding_neardup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EMBEDDING cluster maintenance — the star-contraction
+    merge argument applied to the vector near-dup graph, completing
+    incremental maintenance at every lifecycle level for all five
+    dedup families: the PUBLISHED cluster table (components over
+    verified pairs whose BOTH endpoints predate the arrival batch)
+    contributes one star edge per non-root member, the registered
+    arrival-proportional pair delta contributes the only new
+    connectivity, and component resolution runs over that contracted
+    graph. Nothing about the existing corpus is re-signed, re-banded,
+    or re-clustered.
+
+    Correctness: the full pair set partitions into existing×existing
+    pairs (contracted into the stars) and pairs touching an arrival
+    (the delta — embedding_neardup_incremental's oracle restriction),
+    so components over (stars ∪ delta) equal the full rebuild's;
+    labels are vertex ids, so min-propagation recovers the exact
+    minimum member. Oracle: the full rebuild (reachability over the
+    registered LSH pair fragments)."""
+    from ..embedding_index import cluster_store
+    from ..operators import connected_components_auto
+
+    stored = cluster_store(spark, sf_dir)
+    stars = stored.filter(F.col("vec_id") != F.col("cluster_id")).select(
+        F.col("vec_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    delta = embedding_neardup_incremental(spark, sf_dir)
+    edges = stars.unionByName(
+        delta.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+    )
+    labels = connected_components_auto(edges, "src", "dst")
+    ids = load_vectors(spark, sf_dir).select("vec_id")
+    return (
+        ids.join(labels, ids["vec_id"] == labels["vertex"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# result handles per (applicationId, sf_dir) — *_CACHE contract
+_EMB_INGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Replay micro-batch count (the engine's n_slices protocol).
+N_EMB_SLICES = 3
+
+
+@query(
+    "stream_embedding_neardup_ingest",
+    oracle=ORACLE["embedding_neardup_lsh"],
+)
+def stream_embedding_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured Streaming EMBEDDING index maintenance — the shared
+    replay-ingest engine instantiated for the vector family,
+    completing streaming ingest across all five dedup families:
+    vec_id range slices of the nonzero corpus partition it into
+    micro-batches; per batch, ONLY the arrivals run the Arrow
+    signature GEMM (the exact kernel embedding_neardup_lsh runs), the
+    batch's (tbl, bucket) rows APPEND to an accumulated BUCKETED band
+    table which the batch then probes, and the fold-cosine-verified
+    pair delta appends to the pair store. Slices partition the
+    corpus, so each pair is found exactly once — in its later
+    member's batch — and the union of per-batch deltas equals the
+    FULL rebuild exactly. Oracle: the registered
+    embedding_neardup_lsh SQL verbatim.
+
+    Scale shape: per-batch cost is arrival-proportional (sign the
+    batch, probe the bucketed store, verify against the accumulated
+    vector store); nothing about earlier batches is re-signed or
+    re-banded. At 100 TB this is the vector-index ingest job: a day's
+    embeddings stream in, the published ANN index absorbs them."""
+    from ..embedding_index import EMB_INGEST_ENV
+    from ..functions.vectors import cosine
+    from ..ingest import replay_ingest
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EMB_INGEST_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    kernel = _signature_kernel(_ND_SALT, _ND_TABLES, _ND_BITS)
+
+    def verify(cand: DataFrame, index: DataFrame) -> DataFrame:
+        ea = index.select(
+            F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
+        )
+        eb = index.select(
+            F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")
+        )
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
+            .select("vec_a", "vec_b")
+        )
+
+    result = replay_ingest(
+        spark,
+        load_vectors(spark, sf_dir),
+        slice_col="vec_id",
+        state_frame=lambda s, bdf: bdf.mapInPandas(
+            kernel, schema=_SIG_SCHEMA
+        ),
+        # the kernel emits one row per (vector, table); tbl == 0
+        # deterministically picks one (vec_id, emb) row per vector
+        # for the accumulated verify-side store
+        index_select=lambda st: st.filter(F.col("tbl") == 0).select(
+            "vec_id", "emb"
+        ),
+        band_frame=lambda st: st.select("vec_id", "tbl", "bucket"),
+        verify=verify,
+        id_col="vec_id",
+        pair_cols=("vec_a", "vec_b"),
+        band_cols=("tbl", "bucket"),
+        pair_schema="vec_a long, vec_b long",
+        store_env=EMB_INGEST_ENV,
+        scratch_prefix="embingest_",
+        table_prefix="embingest_bands_",
+        n_slices=N_EMB_SLICES,
+    )
+    _EMB_INGEST_CACHE[key] = result
+    return result

@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.media_lifecycle_ops",  # 10 (→256)
     "programmers_data_spark.queries.round14_ops",  # 4 (→260)
     "programmers_data_spark.queries.round15_ops",  # 3 (→263)
+    "programmers_data_spark.queries.round16_ops",  # 3 (→266)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -70,28 +71,28 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
-# ROUND-16 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
-# below (stream_text_neardup_ingest,
-# text_neardup_clusters_incremental — the late r15 registrations
-# that landed after the window filled), then round-16 NEW
-# registrations (group 2;
-# never-driver-checked outranks stale refreshes — the standing
-# principle), then 2-3 round-15-green sentinels on whatever the r16
-# diff touches, then the backlog: the REMAINING 15-name r10 tail
-# (in registration order: sq8_topk_recall, mrl_truncation_recall,
-# phrase_match_positional, embedding_chunk_pool,
-# orc_partitioned_roundtrip, collocation_lift, vocab_growth_curve,
-# source_bigram_overlap, token_freq_spectrum, skipgram_cooccurrence,
-# quality_linear_score, cdc_apply_tombstones, neardup_cluster_profile,
-# ivf_probe_sweep, lang_confidence_margin — derive from the records
-# as always: names whose latest green round is 10), then the r11
-# tier in (vintage, registration-order) order to fill 50. Keep
+# ROUND-17 ROTATION PLAN: group 1 (leads) = NEXT_WINDOW_LEADS at
+# that time (empty as of the r16 rotation — every oracled
+# registration is either in the r16 window or driver-checked), then
+# round-17 NEW registrations (never-driver-checked outranks stale
+# refreshes — the standing principle), then 2-3 round-16-green
+# sentinels on whatever the r17 diff touches, then the backlog:
+# the REMAINING 19-name r11 tail (in registration order:
+# segment_overlap_sketch, cms_heavy_hitters, rolling_7d_revenue,
+# daily_revenue_dense, ewma_daily_revenue, session_stats,
+# unigram_seed_vocab, unigram_em_contract, ivf_incremental_assign,
+# scd2_point_in_time, zorder_prune_contract, copurchase_pairs,
+# rp_project, rp_distance_contract, triangle_counts,
+# time_weighted_value, wordpiece_encoded_counts, ks_drift_by_source,
+# pipeline_funnel_contract — derive from the records as always:
+# names whose latest green round is 11), then the r12 tier in
+# (vintage, registration-order) order to fill 50. Keep
 # stream_tws_value_stats OUTSIDE the window (honestly gated:
 # google.protobuf absent, installs disallowed — semantics
 # driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 16 in the same commit that rewrites the groups —
+# WINDOW_ROUND to 17 in the same commit that rewrites the groups —
 # the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -124,93 +125,94 @@ ROWS_ONLY = frozenset({
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# the three late-r14 registrations queued in r14's NEXT_WINDOW_LEADS
-# (the r14 VERDICT's explicit "the r15 window MUST lead with them"):
-# the multimodal report tier's split-leakage gate, benchmark
-# decontamination audit, and dedup threshold-tuning sweep. All three
-# are oracle-certified in-suite and compose ONLY the published pair
-# stores the r14-green report/funnel queries certify.
+# the two late-r15 registrations queued in r15's NEXT_WINDOW_LEADS
+# (the r15 VERDICT's explicit "the r16 window MUST lead with them"):
+# the text tier's Structured-Streaming index ingest and incremental
+# cluster maintenance. Both are oracle-certified in-suite and
+# compose machinery the r15-green rows certify (the sig_frame Arrow
+# kernel via text_jaccard_topk, the verified pair store via the
+# report tier).
 _WINDOW_LEADS = (
-    "split_media_leakage",
-    "eval_contamination_audit",
-    "dedup_threshold_sweep",
+    "stream_text_neardup_ingest",
+    "text_neardup_clusters_incremental",
 )
 
-# Group 2 — round-15 NEW registrations (never driver-checked): the
-# audio/video incremental CLUSTER maintenance legs (the engine's
-# star-contraction merge, completing incremental maintenance at
-# every lifecycle level for every modality — r14 VERDICT ask #5) and
-# the text tier's serving read path (MinHash band candidates + exact
-# Jaccard rerank top-K, completing serving parity across all five
-# dedup families — ask #8). All three carry full oracles.
+# Group 2 — round-16 NEW registrations (never driver-checked): the
+# EMBEDDING family's lifecycle completion (r15 VERDICT ask #2) —
+# arrival-proportional incremental pair maintenance over the
+# published bucketed signature store, star-contraction incremental
+# cluster merge, and the shared replay-engine streaming ingest. All
+# three carry full oracles composed from the registered
+# embedding_neardup_lsh fragments.
 _WINDOW_NEW = (
+    "embedding_neardup_incremental",
+    "embedding_neardup_clusters_incremental",
+    "stream_embedding_neardup_ingest",
+)
+
+# Group 3 — r15-green sentinels sitting directly on the round-16
+# diff: stream_image_neardup_ingest re-certifies the media engine's
+# ingest path after the replay loop moved into ingest.replay_ingest
+# (r15 VERDICT ask #7); audio/video_neardup_clusters_incremental
+# re-certify incremental_clusters + connected_components under the
+# r16 union-find output-typing change (r15 ADVICE #2).
+_WINDOW_SENTINELS = (
+    "stream_image_neardup_ingest",
     "audio_neardup_clusters_incremental",
     "video_neardup_clusters_incremental",
-    "text_jaccard_topk",
-)
-
-# Group 3 — r14-green sentinels sitting directly on the round-15
-# diff: image_neardup_clusters_incremental runs the SAME
-# media_index.incremental_clusters engine path the two new cluster
-# queries instantiate; stream_image_neardup_ingest re-certifies
-# streaming_ingest under the r15 _INGEST_CACHE memo-key change (r14
-# ADVICE #1); media_curation_report re-certifies the report tier
-# under the derived-modality-grid refactor (r14 ADVICE #4).
-_WINDOW_SENTINELS = (
-    "image_neardup_clusters_incremental",
-    "stream_image_neardup_ingest",
-    "media_curation_report",
 )
 
 # Group 4 — stale tiers oldest-first, in registration order: the
-# COMPLETE 9-name r9 tail (latest green driver row r9 — the oldest
-# vintage after r14 drained the first 39), then the first 32 of the
-# 47-name r10 tier. The trimmed 15-name r10 tail (sq8_topk_recall
-# onward) leads the r16 backlog per the ROUND-16 ROTATION PLAN above.
+# COMPLETE 15-name r10 tail (latest green driver row r10 — the
+# oldest vintage after r15 drained the r9 tier and the first 32 r10
+# names), then the first 27 of the 46-name r11 tier. The trimmed
+# 19-name r11 tail (segment_overlap_sketch onward) leads the r17
+# backlog per the ROUND-17 ROTATION PLAN above.
 _WINDOW_STALE = (
-    # r9 tail — drains the tier completely
-    "idle_rich_customers",
-    "bulk_suppliers_for_parts",
-    "mau_approx_error",
-    "jsonl_shard_roundtrip",
-    "lm_surprisal_bits",
-    "ccnet_perplexity_bands",
-    "blocklist_doc_flags",
-    "length_bucket_batches",
-    "oov_rate_by_vocab",
-    # r10 tier, registration-order prefix (32 of 47)
-    "scd2_intervals",
-    "incr_mau_refresh",
-    "token_heavy_hitters",
-    "fuzzy_match_pairs",
-    "stream_stateful_value_stats",
-    "stream_late_data_audit",
-    "dau",
-    "channel_firstlast",
-    "nps",
-    "funnel_signup_purchase",
-    "dup_span_scrub",
-    "dup_rate_threshold_sweep",
-    "ohlc_daily",
-    "nation_pagerank",
-    "mad_outliers",
-    "ingest_freshness",
-    "volume_anomaly_days",
-    "embedding_topk",
-    "embedding_neardup",
-    "label_quality_profile",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_features",
-    "ivf_recall_at5",
-    "quantile_sketch_error",
-    "pq_recall_at5",
-    "train_val_split",
-    "token_budget_sample",
-    "mixture_resample",
-    "split_leakage_check",
-    "inverted_postings",
+    # r10 tail — drains the tier completely
+    "sq8_topk_recall",
+    "mrl_truncation_recall",
+    "phrase_match_positional",
+    "embedding_chunk_pool",
+    "orc_partitioned_roundtrip",
+    "collocation_lift",
+    "vocab_growth_curve",
+    "source_bigram_overlap",
+    "token_freq_spectrum",
+    "skipgram_cooccurrence",
+    "quality_linear_score",
+    "cdc_apply_tombstones",
+    "neardup_cluster_profile",
+    "ivf_probe_sweep",
+    "lang_confidence_margin",
+    # r11 tier, registration-order prefix (27 of 46)
+    "dedup_keep_latest",
+    "upsert_keyed",
+    "distinct_rows",
+    "csv_parse_project",
+    "json_nested_project",
+    "epoch_to_date",
+    "ts_format",
+    "daily_filter",
+    "clean_currency",
+    "null_fill",
+    "token_count",
+    "text_stats",
+    "doc_fingerprint",
+    "quality_score",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "doc_winnow_fingerprint",
+    "corpus_clean",
+    "winnow_collision_pairs",
+    "dedup_exact",
+    "stream_dedup_horizon_audit",
+    "bm25_topk",
+    "bloom_decontam",
+    "bloom_decontam_misses",
+    "semantic_dedup_recall",
+    "embedding_sq8",
+    "mau_sketch_rollup",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
@@ -219,15 +221,10 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). The two LATE round-15 registrations below landed after
-# the r15 window filled (its 9+32 stale drain is the promised one);
-# both are oracle-certified in-suite and compose machinery the
-# in-window queries certify (the sig_frame Arrow kernel via
-# text_jaccard_topk, the verified pair store via the report tier).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "stream_text_neardup_ingest",
-    "text_neardup_clusters_incremental",
-)
+# window). Empty as of the r16 rotation: the two late-r15
+# registrations lead the r16 window and the three r16 registrations
+# fill group 2.
+NEXT_WINDOW_LEADS: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -81,3 +81,180 @@ def test_driver_resolve_rejects_non_integral_mismatch(spark):
     )
     with pytest.raises(Exception, match="homogeneous"):
         connected_components(edges, "src", "dst")
+
+
+# ------------------------------------ embedding family lifecycle
+
+import os  # noqa: E402
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from programmers_data_spark import registry  # noqa: E402
+from programmers_data_spark.testing import compare_to_oracle  # noqa: E402
+from tests.conftest import SF_ORACLE as SF_DIR  # noqa: E402
+
+registry.load_all()
+
+_NEW = (
+    "embedding_neardup_incremental",
+    "embedding_neardup_clusters_incremental",
+    "stream_embedding_neardup_ingest",
+)
+
+
+def test_new_query_oracle_parity(spark):
+    for name in _NEW:
+        res = compare_to_oracle(
+            name,
+            registry.QUERIES[name](spark, SF_DIR),
+            registry.ORACLE[name],
+            SF_DIR,
+        )
+        assert res.ok, res
+
+
+def test_incremental_union_untouched_equals_full(spark):
+    """delta ∪ (published pairs with both endpoints existing) must
+    equal the FULL batch rebuild (embedding_neardup_lsh) exactly —
+    Spark-vs-Spark (the SQL oracle proves the same against DuckDB);
+    the closed form behind the incremental oracle restriction."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.embedding_index import (
+        EMB_ARRIVAL_RESIDUE,
+        pair_store,
+    )
+
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_neardup_lsh"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert full, "full pair set empty on the oracle fixture"
+    is_existing = lambda c: (F.col(c) % 10) != EMB_ARRIVAL_RESIDUE  # noqa: E731
+    untouched = {
+        (r.vec_a, r.vec_b)
+        for r in pair_store(spark, SF_DIR)
+        .filter(is_existing("vec_a") & is_existing("vec_b"))
+        .collect()
+    }
+    delta = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_neardup_incremental"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert delta, "arrival delta empty — residue choice is vacuous"
+    assert not (delta & untouched), "delta overlaps existing pairs"
+    assert delta | untouched == full, len((delta | untouched) ^ full)
+
+
+def test_incremental_clusters_equal_full_rebuild(spark):
+    """Star-contraction merge over (published clusters ∪ arrival
+    delta) reproduces components of the FULL near-dup graph —
+    Spark-vs-Spark (the SQL oracle proves the same against DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.operators import (
+        connected_components_auto,
+    )
+    from programmers_data_spark.queries.similarity_ops import (
+        load_vectors,
+    )
+
+    pairs = registry.QUERIES["embedding_neardup_lsh"](spark, SF_DIR)
+    labels = connected_components_auto(pairs, "vec_a", "vec_b")
+    ids = load_vectors(spark, SF_DIR).select("vec_id")
+    full = {
+        (r.vec_id, r.cluster_id)
+        for r in ids.join(
+            labels, ids["vec_id"] == labels["vertex"], "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+        )
+        .collect()
+    }
+    incr = {
+        (r.vec_id, r.cluster_id)
+        for r in registry.QUERIES[
+            "embedding_neardup_clusters_incremental"
+        ](spark, SF_DIR).collect()
+    }
+    assert incr == full, len(incr ^ full)
+
+
+def test_embedding_stream_ingest_equals_full_rebuild(spark):
+    """The union of per-batch pair deltas equals the LSH batch
+    operator's full pair set EXACTLY — Spark-vs-Spark; slices
+    partition the corpus so each pair lands once, in its later
+    member's batch."""
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embedding_neardup_lsh"](
+            spark, SF_DIR
+        ).collect()
+    }
+    streamed = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["stream_embedding_neardup_ingest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert full, "full pair set empty on the oracle fixture"
+    assert streamed == full, len(streamed ^ full)
+
+
+def test_embedding_ingest_cleans_scratch(spark):
+    """The replay scratch tree is removed once the snapshot
+    localCheckpoints — the engine discipline, for the vector
+    instantiation too."""
+    import glob
+
+    from programmers_data_spark.queries import round16_ops
+    from programmers_data_spark.embedding_index import EMB_INGEST_ENV
+    from programmers_data_spark.storeutil import store_base
+
+    round16_ops._EMB_INGEST_CACHE.clear()
+    registry.QUERIES["stream_embedding_neardup_ingest"](
+        spark, SF_DIR
+    ).count()
+    base = store_base(EMB_INGEST_ENV, "spark_graft_embingest")
+    assert glob.glob(os.path.join(base, "embingest_*")) == []
+
+
+def test_pair_store_publishes_once_and_rereads(spark, tmp_path, monkeypatch):
+    """Second read comes from the published artifact (no recompute):
+    the store dir holds exactly one generation after two cold calls
+    from fresh memo state."""
+    from programmers_data_spark import embedding_index as EI
+
+    monkeypatch.setenv(EI.EMB_STORE_ENV, str(tmp_path))
+    EI._SIG_STORE_CACHE.clear()
+    EI._EMB_PAIR_STORE_CACHE.clear()
+    EI._EMB_CLUSTER_STORE_CACHE.clear()
+    first = {
+        (r.vec_a, r.vec_b)
+        for r in EI.pair_store(spark, SF_DIR).collect()
+    }
+    EI._EMB_PAIR_STORE_CACHE.clear()
+    second = {
+        (r.vec_a, r.vec_b)
+        for r in EI.pair_store(spark, SF_DIR).collect()
+    }
+    assert first == second and first
+    gens = [
+        d
+        for d in os.listdir(
+            os.path.join(
+                str(tmp_path),
+                os.listdir(str(tmp_path))[0],
+                "emb_pairs",
+            )
+        )
+        if d.startswith("gen-")
+    ]
+    assert len(gens) == 1, gens

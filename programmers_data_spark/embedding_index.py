@@ -172,6 +172,63 @@ def sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table
 
 
+def cos_prefilter_kernel():
+    """mapInPandas generator over (vec_a, vec_b, ea, eb) rows: one
+    vectorized float64 cosine pass per Arrow batch, keeping rows at
+    or above NEARDUP_THRESHOLD minus the LSH tier's guard band. The
+    GEMM only PREFILTERS (numpy's normalized cosine and the serial
+    fold differ by ulps); callers re-check survivors on the fold
+    cosine both engines share bitwise — the embedding_neardup_lsh
+    discipline applied to the probe-join paths, where the interpreted
+    fold over the full banded candidate set (~L·N/2^k rows per
+    arrival) costs seconds the GEMM does in milliseconds."""
+    import numpy as np
+
+    from .queries.similarity_ops import _ND_GUARD_BAND, NEARDUP_THRESHOLD
+
+    cut = NEARDUP_THRESHOLD - _ND_GUARD_BAND
+
+    def prefilter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
+            a = np.array(list(pdf["ea"]), dtype=np.float64)
+            b = np.array(list(pdf["eb"]), dtype=np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pdf.loc[cos >= cut]
+
+    return prefilter
+
+
+_PREFILTER_SCHEMA = (
+    "vec_a long, vec_b long, ea array<double>, eb array<double>"
+)
+
+
+def verify_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact near-dup verification of normalized (vec_a, vec_b)
+    candidates against vector table ``emb`` (vec_id, emb): join both
+    embeddings, Arrow-GEMM prefilter with the guard band, decisive
+    fold-cosine threshold on the survivors. Returns (vec_a, vec_b)."""
+    from .functions.vectors import cosine
+    from .queries.similarity_ops import NEARDUP_THRESHOLD
+
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    pre = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "ea", "eb")
+        .mapInPandas(cos_prefilter_kernel(), schema=_PREFILTER_SCHEMA)
+    )
+    return (
+        pre.filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
+        .select("vec_a", "vec_b")
+    )
+
+
 def pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-dup PAIR set as a published artifact — the
     text tier's ``verified_pair_store`` pattern for the vector index.
@@ -187,9 +244,8 @@ def pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EMB_PAIR_STORE_CACHE.get(key)
     if cached is not None:
         return cached
-    from .functions.vectors import cosine
     from .publish import publish_versioned, read_versioned
-    from .queries.similarity_ops import NEARDUP_THRESHOLD, load_vectors
+    from .queries.similarity_ops import load_vectors
 
     table_dir = store_table_dir(sf_dir, "emb_pairs")
     try:
@@ -206,19 +262,7 @@ def pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        emb = load_vectors(spark, sf_dir)
-        ea = emb.select(
-            F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
-        )
-        eb = emb.select(
-            F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")
-        )
-        computed = (
-            cand.join(ea, "vec_a")
-            .join(eb, "vec_b")
-            .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
-            .select("vec_a", "vec_b")
-        )
+        computed = verify_pairs(cand, load_vectors(spark, sf_dir))
         if computed.limit(1).count() == 0:  # bounded 1-value scalar
             return computed
         publish_versioned(computed, table_dir)

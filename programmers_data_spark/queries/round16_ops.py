@@ -112,8 +112,7 @@ def embedding_neardup_incremental(
     Scale shape: cost proportional to the ARRIVAL batch and its
     bucket mates, never the index size — at 100 TB this is the
     vector-dedup ingest job absorbing a day's crawl."""
-    from ..embedding_index import sig_store
-    from ..functions.vectors import cosine
+    from ..embedding_index import sig_store, verify_pairs
 
     emb = load_vectors(spark, sf_dir)
     arrivals = emb.filter(F.col("vec_id") % 10 == EMB_ARRIVAL_RESIDUE)
@@ -132,15 +131,11 @@ def embedding_neardup_incremental(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
-        .select("vec_a", "vec_b")
-        .orderBy("vec_a", "vec_b")
-    )
+    # exact verification: Arrow GEMM prefilter with the guard band,
+    # decisive fold-cosine on the survivors (the lsh discipline —
+    # the interpreted fold over the full L·N/2^k candidate set would
+    # dominate the query's cost)
+    return verify_pairs(cand, emb).orderBy("vec_a", "vec_b")
 
 
 @query(
@@ -241,8 +236,7 @@ def stream_embedding_neardup_ingest(
     vector store); nothing about earlier batches is re-signed or
     re-banded. At 100 TB this is the vector-index ingest job: a day's
     embeddings stream in, the published ANN index absorbs them."""
-    from ..embedding_index import EMB_INGEST_ENV
-    from ..functions.vectors import cosine
+    from ..embedding_index import EMB_INGEST_ENV, verify_pairs
     from ..ingest import replay_ingest
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -253,18 +247,7 @@ def stream_embedding_neardup_ingest(
     kernel = _signature_kernel(_ND_SALT, _ND_TABLES, _ND_BITS)
 
     def verify(cand: DataFrame, index: DataFrame) -> DataFrame:
-        ea = index.select(
-            F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")
-        )
-        eb = index.select(
-            F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")
-        )
-        return (
-            cand.join(ea, "vec_a")
-            .join(eb, "vec_b")
-            .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
-            .select("vec_a", "vec_b")
-        )
+        return verify_pairs(cand, index)
 
     result = replay_ingest(
         spark,

@@ -73,9 +73,12 @@ def _algo_fp() -> str:
         NEARDUP_THRESHOLD,
     )
 
+    # v2: the pair store carries cos_bp (exact basis points of the
+    # fold cosine) so threshold sweeps are pure store reads — the
+    # ham_d / jaccard pattern of the other four families' stores
     return (
         f"hplsh|{_ND_SALT}|{_ND_TABLES}x{_ND_BITS}|q{_SIG_SCALE}"
-        f"|t{NEARDUP_THRESHOLD}|v1"
+        f"|t{NEARDUP_THRESHOLD}|v2"
     )
 
 
@@ -207,11 +210,17 @@ _PREFILTER_SCHEMA = (
 )
 
 
-def verify_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+def verify_pairs(
+    cand: DataFrame, emb: DataFrame, include_cos_bp: bool = False
+) -> DataFrame:
     """Exact near-dup verification of normalized (vec_a, vec_b)
     candidates against vector table ``emb`` (vec_id, emb): join both
     embeddings, Arrow-GEMM prefilter with the guard band, decisive
-    fold-cosine threshold on the survivors. Returns (vec_a, vec_b)."""
+    fold-cosine threshold on the survivors. Returns (vec_a, vec_b),
+    plus ``cos_bp`` — exact basis points of the fold cosine,
+    floor(cos * 1e4 + 0.5) on the bitwise-shared double, so a stored
+    value compares exactly against integer grid literals on both
+    engines — when ``include_cos_bp`` (the pair-store producer)."""
     from .functions.vectors import cosine
     from .queries.similarity_ops import NEARDUP_THRESHOLD
 
@@ -223,10 +232,15 @@ def verify_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
         .select("vec_a", "vec_b", "ea", "eb")
         .mapInPandas(cos_prefilter_kernel(), schema=_PREFILTER_SCHEMA)
     )
-    return (
-        pre.filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
-        .select("vec_a", "vec_b")
-    )
+    cos = cosine("ea", "eb")
+    out = pre.filter(cos >= F.lit(NEARDUP_THRESHOLD))
+    if include_cos_bp:
+        return out.select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * 10000 + F.lit(0.5)).cast("long").alias("cos_bp"),
+        )
+    return out.select("vec_a", "vec_b")
 
 
 def pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +276,9 @@ def pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        computed = verify_pairs(cand, load_vectors(spark, sf_dir))
+        computed = verify_pairs(
+            cand, load_vectors(spark, sf_dir), include_cos_bp=True
+        )
         if computed.limit(1).count() == 0:  # bounded 1-value scalar
             return computed
         publish_versioned(computed, table_dir)

@@ -275,3 +275,183 @@ def stream_embedding_neardup_ingest(
     )
     _EMB_INGEST_CACHE[key] = result
     return result
+
+
+# ----------------------------------- published-store report reads
+
+# Cosine cut points for the tuning sweep, in exact basis points (the
+# store's cos_bp is floor(cos*1e4+0.5) on the fold cosine both
+# engines share bitwise, so >= against these integer literals is
+# exact). The grid starts at the live verify threshold — the store
+# holds every pair with cos >= NEARDUP_THRESHOLD, so the sweep is
+# exact BY CONSTRUCTION from that point up; below it the banded
+# candidates no longer guarantee recall, which is exactly why lower
+# rows are not offered (the dedup_threshold_sweep discipline).
+EMB_SWEEP_BPS = (4200, 4400, 4600, 4800, 5000, 5500)
+
+
+def _emb_store_sql(trailing: str) -> str:
+    """The pair-store content (pairs + exact cos basis points) as a
+    reusable oracle prefix: the registered LSH fragments re-ranked
+    with the same floor(cos*1e4+0.5) the store producer writes."""
+    return _emb_pair_sql(
+        trailing=f""",
+    store AS (
+      SELECT fp.vec_a, fp.vec_b,
+             CAST(floor(({_DUCK_COS.replace("a.emb", "a2.emb").replace("b.emb", "b2.emb")}) * 10000 + 0.5) AS BIGINT)
+               AS cos_bp
+      FROM fp
+      JOIN e a2 ON a2.vec_id = fp.vec_a
+      JOIN e b2 ON b2.vec_id = fp.vec_b
+    )
+    {trailing}
+    """
+    )
+
+
+def _emb_sweep_oracle() -> str:
+    grid_rows = " UNION ALL ".join(
+        f"SELECT {bp} AS threshold_bps" for bp in EMB_SWEEP_BPS
+    )
+    return _emb_store_sql(
+        f""",
+    grid AS ({grid_rows})
+    SELECT CAST(g.threshold_bps AS BIGINT) AS threshold_bps,
+           CAST(count(s.vec_a) AS BIGINT) AS n_pairs
+    FROM grid g LEFT JOIN store s ON s.cos_bp >= g.threshold_bps
+    GROUP BY g.threshold_bps
+    ORDER BY threshold_bps
+    """
+    )
+
+
+@query("embedding_threshold_sweep", oracle=_emb_sweep_oracle())
+def embedding_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector family's threshold tuning curve — the read an
+    operator does before committing a semantic-dedup config: verified
+    near-dup pair counts at cosine cut points (exact basis points,
+    4200..5500), from the PUBLISHED pair store's cos_bp column. A
+    cliff marks the natural dup/distinct separation. The sweep starts
+    at the live verify threshold because that is the exact-recall
+    region the banded candidates guarantee (the
+    dedup_threshold_sweep discipline).
+
+    Scale shape: no join carries the pair data — each stored pair row
+    explodes the 6-element literal grid, filters, and feeds one
+    map-side-combinable groupBy (linear in the bounded published
+    store; no re-signing, no re-banding); the literal grid only
+    zero-fills the output through an equi left join."""
+    from ..embedding_index import pair_store
+
+    sp = pair_store(spark, sf_dir).select("cos_bp")
+    arr = F.array(*[F.lit(int(b)) for b in EMB_SWEEP_BPS])
+    counts = (
+        sp.select(F.explode(arr).alias("threshold_bps"), "cos_bp")
+        .filter(F.col("cos_bp") >= F.col("threshold_bps"))
+        .groupBy("threshold_bps")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    grid = spark.range(1).select(
+        F.explode(arr).alias("threshold_bps")
+    )
+    return (
+        grid.join(counts, "threshold_bps", "left")
+        .select(
+            F.col("threshold_bps").cast("long").alias("threshold_bps"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("threshold_bps")
+    )
+
+
+def _emb_dup_rate_oracle() -> str:
+    return _emb_store_sql(
+        """,
+    members AS (
+      -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE
+      -- (inherited from the shared fragment prefix) DuckDB does NOT
+      -- apply set-union dedup to this CTE's plain UNION (measured:
+      -- 54 rows from 27 pairs with 51 distinct members)
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_a AS vec_id FROM store
+        UNION ALL
+        SELECT vec_b AS vec_id FROM store
+      )
+    ),
+    base AS (
+      SELECT em.label, count(*) AS n_vectors
+      FROM e JOIN embeddings em ON em.vec_id = e.vec_id
+      GROUP BY em.label
+    ),
+    dups AS (
+      SELECT em.label, count(*) AS n_dup_members
+      FROM members m JOIN embeddings em ON em.vec_id = m.vec_id
+      GROUP BY em.label
+    )
+    SELECT b.label,
+           CAST(b.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dup_members, 0) AS BIGINT) AS n_dup_members,
+           CAST(coalesce(d.n_dup_members, 0) * 10000 // b.n_vectors
+                AS BIGINT) AS dup_bp
+    FROM base b LEFT JOIN dups d ON d.label = b.label
+    ORDER BY b.label
+    """
+    )
+
+
+@query("embedding_dup_rate_by_label", oracle=_emb_dup_rate_oracle())
+def embedding_dup_rate_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label semantic duplication report — the vector analog of
+    near_dup_rate_by_source: for each label, how many of its
+    (nonzero) vectors participate in at least one verified near-dup
+    pair, as an exact integer rate in basis points (10000 * members
+    div vectors — single integer division, engine-portable). The
+    curation read that decides which label buckets need semantic
+    dedup before training.
+
+    Composes ONLY the published pair store (nothing re-derives the
+    pair set); the label join reads the embeddings table's metadata
+    columns. Zero-filled per label via a left join, so labels with no
+    dups report 0 — absent rows would read as 'not measured'."""
+    from ..catalog import load_table
+    from ..embedding_index import pair_store
+
+    sp = pair_store(spark, sf_dir)
+    members = (
+        sp.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(sp.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    base = (
+        load_vectors(spark, sf_dir)
+        .select("vec_id")
+        .join(labels, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    dups = (
+        members.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_members"))
+    )
+    return (
+        base.join(dups, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_dup_members", F.lit(0))
+            .cast("long")
+            .alias("n_dup_members"),
+            F.expr("coalesce(n_dup_members, 0) * 10000 div n_vectors")
+            .cast("long")
+            .alias("dup_bp"),
+        )
+        .orderBy("label")
+    )

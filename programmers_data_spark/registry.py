@@ -60,7 +60,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.media_lifecycle_ops",  # 10 (→256)
     "programmers_data_spark.queries.round14_ops",  # 4 (→260)
     "programmers_data_spark.queries.round15_ops",  # 3 (→263)
-    "programmers_data_spark.queries.round16_ops",  # 3 (→266)
+    "programmers_data_spark.queries.round16_ops",  # 5 (→268)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -73,11 +73,11 @@ _QUERY_MODULES = (
 # state and self-expired the moment CORRECTNESS_r09.json landed).
 WINDOW_ROUND = 16
 
-# ROUND-17 ROTATION PLAN: group 1 (leads) = NEXT_WINDOW_LEADS at
-# that time (empty as of the r16 rotation — every oracled
-# registration is either in the r16 window or driver-checked), then
-# round-17 NEW registrations (never-driver-checked outranks stale
-# refreshes — the standing principle), then 2-3 round-16-green
+# ROUND-17 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
+# below (embedding_threshold_sweep, embedding_dup_rate_by_label —
+# the late r16 registrations that landed after the window filled),
+# then round-17 NEW registrations (never-driver-checked outranks
+# stale refreshes — the standing principle), then 2-3 round-16-green
 # sentinels on whatever the r17 diff touches, then the backlog:
 # the REMAINING 19-name r11 tail (in registration order:
 # segment_overlap_sketch, cms_heavy_hitters, rolling_7d_revenue,
@@ -221,10 +221,17 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). Empty as of the r16 rotation: the two late-r15
-# registrations lead the r16 window and the three r16 registrations
-# fill group 2.
-NEXT_WINDOW_LEADS: tuple[str, ...] = ()
+# window). The two LATE round-16 registrations below landed after
+# the r16 window filled (its 15+27 stale drain is the promised one);
+# both are oracle-certified in-suite and READ the published
+# embedding pair store that the in-window r16 queries' certified
+# machinery builds (the sweep and per-label report faces of the
+# vector family — the dedup_threshold_sweep / near_dup_rate_by_source
+# pattern).
+NEXT_WINDOW_LEADS: tuple[str, ...] = (
+    "embedding_threshold_sweep",
+    "embedding_dup_rate_by_label",
+)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -100,6 +100,8 @@ _NEW = (
     "embedding_neardup_incremental",
     "embedding_neardup_clusters_incremental",
     "stream_embedding_neardup_ingest",
+    "embedding_threshold_sweep",
+    "embedding_dup_rate_by_label",
 )
 
 

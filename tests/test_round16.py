@@ -260,3 +260,99 @@ def test_pair_store_publishes_once_and_rereads(spark, tmp_path, monkeypatch):
         if d.startswith("gen-")
     ]
     assert len(gens) == 1, gens
+
+
+def test_prefilter_never_drops_a_fold_accepted_pair(spark):
+    """The guard-band contract behind verify_pairs: the numpy GEMM
+    prefilter (threshold - 1e-6) must never reject a candidate the
+    decisive fold cosine accepts — otherwise the prefilter would
+    silently change results. Checked exhaustively on the oracle
+    fixture: verify_pairs over ALL corpus pairs == the brute-force
+    fold-threshold pair set."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.embedding_index import verify_pairs
+    from programmers_data_spark.functions.vectors import cosine
+    from programmers_data_spark.queries.similarity_ops import (
+        NEARDUP_THRESHOLD,
+        load_vectors,
+    )
+
+    emb = load_vectors(spark, SF_DIR)
+    ids = emb.select("vec_id")
+    allpairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in verify_pairs(allpairs, emb).collect()
+    }
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in allpairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine("ea", "eb") >= F.lit(NEARDUP_THRESHOLD))
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert got == want, len(got ^ want)
+    assert want, "fold-threshold pair set empty on the oracle fixture"
+
+
+def test_embedding_stores_on_degenerate_fixture(
+    spark, tmp_path, monkeypatch
+):
+    """Empty/zero-vector corpora must flow through every store and
+    maintenance path without publishing empty tables or raising
+    (ANSI div-by-zero, publish-empty rejection): zero vectors are
+    defined OUT of the similarity corpus, so a fixture of only zero
+    vectors behaves as an empty corpus end to end."""
+    import pandas as pd
+
+    from programmers_data_spark import embedding_index as EI
+    from programmers_data_spark.queries import round16_ops
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[0.0] * 64] * 3,  # all zero-norm
+            "label": [0, 1, 2],
+        }
+    ).to_parquet(fx / "embeddings.parquet", index=False)
+    monkeypatch.setenv(EI.EMB_STORE_ENV, str(tmp_path / "store"))
+    monkeypatch.setenv(EI.EMB_INGEST_ENV, str(tmp_path / "ing"))
+    EI._SIG_STORE_CACHE.clear()
+    EI._EMB_PAIR_STORE_CACHE.clear()
+    EI._EMB_CLUSTER_STORE_CACHE.clear()
+    round16_ops._EMB_INGEST_CACHE.clear()
+    sfd = str(fx)
+    assert EI.sig_store(spark, sfd).count() == 0
+    assert EI.pair_store(spark, sfd).count() == 0
+    assert EI.cluster_store(spark, sfd).count() == 0
+    from programmers_data_spark import registry as R
+
+    assert R.QUERIES["embedding_neardup_incremental"](spark, sfd).count() == 0
+    assert (
+        R.QUERIES["embedding_neardup_clusters_incremental"](
+            spark, sfd
+        ).count()
+        == 0
+    )
+    assert (
+        R.QUERIES["stream_embedding_neardup_ingest"](spark, sfd).count()
+        == 0
+    )
+    sweep = R.QUERIES["embedding_threshold_sweep"](spark, sfd).collect()
+    assert [r.n_pairs for r in sweep] == [0] * len(
+        round16_ops.EMB_SWEEP_BPS
+    )
+    assert R.QUERIES["embedding_dup_rate_by_label"](spark, sfd).count() == 0

@@ -356,3 +356,96 @@ def test_embedding_stores_on_degenerate_fixture(
         round16_ops.EMB_SWEEP_BPS
     )
     assert R.QUERIES["embedding_dup_rate_by_label"](spark, sfd).count() == 0
+
+
+def test_replay_ingest_engine_toy_family(spark, tmp_path, monkeypatch):
+    """Engine-level contract for ingest.replay_ingest, independent of
+    any dedup family: a toy family whose 'signature' is id % 4 (band)
+    and whose verify accepts every normalized candidate must emit
+    EXACTLY the same-band pairs — each found once, in its later
+    member's batch — across the 3-slice replay. Exercises the slice
+    protocol, the append-then-probe bucketed band table, the state
+    accumulation, the final distinct + ordering, and scratch cleanup."""
+    import glob
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.ingest import replay_ingest
+
+    monkeypatch.setenv("SPARK_GRAFT_TOY_INGEST", str(tmp_path))
+    n = 24
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def verify(cand, index):
+        # every candidate is a pair; tag with the shared band value
+        ia = index.select(
+            F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a")
+        )
+        return (
+            cand.join(ia, "doc_a")
+            .select("doc_a", "doc_b", F.col("band_a").alias("band"))
+        )
+
+    out = replay_ingest(
+        spark,
+        docs,
+        slice_col="doc_id",
+        state_frame=lambda s, bdf: bdf.select(
+            "doc_id", (F.col("doc_id") % 4).alias("band")
+        ),
+        index_select=lambda st: st,
+        band_frame=lambda st: st.select("doc_id", "band"),
+        verify=verify,
+        id_col="doc_id",
+        pair_cols=("doc_a", "doc_b"),
+        band_cols=("band",),
+        pair_schema="doc_a long, doc_b long, band long",
+        store_env="SPARK_GRAFT_TOY_INGEST",
+        scratch_prefix="toyingest_",
+        table_prefix="toyingest_bands_",
+        n_slices=3,
+    )
+    got = {(r.doc_a, r.doc_b, r.band) for r in out.collect()}
+    want = {
+        (a, b, a % 4)
+        for a, b in itertools.combinations(range(n), 2)
+        if a % 4 == b % 4
+    }
+    assert got == want, len(got ^ want)
+    # scratch tree removed once the snapshot localCheckpoints
+    assert glob.glob(os.path.join(str(tmp_path), "toyingest_*")) == []
+
+
+def test_replay_ingest_empty_corpus(spark, tmp_path, monkeypatch):
+    """An empty corpus short-circuits to the typed empty frame with
+    no scratch tree."""
+    from pyspark.sql import functions as F
+
+    from programmers_data_spark.ingest import replay_ingest
+
+    monkeypatch.setenv("SPARK_GRAFT_TOY_INGEST2", str(tmp_path))
+    docs = spark.range(0).select(F.col("id").alias("doc_id"))
+    out = replay_ingest(
+        spark,
+        docs,
+        slice_col="doc_id",
+        state_frame=lambda s, bdf: bdf.select(
+            "doc_id", (F.col("doc_id") % 4).alias("band")
+        ),
+        index_select=lambda st: st,
+        band_frame=lambda st: st.select("doc_id", "band"),
+        verify=lambda cand, index: cand.select(
+            "doc_a", "doc_b", F.lit(0).alias("band")
+        ),
+        id_col="doc_id",
+        pair_cols=("doc_a", "doc_b"),
+        band_cols=("band",),
+        pair_schema="doc_a long, doc_b long, band long",
+        store_env="SPARK_GRAFT_TOY_INGEST2",
+        scratch_prefix="toyingest2_",
+        table_prefix="toyingest2_bands_",
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_a", "doc_b", "band"]
+    assert os.listdir(str(tmp_path)) == []

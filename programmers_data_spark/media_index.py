@@ -373,31 +373,21 @@ def incremental_clusters(
     re-clustered), runs component resolution over |existing stars| +
     |delta| edges, and the delta side is proportional to the arrival
     batch. This is how a production media-dedup index absorbs a
-    day's crawl."""
-    from .operators import connected_components_auto
+    day's crawl.
 
-    stored = cluster_store(spark, sf_dir, spec)
-    delta = incremental_delta(spark, sf_dir, spec)
-    stars = stored.filter(
-        F.col("media_id") != F.col("cluster_id")
-    ).select(
-        F.col("media_id").alias("src"), F.col("cluster_id").alias("dst")
-    )
-    edges = stars.unionByName(
-        delta.select(
-            F.col("media_a").alias("src"), F.col("media_b").alias("dst")
-        )
-    )
-    labels = connected_components_auto(edges, "src", "dst")
-    ids = hash_store(spark, sf_dir, spec).select("media_id")
-    return (
-        ids.join(labels, ids["media_id"] == labels["vertex"], "left")
-        .select(
-            "media_id",
-            F.coalesce("component", "media_id").alias("cluster_id"),
-        )
-        .orderBy("media_id")
-    )
+    Round 17: the star-contraction merge itself lives in
+    ``operators.merge_clusters`` (one engine for all five families);
+    this wrapper supplies the media family's stored/delta/universe
+    frames."""
+    from .operators import merge_clusters
+
+    return merge_clusters(
+        stored=cluster_store(spark, sf_dir, spec),
+        delta=incremental_delta(spark, sf_dir, spec),
+        ids=hash_store(spark, sf_dir, spec).select("media_id"),
+        id_col="media_id",
+        pair_cols=("media_a", "media_b"),
+    ).orderBy("media_id")
 
 
 def _ham(prefix_a: str = "a", prefix_b: str = "b"):

@@ -34,6 +34,8 @@ __all__ = [
     "distributed_rank",
     "connected_components",
     "connected_components_two_phase",
+    "connected_components_auto",
+    "merge_clusters",
 ]
 
 
@@ -725,6 +727,61 @@ def connected_components_auto(
         return connected_components_two_phase(
             edges, src, dst, driver_cutoff=driver_cutoff
         )
+
+
+def merge_clusters(
+    stored: DataFrame,
+    delta: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster_id",
+    pair_cols: tuple[str, str] = ("src", "dst"),
+) -> DataFrame:
+    """Star-contraction incremental cluster merge — the ONE engine
+    all five dedup families' ``*_clusters_incremental`` maintenance
+    shares (r16 VERDICT ask #5; previously implemented three times,
+    ~identical modulo column names, in media_index / round15_ops /
+    round16_ops).
+
+    ``stored`` is the existing cluster table ``(id_col, cluster_col)``
+    with cluster label = min member id (singletons map to themselves);
+    ``delta`` carries the arrival batch's verified pair delta in
+    ``pair_cols``; ``ids`` is the output universe (one ``id_col``
+    row per entity, existing ∪ arrivals). The existing table
+    contributes one star edge per non-root member (member → cluster
+    root), the delta is the only new connectivity, and component
+    resolution runs over that contracted graph via
+    ``connected_components_auto``. Entities incident to no edge keep
+    their own id as the label.
+
+    Correctness (the argument every call site's oracle pins): the
+    full pair set partitions into existing×existing pairs (contracted
+    into the stars — contracting a subgraph's components preserves
+    connectivity of the union) and pairs touching an arrival (the
+    delta); delta edges reach non-root members through their star
+    edge, and labels are vertex ids, so min-propagation recovers the
+    exact minimum member per merged cluster. Components over
+    (stars ∪ delta) therefore equal the FULL rebuild's components.
+
+    Scale shape: nothing about the existing corpus is re-hashed,
+    re-banded, or re-clustered — resolution cost is
+    |existing stars| + |delta| edges, and the delta side is
+    arrival-proportional by construction at every call site. Callers
+    add their own ``orderBy``."""
+    stars = stored.filter(F.col(id_col) != F.col(cluster_col)).select(
+        F.col(id_col).alias("src"), F.col(cluster_col).alias("dst")
+    )
+    edges = stars.unionByName(
+        delta.select(
+            F.col(pair_cols[0]).alias("src"),
+            F.col(pair_cols[1]).alias("dst"),
+        )
+    )
+    labels = connected_components_auto(edges, "src", "dst")
+    return ids.join(labels, ids[id_col] == labels["vertex"], "left").select(
+        id_col,
+        F.coalesce("component", id_col).alias(cluster_col),
+    )
 
 
 def distributed_rank(

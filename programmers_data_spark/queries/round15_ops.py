@@ -319,8 +319,13 @@ def text_neardup_clusters_incremental(
     restriction), so components over (stars ∪ delta) equal the full
     rebuild's components; labels are vertex ids, so min-propagation
     recovers the exact minimum member. Oracle: the full rebuild
-    (reachability over the registered dedup_minhash pair SQL)."""
-    from ..operators import connected_components_auto
+    (reachability over the registered dedup_minhash pair SQL).
+
+    Round 17: the star-contraction merge itself lives in
+    ``operators.merge_clusters`` (one engine for all five families);
+    this wrapper supplies the text family's stored/delta/universe
+    frames."""
+    from ..operators import connected_components_auto, merge_clusters
     from .curation_ops import _NEW_BATCH_RESIDUE, neardup_incremental
     from .dedup_ops import _augmented_docs, verified_pair_store
 
@@ -328,23 +333,16 @@ def text_neardup_clusters_incremental(
     existing_pairs = verified_pair_store(spark, sf_dir).filter(
         is_existing("doc_a") & is_existing("doc_b")
     )
-    stored = connected_components_auto(existing_pairs, "doc_a", "doc_b")
-    stars = stored.filter(F.col("vertex") != F.col("component")).select(
-        F.col("vertex").alias("src"), F.col("component").alias("dst")
+    stored = connected_components_auto(
+        existing_pairs, "doc_a", "doc_b"
+    ).select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
     )
-    delta = neardup_incremental(spark, sf_dir)
-    edges = stars.unionByName(
-        delta.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
-    )
-    labels = connected_components_auto(edges, "src", "dst")
-    ids = _augmented_docs(spark, sf_dir).select("doc_id")
-    return (
-        ids.join(labels, ids["doc_id"] == labels["vertex"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return merge_clusters(
+        stored=stored,
+        delta=neardup_incremental(spark, sf_dir),
+        ids=_augmented_docs(spark, sf_dir).select("doc_id"),
+        id_col="doc_id",
+        pair_cols=("doc_a", "doc_b"),
+    ).orderBy("doc_id")

@@ -177,30 +177,22 @@ def embedding_neardup_clusters_incremental(
     so components over (stars ∪ delta) equal the full rebuild's;
     labels are vertex ids, so min-propagation recovers the exact
     minimum member. Oracle: the full rebuild (reachability over the
-    registered LSH pair fragments)."""
-    from ..embedding_index import cluster_store
-    from ..operators import connected_components_auto
+    registered LSH pair fragments).
 
-    stored = cluster_store(spark, sf_dir)
-    stars = stored.filter(F.col("vec_id") != F.col("cluster_id")).select(
-        F.col("vec_id").alias("src"), F.col("cluster_id").alias("dst")
-    )
-    delta = embedding_neardup_incremental(spark, sf_dir)
-    edges = stars.unionByName(
-        delta.select(
-            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-        )
-    )
-    labels = connected_components_auto(edges, "src", "dst")
-    ids = load_vectors(spark, sf_dir).select("vec_id")
-    return (
-        ids.join(labels, ids["vec_id"] == labels["vertex"], "left")
-        .select(
-            "vec_id",
-            F.coalesce("component", "vec_id").alias("cluster_id"),
-        )
-        .orderBy("vec_id")
-    )
+    Round 17: the star-contraction merge itself lives in
+    ``operators.merge_clusters`` (one engine for all five families);
+    this wrapper supplies the vector family's stored/delta/universe
+    frames."""
+    from ..embedding_index import cluster_store
+    from ..operators import merge_clusters
+
+    return merge_clusters(
+        stored=cluster_store(spark, sf_dir),
+        delta=embedding_neardup_incremental(spark, sf_dir),
+        ids=load_vectors(spark, sf_dir).select("vec_id"),
+        id_col="vec_id",
+        pair_cols=("vec_a", "vec_b"),
+    ).orderBy("vec_id")
 
 
 # result handles per (applicationId, sf_dir) — *_CACHE contract

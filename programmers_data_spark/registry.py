@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "programmers_data_spark.queries.round14_ops",  # 4 (→260)
     "programmers_data_spark.queries.round15_ops",  # 3 (→263)
     "programmers_data_spark.queries.round16_ops",  # 5 (→268)
+    "programmers_data_spark.queries.round17_ops",  # 2 (→270)
 )
 
 # The round the current _WINDOW below is authored FOR. The rotation
@@ -71,29 +72,29 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
-# ROUND-17 ROTATION PLAN: group 1 (leads) MUST be NEXT_WINDOW_LEADS
-# below (embedding_threshold_sweep, embedding_dup_rate_by_label —
-# the late r16 registrations that landed after the window filled),
-# then round-17 NEW registrations (never-driver-checked outranks
-# stale refreshes — the standing principle), then 2-3 round-16-green
-# sentinels on whatever the r17 diff touches, then the backlog:
-# the REMAINING 19-name r11 tail (in registration order:
-# segment_overlap_sketch, cms_heavy_hitters, rolling_7d_revenue,
-# daily_revenue_dense, ewma_daily_revenue, session_stats,
-# unigram_seed_vocab, unigram_em_contract, ivf_incremental_assign,
-# scd2_point_in_time, zorder_prune_contract, copurchase_pairs,
-# rp_project, rp_distance_contract, triangle_counts,
-# time_weighted_value, wordpiece_encoded_counts, ks_drift_by_source,
-# pipeline_funnel_contract — derive from the records as always:
-# names whose latest green round is 11), then the r12 tier in
-# (vintage, registration-order) order to fill 50. Keep
-# stream_tws_value_stats OUTSIDE the window (honestly gated:
-# google.protobuf absent, installs disallowed — semantics
-# driver-certified r6 via the applyInPandasWithState twin). Bump
-# WINDOW_ROUND to 17 in the same commit that rewrites the groups —
-# the bookkeeping test keys on it.
+# ROUND-18 ROTATION PLAN: group 1 (leads) is NEXT_WINDOW_LEADS below
+# (EMPTY after r17 — every never-driver-checked oracled registration
+# took an r17 window slot), then round-18 NEW registrations
+# (never-driver-checked outranks stale refreshes — the standing
+# principle), then 2-3 round-17-green sentinels on whatever the r18
+# diff touches, then the backlog: the REMAINING 23-name r12 tail (in
+# registration order: curation_funnel, neardup_incremental,
+# event_path_trigrams, rfm_segments, hard_negatives, rrf_fusion,
+# label_centroid_drift, multimodal_audio_meta,
+# source_temperature_weights, token_budget_allocation,
+# curriculum_phases, training_manifest, tfidf_shingle_pairs,
+# bpe_contract, dedup_keep_best_quality, stream_upsert_publish,
+# image_dhash, image_neardup_pairs, image_neardup_clusters,
+# image_lsh_recall, image_resize_hash_invariance, audio_fingerprint,
+# audio_neardup_pairs — derive from the records as always: names
+# whose latest green round is 12), then the r13 tier in (vintage,
+# registration-order) order to fill 50. Keep stream_tws_value_stats
+# OUTSIDE the window (honestly gated: google.protobuf absent,
+# installs disallowed — semantics driver-certified r6 via the
+# applyInPandasWithState twin). Bump WINDOW_ROUND to 18 in the same
+# commit that rewrites the groups — the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
 # centroid training isn't summation-order-portable SQL, BPE merge
@@ -125,94 +126,93 @@ ROWS_ONLY = frozenset({
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# the two late-r15 registrations queued in r15's NEXT_WINDOW_LEADS
-# (the r15 VERDICT's explicit "the r16 window MUST lead with them"):
-# the text tier's Structured-Streaming index ingest and incremental
-# cluster maintenance. Both are oracle-certified in-suite and
-# compose machinery the r15-green rows certify (the sig_frame Arrow
-# kernel via text_jaccard_topk, the verified pair store via the
-# report tier).
+# the two late-r16 registrations queued in r16's NEXT_WINDOW_LEADS
+# (the r16 VERDICT's explicit "the r17 window MUST lead with them"):
+# the vector family's published-pair-store report reads — exact
+# basis-point threshold sweep and per-label dup-rate. Both are
+# oracle-certified in-suite and READ the store the r16-green
+# maintenance rows certify.
 _WINDOW_LEADS = (
-    "stream_text_neardup_ingest",
-    "text_neardup_clusters_incremental",
+    "embedding_threshold_sweep",
+    "embedding_dup_rate_by_label",
 )
 
-# Group 2 — round-16 NEW registrations (never driver-checked): the
-# EMBEDDING family's lifecycle completion (r15 VERDICT ask #2) —
-# arrival-proportional incremental pair maintenance over the
-# published bucketed signature store, star-contraction incremental
-# cluster merge, and the shared replay-engine streaming ingest. All
-# three carry full oracles composed from the registered
-# embedding_neardup_lsh fragments.
+# Group 2 — round-17 NEW registrations (never driver-checked): the
+# embedding family's published-store READ paths (r16 VERDICT ask #4
+# — close the serving asymmetry): cos top-K serving that probes the
+# published bucketed signature store (no per-run signature
+# derivation), and the cluster-size health profile over the
+# published pair store. Both carry full oracles composed from the
+# registered embedding_neardup_lsh fragments.
 _WINDOW_NEW = (
-    "embedding_neardup_incremental",
-    "embedding_neardup_clusters_incremental",
-    "stream_embedding_neardup_ingest",
+    "embedding_cos_topk",
+    "embedding_cluster_profile",
 )
 
-# Group 3 — r15-green sentinels sitting directly on the round-16
-# diff: stream_image_neardup_ingest re-certifies the media engine's
-# ingest path after the replay loop moved into ingest.replay_ingest
-# (r15 VERDICT ask #7); audio/video_neardup_clusters_incremental
-# re-certify incremental_clusters + connected_components under the
-# r16 union-find output-typing change (r15 ADVICE #2).
+# Group 3 — r16-green sentinels sitting directly on the round-17
+# diff: the three *_clusters_incremental queries re-certify the
+# star-contraction merge after it moved into the ONE shared
+# operators.merge_clusters engine (r16 VERDICT ask #5) — one
+# sentinel per rewired tier (text wrapper, embedding wrapper, and
+# the media engine's incremental_clusters via the audio spec).
 _WINDOW_SENTINELS = (
-    "stream_image_neardup_ingest",
+    "text_neardup_clusters_incremental",
+    "embedding_neardup_clusters_incremental",
     "audio_neardup_clusters_incremental",
-    "video_neardup_clusters_incremental",
 )
 
 # Group 4 — stale tiers oldest-first, in registration order: the
-# COMPLETE 15-name r10 tail (latest green driver row r10 — the
-# oldest vintage after r15 drained the r9 tier and the first 32 r10
-# names), then the first 27 of the 46-name r11 tier. The trimmed
-# 19-name r11 tail (segment_overlap_sketch onward) leads the r17
-# backlog per the ROUND-17 ROTATION PLAN above.
+# COMPLETE 19-name r11 tail (latest green driver row r11 — the
+# oldest vintage after r16 drained the r10 tier and the first 27
+# r11 names), then the first 24 of the 47-name r12 tier. The
+# trimmed 23-name r12 tail (curation_funnel onward) leads the r18
+# backlog per the ROUND-18 ROTATION PLAN above.
 _WINDOW_STALE = (
-    # r10 tail — drains the tier completely
-    "sq8_topk_recall",
-    "mrl_truncation_recall",
-    "phrase_match_positional",
-    "embedding_chunk_pool",
-    "orc_partitioned_roundtrip",
-    "collocation_lift",
-    "vocab_growth_curve",
-    "source_bigram_overlap",
-    "token_freq_spectrum",
-    "skipgram_cooccurrence",
-    "quality_linear_score",
-    "cdc_apply_tombstones",
-    "neardup_cluster_profile",
-    "ivf_probe_sweep",
-    "lang_confidence_margin",
-    # r11 tier, registration-order prefix (27 of 46)
-    "dedup_keep_latest",
-    "upsert_keyed",
-    "distinct_rows",
-    "csv_parse_project",
-    "json_nested_project",
-    "epoch_to_date",
-    "ts_format",
-    "daily_filter",
-    "clean_currency",
-    "null_fill",
-    "token_count",
-    "text_stats",
-    "doc_fingerprint",
-    "quality_score",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "doc_winnow_fingerprint",
-    "corpus_clean",
-    "winnow_collision_pairs",
-    "dedup_exact",
-    "stream_dedup_horizon_audit",
-    "bm25_topk",
-    "bloom_decontam",
-    "bloom_decontam_misses",
-    "semantic_dedup_recall",
-    "embedding_sq8",
-    "mau_sketch_rollup",
+    # r11 tail — drains the tier completely
+    "segment_overlap_sketch",
+    "cms_heavy_hitters",
+    "rolling_7d_revenue",
+    "daily_revenue_dense",
+    "ewma_daily_revenue",
+    "session_stats",
+    "unigram_seed_vocab",
+    "unigram_em_contract",
+    "ivf_incremental_assign",
+    "scd2_point_in_time",
+    "zorder_prune_contract",
+    "copurchase_pairs",
+    "rp_project",
+    "rp_distance_contract",
+    "triangle_counts",
+    "time_weighted_value",
+    "wordpiece_encoded_counts",
+    "ks_drift_by_source",
+    "pipeline_funnel_contract",
+    # r12 tier, registration-order prefix (24 of 47)
+    "incr_distinct",
+    "corpus_sample_hash",
+    "pii_redact",
+    "vocab_topk",
+    "top_terms_per_doc",
+    "doc_chunks",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "minhash_jaccard_estimate",
+    "sequence_packing",
+    "packing_spans",
+    "repetition_profile",
+    "gopher_quality_flags",
+    "dedup_prefix",
+    "stratified_sample",
+    "shingle_novelty",
+    "code_fraction_by_source",
+    "decontam_overlap",
+    "doc_commonness",
+    "dedup_incremental",
+    "table_profile",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
@@ -221,17 +221,10 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). The two LATE round-16 registrations below landed after
-# the r16 window filled (its 15+27 stale drain is the promised one);
-# both are oracle-certified in-suite and READ the published
-# embedding pair store that the in-window r16 queries' certified
-# machinery builds (the sweep and per-label report faces of the
-# vector family — the dedup_threshold_sweep / near_dup_rate_by_source
-# pattern).
-NEXT_WINDOW_LEADS: tuple[str, ...] = (
-    "embedding_threshold_sweep",
-    "embedding_dup_rate_by_label",
-)
+# window). EMPTY after round 17: the r16 leads and both r17 NEW
+# registrations all hold window slots, so no oracled registration
+# is waiting on a driver check.
+NEXT_WINDOW_LEADS: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

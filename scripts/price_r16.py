@@ -1,6 +1,6 @@
 """Round-16 gated first-pricing (r15 VERDICT ask #6): one standalone
 session, flat controls FIRST (the run LABELS itself polluted when the
-controls read >x1.3 vs the committed prior — all timings still print,
+controls read above bench.CONTROL_POLLUTED_RATIO vs the committed prior — all timings still print,
 and SCALE.md adjudication discards them by rule), then min-of-3
 isolated timings for (a) the two r16 window leads (unpriced: the
 stream ingest is batch-bench-excluded, the incremental clusters query
@@ -37,6 +37,7 @@ os.environ[VIDEO_SPEC.store_env] = tempfile.mkdtemp(prefix="pds_price16_vid_")
 os.environ[EMB_STORE_ENV] = tempfile.mkdtemp(prefix="pds_price16_emb_")
 
 from bench import (  # noqa: E402
+    CONTROL_POLLUTED_RATIO,
     CONTROLS,
     _force,
     _host_speed_index,
@@ -99,7 +100,11 @@ def main() -> None:
         "host_speed_md5_64mb": _host_speed_index(),
         "controls": controls,
         "control_ratio": control_ratio,
-        "polluted": None if control_ratio is None else control_ratio > 1.3,
+        "polluted": (
+            None
+            if control_ratio is None
+            else control_ratio > CONTROL_POLLUTED_RATIO
+        ),
         "priced_min_of_3": {},
         "prior": {n: prior.get(n) for n in PRICED + CONTROLS},
     }

@@ -1,6 +1,6 @@
 """Round-15 gated re-price of the r14 disputed tail (r14 VERDICT ask
 #3): one standalone session, flat controls FIRST (the run LABELS
-itself polluted when the controls read >x1.3 — all timings still
+itself polluted when the controls read above bench.CONTROL_POLLUTED_RATIO — all timings still
 print, and SCALE.md adjudication discards them by rule), then
 min-of-3 isolated timings for the seven disputed queries. Prints one
 JSON blob for SCALE.md adjudication."""
@@ -34,6 +34,7 @@ os.environ[AUDIO_SPEC.store_env] = tempfile.mkdtemp(prefix="pds_reprice_aud_")
 os.environ[VIDEO_SPEC.store_env] = tempfile.mkdtemp(prefix="pds_reprice_vid_")
 
 from bench import (  # noqa: E402
+    CONTROL_POLLUTED_RATIO,
     CONTROLS,
     _force,
     _host_speed_index,
@@ -92,7 +93,11 @@ def main() -> None:
         "host_speed_md5_64mb": _host_speed_index(),
         "controls": controls,
         "control_ratio": control_ratio,
-        "polluted": None if control_ratio is None else control_ratio > 1.3,
+        "polluted": (
+            None
+            if control_ratio is None
+            else control_ratio > CONTROL_POLLUTED_RATIO
+        ),
         "disputed_min_of_3": {},
         "prior": {n: prior.get(n) for n in DISPUTED + CONTROLS},
     }

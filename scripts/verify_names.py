@@ -30,11 +30,13 @@ def main() -> int:
     registry.load_all()
     names = args or list(qs)
     bad = 0
+    gated = 0
     for name in names:
         fn = registry.QUERIES[name]
         # a dependency-gated query (e.g. the protobuf-gated tws
-        # variant) raises at call time by design — record it and keep
-        # sweeping instead of aborting the remaining names
+        # variant) raises ImportError/ModuleNotFoundError at call time
+        # by design — count it separately from real failures so the
+        # exit code reports only genuine breaks (r16 ADVICE #2)
         try:
             df = fn(spark, sf)
             if name not in registry.ORACLE:
@@ -42,14 +44,22 @@ def main() -> int:
                 print(f"{name}: rows-only, {n} rows", flush=True)
                 continue
             res = compare_to_oracle(name, df, registry.ORACLE[name], sf)
+        except ImportError as e:
+            print(f"{name}: GATED {type(e).__name__}: {e}"[:300],
+                  flush=True)
+            gated += 1
+            continue
         except Exception as e:  # noqa: BLE001 — sweep must finish
-            print(f"{name}: GATED/ERR {type(e).__name__}: {e}"[:300],
+            print(f"{name}: ERR {type(e).__name__}: {e}"[:300],
                   flush=True)
             bad += 1
             continue
         ok = res.ok if hasattr(res, "ok") else not res.mismatches
         print(f"{name}: {'OK' if ok else 'FAIL ' + str(res)}", flush=True)
         bad += 0 if ok else 1
+    if gated:
+        print(f"gated (expected dependency gates, not failures): {gated}",
+              flush=True)
     return bad
 
 

@@ -1,0 +1,173 @@
+"""Round-17 tests: the shared star-contraction merge engine
+(operators.merge_clusters — r16 VERDICT ask #5), the embedding
+family's published-store read paths (embedding_cos_topk /
+embedding_cluster_profile — ask #4), and the r16 ADVICE fixes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from programmers_data_spark import registry  # noqa: E402
+from programmers_data_spark.testing import compare_to_oracle  # noqa: E402
+from tests.conftest import SF_ORACLE as SF_DIR  # noqa: E402
+
+registry.load_all()
+
+_NEW = (
+    "embedding_cos_topk",
+    "embedding_cluster_profile",
+)
+
+
+def test_new_query_oracle_parity(spark):
+    for name in _NEW:
+        res = compare_to_oracle(
+            name,
+            registry.QUERIES[name](spark, SF_DIR),
+            registry.ORACLE[name],
+            SF_DIR,
+        )
+        assert res.ok, res
+
+
+# ------------------------------------- shared merge-clusters engine
+
+
+def test_merge_clusters_engine_toy(spark):
+    """The one engine all five families share, on a toy family:
+    stored clusters {1,2,3}→1 (4, 5 singletons implicit via the
+    universe), delta edge (3, 5) merges 5 into cluster 1; 4 stays a
+    singleton labelled by its own id; an untouched stored cluster
+    {6,7}→6 survives via its star edge alone."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from programmers_data_spark.operators import merge_clusters
+
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 6)],
+        "doc_id long, cluster_id long",
+    )
+    delta = spark.createDataFrame([(3, 5)], "doc_a long, doc_b long")
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    out = merge_clusters(
+        stored, delta, ids, "doc_id", pair_cols=("doc_a", "doc_b")
+    )
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 1), (6, 6), (7, 6)
+    }
+
+
+def test_merge_clusters_empty_delta(spark):
+    """No arrivals → the stored clustering is reproduced verbatim
+    (stars reconnect every non-root member to its root; roots and
+    singletons label themselves)."""
+    from programmers_data_spark.operators import merge_clusters
+
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    delta = spark.createDataFrame([], "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    out = merge_clusters(
+        stored, delta, ids, "doc_id", pair_cols=("doc_a", "doc_b")
+    )
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_merge_clusters_delta_bridges_two_stored_clusters(spark):
+    """A delta edge between members of two DIFFERENT stored clusters
+    must merge both into one component labelled by the global minimum
+    — the case that distinguishes star contraction from naive
+    label-keeping."""
+    from programmers_data_spark.operators import merge_clusters
+
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    delta = spark.createDataFrame([(2, 11)], "doc_a long, doc_b long")
+    ids = spark.createDataFrame(
+        [(1,), (2,), (10,), (11,)], "doc_id long"
+    )
+    out = merge_clusters(
+        stored, delta, ids, "doc_id", pair_cols=("doc_a", "doc_b")
+    )
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (10, 1), (11, 1)}
+
+
+def test_merge_is_the_one_code_path():
+    """All three previously-duplicated star-contraction sites must go
+    through operators.merge_clusters (the r16 replay_ingest
+    precedent: one engine, family wrappers supply frames). The inline
+    pattern (stars = stored.filter(...!= ...)) must be gone from the
+    tier modules."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "programmers_data_spark")
+    for rel in (
+        "media_index.py",
+        os.path.join("queries", "round15_ops.py"),
+        os.path.join("queries", "round16_ops.py"),
+    ):
+        src = open(os.path.join(pkg, rel)).read()
+        assert "merge_clusters" in src, rel
+        assert "stars = " not in src, rel
+
+
+# ----------------------------------------------- r16 ADVICE fixes
+
+
+def test_pollution_threshold_single_sourced():
+    """r16 ADVICE #1: the pollution gate's threshold must come from
+    bench.CONTROL_POLLUTED_RATIO everywhere — no hardcoded 1.3 in
+    the pricing scripts."""
+    import glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "scripts", "*price*.py")):
+        src = open(path).read()
+        if "polluted" not in src:
+            continue
+        assert "CONTROL_POLLUTED_RATIO" in src, path
+        assert "> 1.3" not in src, path
+
+
+def test_verify_names_separates_gated_from_bad():
+    """r16 ADVICE #2: the sweep script must not count documented
+    dependency gates (ImportError/ModuleNotFoundError at call time)
+    into the nonzero-exit ``bad`` total."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(root, "scripts", "verify_names.py")).read()
+    assert "except ImportError" in src
+    # the gated branch must not feed the exit-code counter
+    gated_branch = src.split("except ImportError", 1)[1].split("except", 1)[0]
+    assert "bad += 1" not in gated_branch
+    assert "gated += 1" in gated_branch
+
+
+# --------------------------------------- store-read serving discipline
+
+
+def test_cos_topk_reads_the_published_store():
+    """embedding_cos_topk exists to close the serving-read asymmetry:
+    it must probe embedding_index.sig_store and must NOT run the
+    signature kernel itself (ann_lsh_topk keeps the per-run
+    derivation deliberately — it certifies the kernel end-to-end)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(
+            root, "programmers_data_spark", "queries", "round17_ops.py"
+        )
+    ).read()
+    assert "sig_store" in src
+    assert "mapInPandas" not in src
+    assert "_signature_kernel" not in src.split("def embedding_cos_topk")[1]

@@ -171,3 +171,45 @@ def test_cos_topk_reads_the_published_store():
     assert "sig_store" in src
     assert "mapInPandas" not in src
     assert "_signature_kernel" not in src.split("def embedding_cos_topk")[1]
+
+
+# ------------------------------------- published text cluster store
+
+
+def test_text_cluster_store_publishes_once_and_rereads(
+    spark, tmp_path, monkeypatch
+):
+    """Round 17 completes the text tier's store symmetry: the
+    existing-corpus clustering is a published artifact (previously
+    re-resolved inline per run). Second read must come from the
+    artifact — exactly one generation after two cold calls from
+    fresh memo state — and reproduce the same assignments."""
+    from programmers_data_spark.queries import dedup_ops, round15_ops
+
+    monkeypatch.setenv(dedup_ops.PAIR_STORE_ENV, str(tmp_path))
+    dedup_ops._STORE_CACHE.clear()
+    round15_ops._TEXT_CLUSTER_STORE_CACHE.clear()
+    first = {
+        (r.doc_id, r.cluster_id)
+        for r in round15_ops.text_cluster_store(spark, SF_DIR).collect()
+    }
+    round15_ops._TEXT_CLUSTER_STORE_CACHE.clear()
+    second = {
+        (r.doc_id, r.cluster_id)
+        for r in round15_ops.text_cluster_store(spark, SF_DIR).collect()
+    }
+    assert first == second and first
+    from programmers_data_spark.queries.curation_ops import (
+        _NEW_BATCH_RESIDUE,
+    )
+
+    fp_dir = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    leaf = f"text_clusters_r{_NEW_BATCH_RESIDUE}"
+    gens = [
+        d
+        for d in os.listdir(os.path.join(fp_dir, leaf))
+        if d.startswith("gen-")
+    ]
+    assert len(gens) == 1, gens
+    # no arrival-batch doc may appear in the EXISTING-corpus store
+    assert all(d % 10 != _NEW_BATCH_RESIDUE for d, _ in first)

@@ -130,6 +130,45 @@ def _host_speed_index() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _host_steal_under_load() -> "float | None":
+    """Percent of CPU time STOLEN by the hypervisor while this guest
+    runs an all-core workload (32 processes × one md5-64MB pass,
+    ~0.5s wall), from /proc/stat deltas. The single-thread index
+    above misses this failure mode entirely: round 17 measured md5
+    near-flat (x1.11) while Spark controls read x1.5-2.5 — the
+    explanation was 20% steal that only appears when every vCPU is
+    busy (an idle guest is never preempted, so idle-box steal reads
+    ~0%). Recorded so a pollution-gate firing can be attributed to
+    host oversubscription (not actionable) vs a real plan regression
+    (actionable) without guessing. None on non-Linux/containers
+    without /proc/stat."""
+    import hashlib
+    import multiprocessing as mp
+
+    def _snap():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    try:
+        before = _snap()
+    except (OSError, ValueError, IndexError):
+        return None
+    ctx = mp.get_context("fork")
+    with ctx.Pool(32) as pool:
+        pool.map(_md5_64mb_once, range(32))
+    after = _snap()
+    delta = [b - a for a, b in zip(before, after)]
+    total = sum(delta)
+    if total <= 0 or len(delta) < 8:
+        return None
+    return round(100.0 * delta[7] / total, 1)
+
+
+def _md5_64mb_once(_: int) -> None:
+    hashlib_md5 = __import__("hashlib").md5
+    hashlib_md5(b"x" * (64 * 1024 * 1024)).hexdigest()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -275,6 +314,10 @@ def main() -> None:
         None if control_ratio is None
         else control_ratio > CONTROL_POLLUTED_RATIO
     )
+    # sampled once, right after the controls: attributes a gate
+    # firing to hypervisor steal (host oversubscription) vs a real
+    # regression — see _host_steal_under_load
+    steal_pct = _host_steal_under_load()
 
     for name in names:
         _reset(spark)
@@ -318,6 +361,7 @@ def main() -> None:
                 # printed line's host_speed_md5_64mb) — committed
                 # details are only comparable after normalizing by it
                 "host_speed_md5_64mb": _host_speed_index(),
+                "host_steal_pct_under_load": steal_pct,
                 "queries": timings,
                 "retimed": sorted(retimed),
                 # flat-control gate (see CONTROLS): the controls'
@@ -368,6 +412,7 @@ def main() -> None:
                 # of host_speed_md5_64mb values before calling a move
                 # a regression (SCALE.md "Host drift, round 9")
                 "host_speed_md5_64mb": _host_speed_index(),
+                "host_steal_pct_under_load": steal_pct,
                 # flat-control gate (r14 VERDICT ask #2): median
                 # control ratio vs the committed prior; > 1.3 means
                 # this run is polluted and its per-query deltas are

@@ -50,6 +50,7 @@ from bench import (  # noqa: E402
     CONTROLS,
     _force,
     _host_speed_index,
+    _host_steal_under_load,
     _reset,
     control_median_ratio,
 )
@@ -57,12 +58,16 @@ from programmers_data_spark import registry  # noqa: E402
 from programmers_data_spark.session import get_spark  # noqa: E402
 
 # The x6.3 outlier and the three alongside-it anomalies from the
-# polluted r16 driver run (VERDICT watch item).
+# polluted r16 driver run (VERDICT watch item), plus first prices
+# for the round-17 NEW registrations (published-store read paths)
+# — the graft convention: min-of-3 in a gated standalone session.
 PRICED = [
     "text_neardup_clusters_incremental",
     "lsh_neardup_recall",
     "bloom_decontam",
     "bloom_decontam_misses",
+    "embedding_cos_topk",
+    "embedding_cluster_profile",
 ]
 
 
@@ -101,6 +106,7 @@ def main() -> None:
     control_ratio = control_median_ratio(controls, prior)
     out = {
         "host_speed_md5_64mb": _host_speed_index(),
+        "host_steal_pct_under_load": _host_steal_under_load(),
         "controls": controls,
         "control_ratio": control_ratio,
         "polluted": (

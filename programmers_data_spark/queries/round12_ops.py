@@ -819,26 +819,34 @@ def crossmodal_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     join semantics breaks the hash.
 
     Scale shape: both pair generators are banded equi joins (never
-    all-pairs); the full outer join is keyed on (doc_a, doc_b) — one
-    shuffle over the two bounded pair sets."""
+    all-pairs); adjudication is ONE shuffle — the two pair sets union
+    with one-hot flags and a single groupBy(doc_a, doc_b) max
+    recovers the full-outer semantics exactly (each generator emits a
+    pair at most once — the r17 optimization rewrite; the previous
+    FullOuter sort-merge join shuffled and sorted both sides; the
+    oracle's full-outer composition is unchanged and the driver hash
+    proves equivalence)."""
     from .dedup_ops import dedup_minhash
 
+    t, f = F.lit(True), F.lit(False)
     ip = _pairs_from(_xmodal_hash_table(spark, sf_dir)).select(
         F.col("media_a").alias("doc_a"),
         F.col("media_b").alias("doc_b"),
-        F.lit(True).alias("img"),
+        f.alias("txt"),
+        t.alias("img"),
     )
     tp = dedup_minhash(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(True).alias("txt")
+        "doc_a", "doc_b", t.alias("txt"), f.alias("img")
     )
     return (
-        tp.join(ip, ["doc_a", "doc_b"], "full_outer")
+        tp.unionByName(ip)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("txt").alias("txt"), F.max("img").alias("img"))
         .select(
             "doc_a",
             "doc_b",
-            F.when(F.col("txt").isNotNull() & F.col("img").isNotNull(),
-                   F.lit("both"))
-            .when(F.col("txt").isNotNull(), F.lit("text_only"))
+            F.when(F.col("txt") & F.col("img"), F.lit("both"))
+            .when(F.col("txt"), F.lit("text_only"))
             .otherwise(F.lit("image_only"))
             .alias("dup_class"),
         )

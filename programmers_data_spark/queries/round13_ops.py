@@ -492,40 +492,48 @@ def crossmodal_quadmodal_consistency(
     augmentation, or the join semantics breaks the hash.
 
     Scale shape: four banded equi-join pair generators (never
-    all-pairs) and three keyed full outer joins over the bounded pair
-    sets — one shuffle each."""
+    all-pairs), then ONE shuffle: the four pair sets union with
+    one-hot modality flags and a single groupBy(doc_a, doc_b)
+    max-aggregate recovers exactly the full-outer-join semantics
+    (each generator emits a pair at most once, so a flag's max is
+    TRUE iff that modality produced the pair — the r17 optimization
+    rewrite; the previous chain of three FullOuter sort-merge joins
+    shuffled the same bounded pair sets four times and sorted each
+    side; the oracle's full-outer composition is unchanged and the
+    driver hash proves equivalence)."""
     from .dedup_ops import dedup_minhash
 
-    tp = dedup_minhash(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(True).alias("in_text")
-    )
-    ip = _pairs_from(_xmodal_hash_table(spark, sf_dir)).select(
-        F.col("media_a").alias("doc_a"),
-        F.col("media_b").alias("doc_b"),
-        F.lit(True).alias("in_image"),
-    )
-    ap = _pairs_from(_xmodal_audio_table(spark, sf_dir)).select(
-        F.col("media_a").alias("doc_a"),
-        F.col("media_b").alias("doc_b"),
-        F.lit(True).alias("in_audio"),
-    )
-    vp = _pairs_from(_xmodal_video_table(spark, sf_dir)).select(
-        F.col("media_a").alias("doc_a"),
-        F.col("media_b").alias("doc_b"),
-        F.lit(True).alias("in_video"),
-    )
-    quad = (
-        tp.join(ip, ["doc_a", "doc_b"], "full_outer")
-        .join(ap, ["doc_a", "doc_b"], "full_outer")
-        .join(vp, ["doc_a", "doc_b"], "full_outer")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.coalesce("in_text", F.lit(False)).alias("in_text"),
-            F.coalesce("in_image", F.lit(False)).alias("in_image"),
-            F.coalesce("in_audio", F.lit(False)).alias("in_audio"),
-            F.coalesce("in_video", F.lit(False)).alias("in_video"),
+    t, f = F.lit(True), F.lit(False)
+
+    def flagged(pairs: DataFrame, which: int) -> DataFrame:
+        flags = [
+            (t if i == which else f).alias(n)
+            for i, n in enumerate(
+                ("in_text", "in_image", "in_audio", "in_video")
+            )
+        ]
+        return pairs.select("doc_a", "doc_b", *flags)
+
+    tp = flagged(dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"), 0)
+    media = [
+        _pairs_from(tbl(spark, sf_dir)).select(
+            F.col("media_a").alias("doc_a"),
+            F.col("media_b").alias("doc_b"),
         )
+        for tbl in (
+            _xmodal_hash_table,
+            _xmodal_audio_table,
+            _xmodal_video_table,
+        )
+    ]
+    unioned = tp
+    for i, mp in enumerate(media, start=1):
+        unioned = unioned.unionByName(flagged(mp, i))
+    quad = unioned.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max(c).alias(c)
+            for c in ("in_text", "in_image", "in_audio", "in_video")
+        ]
     )
     return quad.select(
         "doc_a", "doc_b", F.expr(_QUAD_CLASS_SQL).alias("dup_class")

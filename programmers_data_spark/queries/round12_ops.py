@@ -452,9 +452,12 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_hash_table(spark, sf_dir).orderBy("media_id")
 
 
-def _band_frame(h: DataFrame) -> DataFrame:
+def _band_frame(h: DataFrame, carry_hash: bool = False) -> DataFrame:
     """Explode the dHash into 4 x 16-bit band buckets (non-negative
-    halves, so % / shiftright agree with the oracle's // 65536)."""
+    halves, so % / shiftright agree with the oracle's // 65536).
+    ``carry_hash=True`` additionally keeps the two hash halves on
+    every band row, so a band self-join can verify Hamming distance
+    inline without joining back to the hash table (r17)."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -467,9 +470,10 @@ def _band_frame(h: DataFrame) -> DataFrame:
             F.shiftright("dhash_hi", 16),
         ])
     ])
+    extra = ["dhash_lo", "dhash_hi"] if carry_hash else []
     return h.select(
-        "media_id", F.explode(bands).alias("bb")
-    ).select("media_id", "bb.band", "bb.bval")
+        "media_id", *extra, F.explode(bands).alias("bb")
+    ).select("media_id", *extra, "bb.band", "bb.bval")
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,23 +481,27 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs_from(h: DataFrame) -> DataFrame:
-    b = _band_frame(h)
-    cand = (
-        b.alias("a")
-        .join(b.alias("b"), ["band", "bval"])
-        .filter(F.col("a.media_id") < F.col("b.media_id"))
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-    ha = h.select(
+    # Carry the 64-bit hash (two non-negative 32-bit halves) THROUGH
+    # the band explode so the band self-join emits fully-verifiable
+    # candidate rows: the Hamming rerank is inline bit arithmetic on
+    # the collision row, no join back to the hash table (the previous
+    # form paid two extra shuffled joins to re-fetch each side's
+    # hashes), and the <= HAM_T filter runs BEFORE the distinct, so
+    # rejected candidates die map-side instead of crossing the
+    # dedup exchange. Cost: the band-join exchange carries 2 extra
+    # longs per side; at any scale that is far below two extra
+    # shuffles of the hash table + a wider distinct. ham_d is a
+    # function of (media_a, media_b), so distinct-on-three-columns
+    # keeps exactly the old one-row-per-pair semantics.
+    b = _band_frame(h, carry_hash=True)
+    ba = b.select(
+        "band", "bval",
         F.col("media_id").alias("media_a"),
         F.col("dhash_lo").alias("lo_a"),
         F.col("dhash_hi").alias("hi_a"),
     )
-    hb = h.select(
+    bb = b.select(
+        "band", "bval",
         F.col("media_id").alias("media_b"),
         F.col("dhash_lo").alias("lo_b"),
         F.col("dhash_hi").alias("hi_b"),
@@ -503,11 +511,12 @@ def _pairs_from(h: DataFrame) -> DataFrame:
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).cast("int")
     return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
+        ba.join(bb, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
         .withColumn("ham_d", ham)
         .filter(F.col("ham_d") <= HAM_T)
         .select("media_a", "media_b", "ham_d")
+        .distinct()
     )
 
 

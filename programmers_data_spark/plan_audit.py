@@ -44,6 +44,16 @@ PYTHON_TIER = frozenset({
     "pipeline_funnel_contract",  # composes the pair store's Arrow
     #                              signature pass (curate_corpus path)
     "dedup_semantic",  # Arrow cell-assignment GEMM (SemDeDup)
+    "embedding_topk",  # fold_cos_scores: exact serial-fold cosine as
+    #                    a dimension-major Arrow pass (r17)
+    "hard_negatives",  # fold_cos_scores (label-carried scoring pass)
+    "rrf_fusion",  # fold_cos_scores (cos + dot from one pass)
+    "contrastive_training_pairs",  # fold_cos_scores (label-carried)
+    "knn_label_vote",  # fold_cos_scores (label-carried scoring pass)
+    "sq8_topk_recall",  # fold_cos_scores + dequant transform; also
+    #                     composes embedding_topk's pass
+    "mrl_truncation_recall",  # fold_cos_scores + truncation transform;
+    #                           also composes embedding_topk's pass
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
     "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator

@@ -1010,8 +1010,12 @@ def sq8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the corpus on both engines (the similarity tier's standing
     zero-vector rule) — unreachable on real data, total on
     degenerate fixtures."""
-    from ..functions.vectors import cosine, sq_norm
-    from .similarity_ops import N_QUERIES, TOPK, embedding_topk
+    from .similarity_ops import (
+        N_QUERIES,
+        TOPK,
+        embedding_topk,
+        fold_cos_scores,
+    )
 
     full = load_table(spark, sf_dir, "embeddings").select(
         as_double_array("embedding").alias("emb")
@@ -1023,33 +1027,31 @@ def sq8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .collect()
     )
-    mn = F.array(*[F.lit(r["mn"]) for r in dims])
-    mx = F.array(*[F.lit(r["mx"]) for r in dims])
+    import numpy as np
 
-    def _deq(x, i):
-        lo = F.element_at(mn, i + 1)
-        hi = F.element_at(mx, i + 1)
-        code = F.floor(((x - lo) / (hi - lo)) * F.lit(255.0) + F.lit(0.5))
-        return F.when(hi == lo, lo).otherwise(
-            lo + (code.cast("double") * (hi - lo)) / F.lit(255.0)
-        )
+    lo = np.array([r["mn"] for r in dims], dtype=np.float64)
+    hi = np.array([r["mx"] for r in dims], dtype=np.float64)
 
-    dq = (
-        load_vectors(spark, sf_dir)
-        .select("vec_id", F.transform("emb", _deq).alias("emb"))
-        .filter(sq_norm("emb") > 0)
-    )
-    queries = dq.filter(F.col("vec_id") < N_QUERIES).select(
+    def _deq_np(mat):
+        # identical elementwise IEEE expression to the Catalyst
+        # transform() this replaces (r17): code = floor(((x - lo) /
+        # (hi - lo)) * 255.0 + 0.5); deq = lo + (code * (hi - lo)) /
+        # 255.0, with the hi == lo branch pinned to lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.floor(((mat - lo) / (hi - lo)) * 255.0 + 0.5)
+            deq = lo + (code * (hi - lo)) / 255.0
+        return np.where(hi == lo, lo, deq)
+
+    base = load_vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    scored = (
-        dq.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine("q_emb", "emb").alias("cos"),
-        )
+    # fold_cos_scores with the dequant transform (r17): dequantization
+    # AND the serial-fold cosine run in one bit-identical Arrow pass;
+    # post-dequant zero-norm rows drop on both sides exactly as the
+    # old filter(sq_norm > 0) did
+    scored = fold_cos_scores(
+        base, queries, transform=_deq_np, drop_zero_norm=True
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     sq8top = (
@@ -1158,25 +1160,26 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely are defined out on both engines (the standing
     zero-vector rule — unreachable on real data, total on degenerate
     fixtures)."""
-    from ..functions.vectors import cosine, sq_norm
-    from .similarity_ops import N_QUERIES, TOPK, embedding_topk
-
-    tr = (
-        load_vectors(spark, sf_dir)
-        .select("vec_id", F.slice("emb", 1, MRL_DIMS).alias("emb"))
-        .filter(sq_norm("emb") > 0)
+    from .similarity_ops import (
+        N_QUERIES,
+        TOPK,
+        embedding_topk,
+        fold_cos_scores,
     )
-    queries = tr.filter(F.col("vec_id") < N_QUERIES).select(
+
+    base = load_vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    scored = (
-        tr.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine("q_emb", "emb").alias("cos"),
-        )
+    # fold_cos_scores with a truncation transform (r17): the slice +
+    # serial-fold cosine in one bit-identical Arrow pass; truncated
+    # zero-norm rows drop on both sides exactly as the old
+    # filter(sq_norm > 0) did
+    scored = fold_cos_scores(
+        base,
+        queries,
+        transform=lambda mat: mat[:, :MRL_DIMS],
+        drop_zero_norm=True,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     trtop = (

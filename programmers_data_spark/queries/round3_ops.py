@@ -429,7 +429,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query side (same shape as embedding_topk); at 100 TB the
     neighbor stage swaps to the IVF/LSH path unchanged — the vote is
     a per-query aggregate either way."""
-    from .similarity_ops import load_vectors
+    from .similarity_ops import fold_cos_scores, load_vectors
 
     emb = load_vectors(spark, sf_dir, "label")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
@@ -438,16 +438,15 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
     )
     corpus = emb.filter(F.col("vec_id") >= KNN_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        "emb",
+        "vec_id", F.col("label").alias("neighbor_label"), "emb"
     )
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "true_label",
-        "neighbor_id",
-        "neighbor_label",
-        cosine("emb", "q_emb").alias("cos"),
+    # fold_cos_scores (r17): bit-identical Arrow pass over the scoring
+    # crossJoin (the query/corpus split makes its != filter vacuous)
+    scored = fold_cos_scores(
+        corpus,
+        queries,
+        corpus_cols=("neighbor_label",),
+        query_cols=("true_label",),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), "neighbor_id"

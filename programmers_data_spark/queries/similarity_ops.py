@@ -78,6 +78,161 @@ def load_vectors(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFram
     return emb.filter(sq_norm(F.col("emb")) > 0)
 
 
+# fold_cos_scores collects the query set driver-side for the Arrow
+# scoring broadcast; the bound is structural (every caller filters
+# vec_id < N_QUERIES) and enforced so a miswired caller fails loudly
+# instead of OOMing the driver.
+_FOLD_SCORES_QUERY_CAP = 10_000
+
+
+def fold_cos_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_cols: tuple[str, ...] = (),
+    query_cols: tuple[str, ...] = (),
+    want_dot: bool = False,
+    transform=None,
+    drop_zero_norm: bool = False,
+) -> DataFrame:
+    """EXACT brute-force cosine scoring of a bounded query set against
+    a corpus scan, as ONE Arrow pass — row- and BIT-identical to
+
+        corpus.crossJoin(broadcast(queries))
+              .filter(vec_id != query_id)
+              .select(..., cosine("q_emb", "emb") [, dot("q_emb", "emb")])
+
+    but ~an order of magnitude cheaper: the interpreted Catalyst
+    higher-order fold (zip_with + aggregate per row pair) becomes a
+    DIMENSION-MAJOR numpy accumulation —
+
+        acc = 0.0; for i in dims: acc = acc + q[i] * c[i]
+
+    — the very same serial left-fold sequence of IEEE float64
+    operations functions.vectors.dot performs, applied elementwise
+    across the whole (queries x batch) block at once. Unlike the GEMM
+    prefilter (cos_prefilter_kernel), which approximates with
+    normalized BLAS sums and needs a guard band, this kernel's cos IS
+    the fold cosine bit for bit (norms via the same self-fold + one
+    sqrt; denominator multiplied before the single division, matching
+    the expression tree), so consumers keep full hash parity with no
+    re-check.
+
+    ``corpus`` must carry (vec_id, emb [, corpus_cols]); ``queries``
+    (query_id, q_emb [, query_cols]) and be bounded (collected to the
+    driver, cap enforced). Output: one row per (query, corpus) pair
+    with vec_id != query_id — columns (query_id, neighbor_id,
+    *query_cols, *corpus_cols, cos [, dot]). Row order is undefined;
+    every consumer ranks or aggregates.
+
+    ``transform`` (optional): a numpy (rows x dims) -> (rows x dims')
+    elementwise/slicing map applied to BOTH sides before scoring
+    (SQ8 dequantization, MRL truncation) — replaces an interpreted
+    Catalyst transform() per row with one vectorized pass, again
+    bit-identical as long as the map itself is the same elementwise
+    IEEE expression. ``drop_zero_norm``: drop post-transform rows
+    whose self-fold is 0 on either side — exactly the
+    ``filter(sq_norm(emb) > 0)`` the Catalyst form applies after its
+    transform (the fold IS the squared norm being tested).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q_rows = queries.limit(_FOLD_SCORES_QUERY_CAP + 1).collect()
+    if len(q_rows) > _FOLD_SCORES_QUERY_CAP:
+        raise ValueError(
+            f"fold_cos_scores broadcasts the query set and is capped at "
+            f"{_FOLD_SCORES_QUERY_CAP} rows; score an unbounded query side "
+            f"with the banded/bucketed kernels instead."
+        )
+    schema_parts = ["query_id long", "neighbor_id long"]
+    q_schema = dict(zip(queries.schema.names,
+                        (f.dataType.simpleString() for f in queries.schema)))
+    c_schema = dict(zip(corpus.schema.names,
+                        (f.dataType.simpleString() for f in corpus.schema)))
+    schema_parts += [f"{c} {q_schema[c]}" for c in query_cols]
+    schema_parts += [f"{c} {c_schema[c]}" for c in corpus_cols]
+    schema_parts.append("cos double")
+    if want_dot:
+        schema_parts.append("dot double")
+    out_schema = ", ".join(schema_parts)
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_emb"] for r in q_rows], dtype=np.float64)
+    q_extra = {c: [r[c] for r in q_rows] for c in query_cols}
+    if transform is not None:
+        q_mat = transform(q_mat)
+    dims = q_mat.shape[1]
+    qn2 = np.zeros(len(q_rows))
+    for i in range(dims):
+        qn2 += q_mat[:, i] * q_mat[:, i]
+    if drop_zero_norm:
+        q_keep = qn2 > 0
+        q_ids, q_mat, qn2 = q_ids[q_keep], q_mat[q_keep], qn2[q_keep]
+        q_extra = {
+            c: [v for v, k in zip(vals, q_keep) if k]
+            for c, vals in q_extra.items()
+        }
+        if len(q_ids) == 0:
+            return spark.createDataFrame([], out_schema)
+    q_norm = np.sqrt(qn2)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, q_extra))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids_, q_mat_, q_norm_, q_extra_ = bc.value
+        nq = len(q_ids_)
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:  # empty Arrow batches are legal
+                continue
+            c_ids_ = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat_ = np.array(list(pdf["emb"]), dtype=np.float64)
+            if transform is not None:
+                c_mat_ = transform(c_mat_)
+            # dimension-major accumulation: each (q, c) cell walks the
+            # identical 0.0 + q0*c0 + q1*c1 + ... IEEE sequence the
+            # serial fold walks
+            acc = np.zeros((nq, nb))
+            cn2 = np.zeros(nb)
+            for i in range(c_mat_.shape[1]):
+                ci = c_mat_[:, i]
+                acc += q_mat_[:, i][:, None] * ci[None, :]
+                cn2 += ci * ci
+            if drop_zero_norm:
+                c_keep = cn2 > 0
+                if not c_keep.all():
+                    pdf = pdf.loc[c_keep]
+                    c_ids_ = c_ids_[c_keep]
+                    acc, cn2 = acc[:, c_keep], cn2[c_keep]
+                    nb = len(c_ids_)
+                    if nb == 0:
+                        continue
+            denom = q_norm_[:, None] * np.sqrt(cn2)[None, :]
+            cos = acc / denom
+            qi = np.repeat(np.arange(nq), nb)
+            cj = np.tile(np.arange(nb), nq)
+            keep = q_ids_[qi] != c_ids_[cj]
+            qi, cj = qi[keep], cj[keep]
+            out = {
+                "query_id": q_ids_[qi],
+                "neighbor_id": c_ids_[cj],
+            }
+            for c in query_cols:
+                out[c] = np.asarray(q_extra_[c], dtype=object)[qi]
+            for c in corpus_cols:
+                out[c] = pdf[c].to_numpy()[cj]
+            out["cos"] = cos.ravel()[keep]
+            if want_dot:
+                out["dot"] = acc.ravel()[keep]
+            yield pd.DataFrame(out)
+
+    return corpus.select("vec_id", "emb", *corpus_cols).mapInPandas(
+        score, schema=out_schema
+    )
+
 
 @query(
     "embedding_topk",
@@ -107,21 +262,15 @@ def load_vectors(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFram
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the bounded query set
     against the corpus scan, rank per query. The corpus side never
-    shuffles until the (tiny) per-query top-k window."""
+    shuffles until the (tiny) per-query top-k window. Scoring runs
+    through fold_cos_scores (r17): one Arrow pass whose
+    dimension-major accumulation is bit-identical to the interpreted
+    serial-fold cosine the crossJoin form evaluated per row."""
     emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    scored = (
-        load_vectors(spark, sf_dir)
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine("q_emb", "emb").alias("cos"),
-        )
-    )
+    scored = fold_cos_scores(load_vectors(spark, sf_dir), queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -850,18 +999,22 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("emb").alias("q_emb"),
     )
+    # fold_cos_scores (r17): the scoring crossJoin + interpreted fold
+    # as one bit-identical Arrow pass; the label-mismatch filter stays
+    # a JVM predicate over the scored rows exactly as before
     scored = (
-        load_vectors(spark, sf_dir, "label")
-        .crossJoin(F.broadcast(queries))
-        .filter(
-            (F.col("vec_id") != F.col("query_id"))
-            & (F.col("label") != F.col("q_label"))
+        fold_cos_scores(
+            load_vectors(spark, sf_dir, "label"),
+            queries,
+            corpus_cols=("label",),
+            query_cols=("q_label",),
         )
+        .filter(F.col("label") != F.col("q_label"))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.col("label").cast("long").alias("neg_label"),
-            cosine("q_emb", "emb").alias("cos"),
+            "cos",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -935,16 +1088,10 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    scored = (
-        load_vectors(spark, sf_dir)
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine("q_emb", "emb").alias("cos"),
-            vdot("q_emb", "emb").alias("dot"),
-        )
+    # fold_cos_scores (r17): cos AND the raw fold dot from the same
+    # Arrow accumulation — bit-identical to cosine()/dot() per row
+    scored = fold_cos_scores(
+        load_vectors(spark, sf_dir), queries, want_dot=True
     )
     w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     w_dot = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
@@ -1028,16 +1175,18 @@ def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("emb").alias("q_emb"),
     )
-    scored = (
-        load_vectors(spark, sf_dir, "label")
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (F.col("label") == F.col("q_label")).alias("same_label"),
-            cosine("q_emb", "emb").alias("cos"),
-        )
+    # fold_cos_scores (r17): one bit-identical Arrow scoring pass;
+    # the same-label flag derives from the carried label columns
+    scored = fold_cos_scores(
+        load_vectors(spark, sf_dir, "label"),
+        queries,
+        corpus_cols=("label",),
+        query_cols=("q_label",),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("label") == F.col("q_label")).alias("same_label"),
+        "cos",
     )
     w = Window.partitionBy("query_id", "same_label").orderBy(
         F.desc("cos"), "neighbor_id"

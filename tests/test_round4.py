@@ -207,9 +207,10 @@ def test_tws_stateful_op_gated_or_works(spark, sf_smoke):
 def test_round4_plan_postures(spark, sf_smoke):
     """Scale-posture plan guards for the round-4 additions: the
     adaptive gate's threshold rides a 1-row broadcast (no hash
-    shuffle anywhere — the query is two map passes), the kNN query
-    side broadcasts against the corpus scan, and the top-k queries
-    plan TakeOrdered, not global sorts."""
+    shuffle anywhere — the query is two map passes), the kNN scoring
+    runs as one Arrow pass over the corpus scan (fold_cos_scores —
+    no BNLJ crossJoin, r17), and the top-k queries plan TakeOrdered,
+    not global sorts."""
 
     def plan(name):
         df = registry.QUERIES[name](spark, sf_smoke)
@@ -220,7 +221,8 @@ def test_round4_plan_postures(spark, sf_smoke):
     assert gate.count("Exchange hashpartitioning") == 0
 
     knn = plan("knn_label_vote")
-    assert "BroadcastNestedLoopJoin" in knn
+    assert "MapInPandas" in knn
+    assert "BroadcastNestedLoopJoin" not in knn
 
     for name in ("skew_profile", "bigram_stats"):
         assert "TakeOrderedAndProject" in plan(name), name

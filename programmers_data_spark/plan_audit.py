@@ -54,6 +54,8 @@ PYTHON_TIER = frozenset({
     #                     composes embedding_topk's pass
     "mrl_truncation_recall",  # fold_cos_scores + truncation transform;
     #                           also composes embedding_topk's pass
+    "embedding_cos_topk",  # fold_cos_pairs: exact Arrow rerank of
+    #                        the published-store probe candidates (r17)
     "pq_topk",  # Arrow PQ encode + LUT-gather ADC scan
     "pq_recall_at5",  # composes pq_topk's Arrow kernels
     "bpe_encoded_counts",  # Arrow merge-rank encoder IS the operator

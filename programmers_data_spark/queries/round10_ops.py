@@ -729,11 +729,11 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..operators import bounded_global_window
-    from ..functions.vectors import cosine
     from .similarity_ops import (
         N_QUERIES,
         TOPK,
         embedding_topk,
+        fold_cos_pairs,
         ivf_index,
         load_vectors,
     )
@@ -773,14 +773,21 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # fold_cos_pairs (r17): score each candidate pair ONCE, exactly
+    # (bit-identical Arrow fold), BEFORE the nprobe grid fans the
+    # candidate table out ~|grid|× — the old form evaluated the
+    # interpreted fold per fanned row inside the window sort
+    scored = fold_cos_pairs(
+        cands, "q_emb", "emb", keep=("query_id", "vec_id", "probe_rank")
+    )
     grid = spark.createDataFrame(
         [(p,) for p in PROBE_GRID], "nprobe long"
     )
-    fanned = cands.join(
+    fanned = scored.join(
         F.broadcast(grid), F.col("probe_rank") <= F.col("nprobe")
     )
     w = Window.partitionBy("nprobe", "query_id").orderBy(
-        F.desc(cosine("q_emb", "emb")), "vec_id"
+        F.desc("cos"), "vec_id"
     )
     top = (
         fanned.withColumn("rank", F.row_number().over(w))

@@ -113,7 +113,7 @@ def embedding_cos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_neardup_lsh fragments (one fragment set for
     maintenance and serving, the _hamming_topk_oracle discipline)."""
     from ..embedding_index import sig_store
-    from ..functions.vectors import cosine
+    from .similarity_ops import fold_cos_pairs
 
     store = sig_store(spark, sf_dir)
     queries = store.filter(F.col("vec_id") < N_QUERIES).select(
@@ -134,12 +134,17 @@ def embedding_cos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb")
     )
-    cos = cosine("q_emb", "n_emb")
+    # fold_cos_pairs (r17): exact Arrow rerank over the store-probe
+    # candidates — bit-identical to the interpreted fold cosine
+    scored = fold_cos_pairs(
+        cand.join(qe, "query_id").join(ne, "neighbor_id"),
+        "q_emb",
+        "n_emb",
+        keep=("query_id", "neighbor_id"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        cand.join(qe, "query_id")
-        .join(ne, "neighbor_id")
-        .withColumn("cos", cos)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOPK)
         .select(

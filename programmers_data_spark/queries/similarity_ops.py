@@ -234,6 +234,61 @@ def fold_cos_scores(
     )
 
 
+def fold_cos_pairs(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep: tuple[str, ...],
+    cos_col: str = "cos",
+) -> DataFrame:
+    """Row-wise sibling of fold_cos_scores: append the exact
+    serial-fold cosine of two array<double> columns to a frame of
+    already-joined candidate pairs, as ONE Arrow pass — BIT-identical
+    to ``.withColumn(cos_col, cosine(a_col, b_col))`` (the same
+    dimension-major accumulation trick: each row's acc walks the
+    identical 0.0 + a0*b0 + a1*b1 + ... IEEE float64 sequence the
+    interpreted Catalyst fold walks; norms via the same self-fold +
+    one sqrt, denominator multiplied before the single division).
+    Use it where candidates come from a banded/bucketed join (LSH
+    tables, IVF probe joins), i.e. the pair frame itself is the
+    bounded candidate set — the embedding payloads are consumed by
+    the kernel and only ``keep`` + ``cos_col`` survive, so nothing
+    downstream reships vectors.
+    """
+    import numpy as np
+
+    schema = dict(
+        zip(df.schema.names, (f.dataType.simpleString() for f in df.schema))
+    )
+    out_schema = ", ".join(
+        [f"{c} {schema[c]}" for c in keep] + [f"{cos_col} double"]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batches are legal
+                continue
+            a = np.array(list(pdf[a_col]), dtype=np.float64)
+            b = np.array(list(pdf[b_col]), dtype=np.float64)
+            n = len(pdf)
+            acc = np.zeros(n)
+            na2 = np.zeros(n)
+            nb2 = np.zeros(n)
+            for i in range(a.shape[1]):
+                ai = a[:, i]
+                bi = b[:, i]
+                acc += ai * bi
+                na2 += ai * ai
+                nb2 += bi * bi
+            out = pdf[list(keep)].copy()
+            out[cos_col] = acc / (np.sqrt(na2) * np.sqrt(nb2))
+            yield out
+
+    return df.select(*keep, a_col, b_col).mapInPandas(
+        score, schema=out_schema
+    )
+
+
 @query(
     "embedding_topk",
     oracle=f"""
@@ -546,11 +601,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_emb", "vec_id", "emb")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine("q_emb", "emb")), "vec_id"
-    )
+    # fold_cos_pairs (r17): the candidate set is bounded (L·N/2^k per
+    # query), so the exact rerank cosine runs as one Arrow pass —
+    # bit-identical to the interpreted fold the window used to sort by
+    scored = fold_cos_pairs(cands, "q_emb", "emb", keep=("query_id", "vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
         .orderBy("query_id", "rank")
@@ -660,11 +717,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = corpus.join(F.broadcast(queries), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine("q_emb", "emb")), "vec_id"
-    )
+    # fold_cos_pairs (r17): exact Arrow rerank over the probe-join
+    # candidates, bit-identical to the interpreted fold
+    scored = fold_cos_pairs(cands, "q_emb", "emb", keep=("query_id", "vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
         .orderBy("query_id", "rank")

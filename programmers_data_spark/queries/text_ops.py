@@ -740,36 +740,54 @@ def winnow_collision_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints — the same bounded candidate economics as
     tfidf_shingle_pairs, never all-pairs. Containment is one IEEE
     division of exact integers (bitwise-portable)."""
+    from pyspark.sql.window import Window
+
+    # One fingerprint pass per self-join side, not eight: the original
+    # rare/kept/sizes composition re-evaluated the whole winnow
+    # subtree (documents scan -> gram-stream explode -> rolling-min
+    # window) EIGHT times in one plan (r17 plan capture:
+    # winnow_collision_pairs_before.txt). The df cap and the per-doc
+    # fingerprint count are windows over the SAME fps rows instead of
+    # aggregate+join pairs — fps rows are distinct (doc_id, fp) by
+    # construction, so count(*) per fp IS the distinct-doc frequency —
+    # and n_fp rides through the self-join so no sizes join re-derives
+    # the pass. (A persist of fps/kept was measured too: the
+    # materialization barriers cost more than the recompute saves at
+    # bench scale — interleaved A/B old 2.81 / persist 3.69 / this
+    # form 2.48.)
     fps = doc_winnow_fingerprint(spark, sf_dir)
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    kept = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter(F.col("df") <= _WINNOW_DF_CAP)
-        .select("fp")
+        .withColumn(
+            "n_fp",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
+        )
+        .select("doc_id", "fp", "n_fp")
     )
-    kept = fps.join(rare, "fp")
-    sizes = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fp")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "fp", F.col("n_fp").alias("na")
     )
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "fp", F.col("n_fp").alias("nb")
+    )
     pairs = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            # na/nb are functionally dependent on doc_a/doc_b: max of a
+            # per-group constant is that constant
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
         .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
     )
     return (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")),
-            "doc_b",
-        )
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             "shared",

@@ -870,6 +870,46 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # The aggregated graph is nation×nation (≤ 625 edges for any SF):
+    # resolve the power iteration DRIVER-SIDE under the same bounded
+    # count-checked escape the component resolvers use
+    # (operators.DRIVER_RESOLVE_MAX_EDGES) — the distributed loop's
+    # per-round joins over a ≤625-row frame are pure stage-scheduling
+    # overhead (r17: iterations cost ~2.4s of the query's ~4s at
+    # sf0.1). All arithmetic is non-negative fixed-point integer
+    # (`div` == Python // on non-negatives), so the driver fold is
+    # bit-identical to the join+sum formulation and the recursive SQL
+    # oracle. Graphs over the cap (a general document-link graph)
+    # keep the distributed join+aggregate rounds.
+    from ..operators import DRIVER_RESOLVE_MAX_EDGES
+
+    edge_rows = edges.limit(DRIVER_RESOLVE_MAX_EDGES + 1).collect()
+    if len(edge_rows) <= DRIVER_RESOLVE_MAX_EDGES:
+        node_rows = nation.collect()  # fixed-cardinality dimension
+        tw: dict = {}
+        for r in edge_rows:
+            tw[r.src] = tw.get(r.src, 0) + r.w
+        ranks = {r.n_nationkey: _PR_SCALE for r in node_rows}
+        for _ in range(_PR_ITERATIONS):
+            incoming: dict = {}
+            for r in edge_rows:
+                # an edge whose src is not a known nation contributes
+                # nothing — same as the distributed inner join
+                rank_src = ranks.get(r.src)
+                if rank_src is None:
+                    continue
+                contrib = (rank_src * r.w) // tw[r.src]
+                incoming[r.dst] = incoming.get(r.dst, 0) + contrib
+            ranks = {
+                n: 150_000 + (85 * incoming.get(n, 0)) // 100
+                for n in ranks
+            }
+        name = {r.n_nationkey: r.n_name for r in node_rows}
+        data = sorted(
+            ((name[n], ranks[n]) for n in ranks),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return spark.createDataFrame(data, "nation string, rank long")
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     edges = edges.join(outw, "src").persist()
     ranks = nation.select(

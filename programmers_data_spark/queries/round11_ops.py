@@ -1124,7 +1124,22 @@ _PAIR_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_a, part_b, pair_orders, orders_a, orders_b) with
     part_a < part_b, both support floors applied — persisted, since
-    every consumer reads it from multiple plan branches."""
+    every consumer reads it from multiple plan branches.
+
+    Mining shape (r17 opt): the per-part support count rides as a
+    WINDOW over the distinct (order, part) rows — count(*) over
+    (partition by part) IS the distinct-order count because the rows
+    are distinct by construction (the winnow_collision_pairs trick) —
+    and the supported table persists BEFORE the pair self-join. The
+    previous groupBy+join-back form evaluated the whole
+    scan→distinct→support pipeline once per self-join SIDE: 4 fact
+    scans and 2 support aggregates per materialization (plan-string
+    verified); now the fact table is scanned ONCE, the support pass
+    runs once, and both join sides read the persisted supported rows.
+    Row-identical: same distinct rows, same count per part, same
+    filter."""
+    from pyspark.sql.window import Window
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_EDGE_CACHE.get(key)
     if cached is not None:
@@ -1134,12 +1149,16 @@ def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").cast("long").alias("part_orders"))
+    lif = (
+        li.withColumn(
+            "part_orders",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("l_partkey"))
+            .cast("long"),
+        )
         .filter(F.col("part_orders") >= CP_MIN_PART_ORDERS)
+        .persist()
     )
-    lif = li.join(sup, "l_partkey")
     a = lif.select(
         "l_orderkey",
         F.col("l_partkey").alias("part_a"),

@@ -80,6 +80,11 @@ DISCOUNT = 5
 LIFT_SCALE = 1000
 TOP_COLLOCATIONS = 50
 
+# memoized persisted unigram count table per (applicationId, sf_dir):
+# collocation_lift reads it from three plan branches (*_CACHE
+# contract — bench _reset clears it)
+_COLL_UNI_CACHE: dict = {}
+
 # doc-id checkpoints for the growth curve.
 N_CHECKPOINTS = 10
 
@@ -181,16 +186,28 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially aggregates into a vocabulary-sized count table. The
     lift join keys the DISCOUNT-filtered bigram table against the
     unigram table twice on a token column — vocabulary × vocabulary,
-    hash join, never corpus-sized. N folds from the unigram table
-    (no third pass) and rides a 1-row broadcast cross join. Top-k is
-    TakeOrdered, not a global sort."""
+    hash join, never corpus-sized. N folds from the PERSISTED
+    unigram table (its three consumers — the N anchor and both join
+    sides — read one evaluation; unpersisted, each re-ran the
+    unigram pipeline) and rides a 1-row broadcast cross join. Top-k
+    is TakeOrdered, not a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", textfn.tokenize("text").alias("toks"))
-    uni = (
-        toked.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
-    )
+    # persisted + memoized (*_CACHE contract): THREE plan branches
+    # consume the unigram table (the N anchor and both join sides) —
+    # unpersisted, each branch re-ran the tokenize→explode→groupBy
+    # pipeline (4 documents scans in the physical plan, r17 opt;
+    # the table is vocabulary-sized, never corpus-sized)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    uni = _COLL_UNI_CACHE.get(key)
+    if uni is None:
+        uni = (
+            toked.select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+            .persist()
+        )
+        _COLL_UNI_CACHE[key] = uni
     n_occ = uni.agg(F.sum("cu").cast("long").alias("n_occ"))
     cand = (
         _bigrams(toked)

@@ -1043,16 +1043,22 @@ def ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly that). Integer epoch-micros end to end, so both engines
     agree bitwise.
 
-    Scale: one map-side max aggregate per type plus a 1-row global
-    max broadcast — no row-level shuffle."""
+    Scale: ONE map-side max aggregate per type; the global max is a
+    bounded window over the per-type maxes (max of maxes == the
+    global max — exact; the frame is one row per event type, a data
+    property independent of row count), so the fact table is scanned
+    once. The previous separate events.agg(max) anchor re-scanned it
+    (r17 opt, the one-pass-anchor shape; plan: events scans 2 -> 1,
+    the crossJoin+broadcast dropped)."""
     events = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    g = events.agg(F.max("ts_us").alias("gmax"))
     return (
         events.groupBy("event_type")
         .agg(F.max("ts_us").alias("latest_us"))
-        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "gmax", F.max("latest_us").over(bounded_global_window())
+        )
         .select(
             "event_type",
             "latest_us",
@@ -1266,14 +1272,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     orders = load_table(spark, sf_dir, "orders")
+    # persisted: the global "now" anchor derives from base's own
+    # last_d (max over per-customer maxes == the global max — exact),
+    # so the fact table is scanned ONCE; the previous separate
+    # orders.agg(max(...)) anchor re-scanned it (r17 opt, the
+    # one-pass-anchor shape; plan: orders scans 2 -> 1)
     base = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).cast("long").alias("monetary_c"),
         F.max(F.to_date("o_orderdate")).alias("last_d"),
-    )
-    now_row = orders.agg(F.max(F.to_date("o_orderdate")).alias("now"))
+    ).persist()
+    now_row = base.agg(F.max("last_d").alias("now"))
     m = (
         base.crossJoin(F.broadcast(now_row))
         .select(

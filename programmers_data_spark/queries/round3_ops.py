@@ -736,8 +736,10 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus) joins the doc→source dimension twice on
     doc_id — both equi-joins AQE can broadcast when pairs are small
     and shuffle-partition when they are not; the rollup is a
-    |sources|²-bounded aggregate and the share division folds in a
-    1-row total (allowlisted bounded cartesian)."""
+    |sources|²-bounded aggregate and the share denominator is the
+    SUM of its own cells via a bounded window (allowlisted bounded
+    single-partition exchange; r17 opt — the previous 1-row
+    crossJoin total re-evaluated the pair read + both doc joins)."""
     from .dedup_ops import verified_pair_store
 
     pairs = verified_pair_store(spark, sf_dir)
@@ -759,9 +761,17 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = labeled.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
-    t = labeled.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # the denominator is the SUM of the cell counts (each labeled pair
+    # lands in exactly one (source_a, source_b) cell), so it rides a
+    # bounded window over m — ≤ |source alphabet|² rows, a data
+    # property independent of pair count — instead of a second
+    # evaluation of `labeled` (which re-ran the pair-store read and
+    # BOTH doc joins per the duplicated-subtree rule; r17 opt)
     return (
-        m.crossJoin(F.broadcast(t))
+        m.withColumn(
+            "total",
+            F.sum("n_pairs").over(bounded_global_window()).cast("long"),
+        )
         .select(
             "source_a",
             "source_b",

@@ -213,3 +213,52 @@ def test_text_cluster_store_publishes_once_and_rereads(
     assert len(gens) == 1, gens
     # no arrival-batch doc may appear in the EXISTING-corpus store
     assert all(d % 10 != _NEW_BATCH_RESIDUE for d, _ in first)
+
+
+# --------------------------- r17-opt single-pass mining plan shapes
+
+
+def _formatted_plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_frequent_pair_mining_scans_fact_table_once(spark):
+    """r17 opt §8: the co-purchase mining computes support as a
+    window over the distinct (order, part) rows and persists the
+    supported table BEFORE the pair self-join — so the whole plan
+    (both self-join sides, both consumers) holds exactly ONE
+    lineitem scan. The groupBy+join-back form it replaced evaluated
+    the scan→distinct→support pipeline once per join side (4 scans,
+    plan-string verified in plans/r17/copurchase_pairs_before.txt)."""
+    from programmers_data_spark.queries import round11_ops
+
+    round11_ops._PAIR_EDGE_CACHE.clear()
+    spark.catalog.clearCache()
+    plan = _formatted_plan(
+        registry.QUERIES["copurchase_pairs"](spark, SF_DIR)
+    )
+    assert plan.count("lineitem.parquet]") == 1, plan[:2000]
+
+
+def test_one_pass_anchor_queries_scan_fact_table_once(spark):
+    """r17 opt: global-anchor denominators derive from the sibling
+    aggregate (max-of-maxes / sum-of-cells) instead of re-scanning
+    the fact table — rfm_segments (orders), ingest_freshness
+    (events), cross_source_dup_matrix (documents via the pair read's
+    two dimension joins, evaluated once)."""
+    from programmers_data_spark.queries import extras
+
+    extras._RFM_CACHE.clear()
+    spark.catalog.clearCache()
+    assert _formatted_plan(
+        registry.QUERIES["rfm_segments"](spark, SF_DIR)
+    ).count("orders.parquet]") == 1
+    assert _formatted_plan(
+        registry.QUERIES["ingest_freshness"](spark, SF_DIR)
+    ).count("events.parquet]") == 1

@@ -987,24 +987,28 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, and the outlier comparison is integer cents vs integer
     cents — no float boundary can flip a row between engines.
 
-    Scale: two percentile passes + one counting pass, each a
-    map-side aggregate per event_type with the tiny per-group
-    statistics broadcast back — no row-level shuffle."""
+    Scale: both percentile statistics ride windows keyed by
+    event_type over ONE shuffle of the value rows — an exact
+    percentile ships every group member to its reducer under EITHER
+    form, so the window costs what the groupBy cost, but the
+    previous groupBy + broadcast-join-back rounds re-evaluated the
+    events scan per stage (4 fact scans in the physical plan; now 1
+    — r17 opt, the quantile-as-window shape; consecutive windows on
+    the same key share the single exchange, guide §2.4)."""
+    from pyspark.sql.window import Window as W
+
     events = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = events.groupBy("event_type").agg(
-        F.floor(F.expr("percentile(value, 0.5)") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("med_c")
-    )
-    adev = events.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med_c") / 100.0)
-    )
-    mad = adev.groupBy("event_type").agg(
-        F.floor(F.expr("percentile(dev, 0.5)") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("mad_c")
-    )
-    scored = adev.join(F.broadcast(mad), "event_type").withColumn(
+    wt = W.partitionBy("event_type")
+    adev = events.withColumn(
+        "med_c",
+        F.floor(F.expr("percentile(value, 0.5)").over(wt) * 100 + F.lit(0.5))
+        .cast("long"),
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med_c") / 100.0))
+    scored = adev.withColumn(
+        "mad_c",
+        F.floor(F.expr("percentile(dev, 0.5)").over(wt) * 100 + F.lit(0.5))
+        .cast("long"),
+    ).withColumn(
         "threshold_cents", F.col("med_c") + 3 * F.col("mad_c")
     )
     return (
@@ -1106,31 +1110,35 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison as an exact integer, so the band check is integer
     arithmetic on both engines.
 
-    Scale: the daily rollup is one map-side count per day; the two
-    percentile passes run over one-row-per-day aggregates (tiny), and
-    the verdict join broadcasts two 1-row statistics."""
+    Scale: the daily rollup is one map-side count per day; both
+    percentile statistics ride bounded windows over the
+    one-row-per-day aggregate (provably tiny: one row per calendar
+    day), so the fact table is scanned ONCE — the previous
+    1-row-agg + crossJoin form re-evaluated the daily rollup per
+    statistic (4 events scans in the physical plan; r17 opt, the
+    quantile-as-bounded-window shape)."""
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    med = daily.agg(
-        F.floor(F.expr("percentile(CAST(n AS DOUBLE), 0.5)") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("med_c")
-    )
-    with_med = daily.crossJoin(F.broadcast(med))
-    mad = with_med.agg(
+    w = bounded_global_window()
+    with_med = daily.withColumn(
+        "med_c",
         F.floor(
-            F.expr("percentile(abs(n - med_c / 100.0), 0.5)") * 100
+            F.expr("percentile(CAST(n AS DOUBLE), 0.5)").over(w) * 100
             + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("mad_c")
+        ).cast("long"),
+    )
+    with_mad = with_med.withColumn(
+        "mad_c",
+        F.floor(
+            F.expr("percentile(abs(n - med_c / 100.0), 0.5)").over(w) * 100
+            + F.lit(0.5)
+        ).cast("long"),
     )
     return (
-        with_med.crossJoin(F.broadcast(mad))
-        .filter(
+        with_mad.filter(
             F.abs(F.col("n") * 100 - F.col("med_c")) > 3 * F.col("mad_c")
         )
         .select("day", "n")
@@ -1285,15 +1293,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.to_date("o_orderdate")).alias("last_d"),
     ).persist()
     now_row = base.agg(F.max("last_d").alias("now"))
-    m = (
-        base.crossJoin(F.broadcast(now_row))
-        .select(
-            "cust",
-            "frequency",
-            "monetary_c",
-            F.datediff("now", "last_d").cast("long").alias("recency_days"),
-        )
-        .persist()
+    # no second persist: m is a map-side projection (broadcast 1-row
+    # join + datediff) over the PERSISTED base — its four consumers
+    # re-do only that projection from memory; a second
+    # materialization barrier here measured as a net loss (r17 opt)
+    m = base.crossJoin(F.broadcast(now_row)).select(
+        "cust",
+        "frequency",
+        "monetary_c",
+        F.datediff("now", "last_d").cast("long").alias("recency_days"),
     )
     n_row = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
 

@@ -1301,6 +1301,10 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("trigram", " ", 2).alias("bg1"),
             F.substring_index("trigram", " ", -2).alias("bg2"),
         )
+        # persisted: the tagged probe table reads this ≤N_PHRASES-row
+        # frame twice, and unpersisted each read re-ran the trigram
+        # corpus pass behind the top-k (r17 opt)
+        .persist()
     )
 
     # positional bigram index stream: (doc_id, p, bg), map-side
@@ -1317,12 +1321,28 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p", F.concat_ws(" ", "t.a", "t.b").alias("bg"))
     )
-    m1 = bigrams.join(
-        F.broadcast(phrases.select("phrase", F.col("bg1").alias("bg"))), "bg"
-    ).select("phrase", "doc_id", "p")
-    m2 = bigrams.join(
-        F.broadcast(phrases.select("phrase", F.col("bg2").alias("bg"))), "bg"
-    ).select(
+    # ONE pass over the index stream: both constituents probe the
+    # same broadcast (tagged by which constituent matched), and the
+    # phrase-postings-sized match set persists for the two sides of
+    # the positional intersection — the previous per-constituent
+    # joins re-derived the whole map-side bigram stream twice (r17
+    # opt; documents scans 4 -> 2). A phrase whose two constituent
+    # bigrams are equal contributes one pm row per tag, so m1/m2
+    # recover exactly the per-constituent join results.
+    pm = phrases.select(
+        "phrase", F.col("bg1").alias("bg"), F.lit(1).alias("which")
+    ).unionByName(
+        phrases.select(
+            "phrase", F.col("bg2").alias("bg"), F.lit(2).alias("which")
+        )
+    )
+    matches = (
+        bigrams.join(F.broadcast(pm), "bg")
+        .select("phrase", "doc_id", "p", "which")
+        .persist()
+    )
+    m1 = matches.filter(F.col("which") == 1).select("phrase", "doc_id", "p")
+    m2 = matches.filter(F.col("which") == 2).select(
         F.col("phrase").alias("phrase2"),
         F.col("doc_id").alias("doc_id2"),
         F.col("p").alias("p2"),

@@ -144,10 +144,16 @@ def segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segment contributes k^2 join rows that countDistinct collapses
     # anyway — a quadratic blowup on hot users at scale (r5 verdict
     # "What's wrong #2": this was the slowest bench query at 12s).
+    # persisted: FOUR plan branches consume the distinct membership
+    # rows (the sketch aggregate feeding both pair sides, and both
+    # sides of the exact-anchor self-join) — unpersisted, each
+    # branch re-ran the scan+filter+distinct (4 events scans in the
+    # physical plan; r17 opt — now 1)
     seg = (
         events.filter(F.col("event_type").isin(*sorted(set(segs))))
         .select("event_type", "user_id")
         .distinct()
+        .persist()
     )
     sketches = seg.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),

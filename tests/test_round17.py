@@ -262,3 +262,20 @@ def test_one_pass_anchor_queries_scan_fact_table_once(spark):
     assert _formatted_plan(
         registry.QUERIES["ingest_freshness"](spark, SF_DIR)
     ).count("events.parquet]") == 1
+
+
+def test_single_pass_quantile_and_index_plans(spark):
+    """r17 opt §10: quantile stages ride windows (MAD pair) and the
+    positional/sketch queries persist their multiply-consumed
+    bounded frames — each query's plan scans its fact table the
+    minimal number of times (was 4 each, plan-string verified in the
+    committed before-plans)."""
+    spark.catalog.clearCache()
+    for name, table, n in (
+        ("mad_outliers", "events.parquet]", 1),
+        ("volume_anomaly_days", "events.parquet]", 1),
+        ("segment_overlap_sketch", "events.parquet]", 1),
+        ("phrase_match_positional", "documents.parquet]", 2),
+    ):
+        plan = _formatted_plan(registry.QUERIES[name](spark, SF_DIR))
+        assert plan.count(table) == n, (name, plan.count(table))

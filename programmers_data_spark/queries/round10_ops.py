@@ -155,40 +155,58 @@ TOP_SKIPGRAMS = 100
 def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram training-pair extraction: directional (center,
     context-at-distance-d) pairs for d = 1..{WINDOW}, weighted
-    1/d in exact milli-units (SCALE div d folded at PLAN time — d is
-    a per-branch literal, so Spark and DuckDB interpolate the same
-    python integer and no engine divides anything). Top
-    {TOP_SKIPGRAMS} pairs by weighted count — the corpus's strongest
-    co-occurrence structure, the input statistic GloVe factorizes.
+    1/d in exact milli-units (`SCALE div d` — Spark's integral `div`
+    on exact integers equals the oracle's plan-time-folded python
+    `//`; both operands are non-negative, so the two never diverge).
+    Top {TOP_SKIPGRAMS} pairs by weighted count — the corpus's
+    strongest co-occurrence structure, the input statistic GloVe
+    factorizes.
 
-    Scale shape: {WINDOW} map-side passes over the projected text
-    column (slice + arrays_zip per distance — the corpus_stats
-    bigram shape generalized to distance d), one UNION feeding ONE
-    vocabulary²-bounded partial aggregate keyed on the pair; top-k
-    is TakeOrdered. No token-stream shuffle, no window functions, no
-    self-joins."""
+    Scale shape: ONE map-side pass over the projected text column —
+    per document, an array of the {WINDOW} per-distance
+    (slice + arrays_zip) pair arrays, unpacked by posexplode (the
+    distance index recovers the weight) + explode, all codegen'd
+    builtins (rewritten r18: the previous form ran one full corpus
+    scan PER distance — {WINDOW} scans unioned; at 100 TB each
+    extra branch was a full corpus read for the same emitted rows).
+    The single pass feeds ONE vocabulary²-bounded partial aggregate
+    keyed on the pair; top-k is TakeOrdered. No token-stream
+    shuffle, no window functions, no self-joins, no lambda HOFs
+    (which run interpreted)."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(textfn.tokenize("text").alias("toks"))
-    parts = []
-    for d in range(1, WINDOW + 1):
-        parts.append(
-            toked.filter(F.size("toks") > d)
-            .select(
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("toks", 1, F.size("toks") - d).alias("a"),
-                        F.slice("toks", d + 1, F.size("toks") - d).alias(
-                            "b"
-                        ),
-                    )
-                ).alias("p"),
-                F.lit(SKIPGRAM_SCALE // d).cast("long").alias("w"),
+    # per-distance zipped pair arrays, one array entry per d; docs
+    # shorter than d+1 tokens contribute an EMPTY zip at that slot
+    # (slice length clamped at 0), exactly like the old per-branch
+    # size>d filter
+    per_d = F.array(
+        *[
+            F.arrays_zip(
+                F.slice(
+                    "toks", 1, F.greatest(F.size("toks") - d, F.lit(0))
+                ).alias("a"),
+                F.slice(
+                    "toks", d + 1, F.greatest(F.size("toks") - d, F.lit(0))
+                ).alias("b"),
             )
-            .select("p.a", "p.b", "w")
+            for d in range(1, WINDOW + 1)
+        ]
+    )
+    pairs = (
+        toked.filter(F.size("toks") > 1)
+        .select(F.posexplode(per_d).alias("d0", "zs"))
+        .select("d0", F.explode("zs").alias("p"))
+        .select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            # SCALE div d: integral division of exact non-negative
+            # integers — identical to the python-// literals the
+            # oracle folds per branch
+            F.expr(
+                f"{SKIPGRAM_SCALE} div (cast(d0 as bigint) + 1)"
+            ).alias("w"),
         )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
+    )
     return (
         pairs.groupBy(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"))
         .agg(

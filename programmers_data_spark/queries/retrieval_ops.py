@@ -815,11 +815,6 @@ def tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.element_at(F.col("arr"), F.greatest(i, F.lit(1)))
         ),
     )
-    # persist: both the df aggregate and the postings join consume tf,
-    # and exchange reuse does not kick in across the two branches (the
-    # join side carries inferred isnotnull constraints the aggregate
-    # side lacks) — without the persist the tokenize+RLE pass runs
-    # twice. (doc_id, term, tf) is a few hundred k rows per 5k docs.
     tf = (
         arrd.select("doc_id", "arr", starts.alias("starts"))
         .select(
@@ -845,18 +840,26 @@ def tfidf_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.term").alias("term"),
             F.col("p.tf").cast("long").alias("tf"),
         )
-        .persist()
     )
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
-    )
+    # Document frequency as a WINDOW over the tf rows (r18; the
+    # winnow/copurchase trick): tf rows are distinct (doc_id, term)
+    # by the RLE construction, so count(*) per term partition IS the
+    # groupBy df — the previous aggregate+join pair paid a second
+    # exchange of the whole tf table plus a persisted
+    # materialization barrier (tf was persisted solely because the
+    # df aggregate and the postings join each re-ran the
+    # tokenize+RLE pass). One exchange on term now derives df,
+    # prunes the [2, cap] band, and feeds the weight projection
+    # map-side. term is never null (concat_ws of array slices), so
+    # the window keeps exactly the join's rows.
     dfd = F.col("df").cast("double")
     # persist: three plan branches consume the weighted postings (the
     # norm aggregate and both sides of the pair join)
     weights = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= TFIDF_DF_CAP))
         .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",

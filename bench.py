@@ -214,6 +214,13 @@ def main() -> None:
     from programmers_data_spark.embedding_index import EMB_STORE_ENV
 
     os.environ[EMB_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_emb_")
+    # and for the published derived-table stores (tokens/postings/
+    # shingles/bigram vocab/activity months — r18, the pair-store
+    # accounting: fresh per run, so the first consumer's untimed
+    # warmup pays each build and every timed run reads parquet)
+    from programmers_data_spark.derived_store import DERIV_STORE_ENV
+
+    os.environ[DERIV_STORE_ENV] = tempfile.mkdtemp(prefix="pds_bench_der_")
     spark = get_spark(app_name="pds-bench")
 
     registry.load_all()

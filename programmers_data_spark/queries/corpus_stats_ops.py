@@ -403,16 +403,21 @@ def source_bigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v_a + v_b - shared), exact integers (union never zero: a pair
     only exists when both sources have ≥1 bigram type).
 
-    Scale shape: one DISTINCT (source, bigram) shuffle (map-side
-    partial distinct), then a self-join keyed on bigram whose
-    per-key fan-out is bounded by n_sources² — the output pair table
+    Scale shape: the DISTINCT (source, bigram) vocabulary reads the
+    PUBLISHED source_bigram_store (r18; the pair-store pattern — this
+    plan references sv three times, and each reference previously
+    re-ran the tokenize+bigram+distinct corpus pass AND its shuffle:
+    4 documents scans in the r17 plan; the r17 in-query persist was
+    measured at +35-50% and reverted — the store read is the form
+    that wins at both scales). The self-join keys on bigram with
+    per-key fan-out bounded by n_sources² — the output pair table
     is dimension-sized. Every pair of sources is emitted (generated
     from the tiny sizes table, shared counts left-joined, zero
     filled) so the matrix is hash-stable even if a fixture
     regeneration produces disjoint vocabularies."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("source", textfn.tokenize("text").alias("toks"))
-    sv = _bigrams(toked, "source").distinct()
+    from ..derived_store import source_bigram_store
+
+    sv = source_bigram_store(spark, sf_dir)
     sizes = sv.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )

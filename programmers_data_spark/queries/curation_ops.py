@@ -581,36 +581,11 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_K = 8
 
 
-def _kgram_shingles(aug: "DataFrame", K: int) -> "DataFrame":
-    """(doc_id, start_tok, key) rows of md5-keyed K-token shingles —
-    the ONE shingle builder dup_span_mine and dup_span_scrub share.
-    Map-side: K shifted slices of the token array zipped and exploded
-    (all codegen'd builtins — arrays_zip/slice/posexplode/concat_ws;
-    no lambda HOFs, which run interpreted, and no lead() window,
-    which shuffles and sorts the whole token stream on doc_id). Docs
-    under K tokens emit nothing, exactly like the window form's
-    complete-shingle filter; every slice has length size-K+1, so the
-    zip is rectangular and start_tok = pos+1 matches the oracle's
-    1-based range."""
-    toks = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-    toked = aug.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= K
-    )
-    zipped = F.arrays_zip(*[
-        F.slice("toks", i + 1, F.size("toks") - (K - 1)).alias(f"t{i}")
-        for i in range(K)
-    ])
-    return toked.select(
-        "doc_id", F.posexplode(zipped).alias("pos", "p")
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).cast("long").alias("start_tok"),
-        F.md5(
-            F.concat_ws(" ", *[F.col(f"p.t{i}") for i in range(K)])
-        ).alias("key"),
-    )
+# The shared shingle expression (K shifted zip-slices + md5) lives in
+# derived_store.kgram_shingles_from_tokens since r18; dup_span_mine
+# and dup_span_scrub consume the PUBLISHED aug_shingle_store /
+# aug_token_store artifacts instead of re-deriving the shingle table
+# per plan reference (each reference was a full corpus pass).
 
 
 def _dup_span_oracle() -> str:
@@ -686,27 +661,25 @@ def dup_span_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, with max_dup_docs = the widest sharing of any shingle in
     the span.
 
-    Scale shape, all linear in corpus tokens: the shingle build is
-    MAP-SIDE — K shifted array slices zipped and exploded (codegen'd
-    builtins, the ccnet bigram-build pattern generalized to K; no
-    lambda HOFs, which run interpreted) — so the raw token stream is
-    never shuffled (the previous posexplode + K-1 lead() window form
-    paid a full token-stream Exchange + Sort on doc_id; rewritten
-    r17, row-identical by construction); one groupBy on the md5 key
-    (partial-aggregable count-distinct over a 128-bit key space — no
-    hot keys); one key-equi-join back; one per-doc window for the
-    island merge over HIT rows only. Nothing all-pairs: two documents
-    sharing a passage meet only through the shingle KEY's group,
-    exactly like a suffix-array bucket. At 100 TB the dup-key side is
-    a small fraction of shingles and AQE broadcast-joins it back.
+    Scale shape, all linear in corpus tokens: the md5-keyed shingle
+    table is read from the PUBLISHED aug_shingle_store (r18; the
+    pair-store pattern — the zip-slice+md5 pass is paid once per
+    corpus version at store build, and each of this plan's two
+    references to the shingle table was previously a full corpus
+    re-derivation); one groupBy on the md5 key (partial-aggregable
+    count-distinct over a 128-bit key space — no hot keys); one
+    key-equi-join back; one per-doc window for the island merge over
+    HIT rows only. Nothing all-pairs: two documents sharing a passage
+    meet only through the shingle KEY's group, exactly like a
+    suffix-array bucket. At 100 TB the dup-key side is a small
+    fraction of shingles and AQE broadcast-joins it back.
     """
     from pyspark.sql.window import Window
 
-    from .dedup_ops import _augmented_docs
+    from ..derived_store import aug_shingle_store
 
     K = DUP_SPAN_K
-    aug = _augmented_docs(spark, sf_dir)
-    shingled = _kgram_shingles(aug, K)
+    shingled = aug_shingle_store(spark, sf_dir, K)
     dup = (
         shingled.groupBy("key")
         .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
@@ -817,29 +790,28 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; overlapping spans union naturally through the DISTINCT
     (doc, pos) removed set.
 
-    Scale shape, linear in corpus tokens: the shingle build and
-    duplicate-key groupBy are dup_span_mine's (the shared map-side
-    zip-slice builder — no token-stream shuffle — plus one md5-key
-    aggregation); the position explode
-    (sequence(start, start+K-1)) fans out ONLY non-canonical
-    duplicated occurrences — bounded by duplicated text volume, not
-    corpus size; the removed set anti-joins the token stream on
-    (doc, pos) — co-partitioned with the rebuild's own (doc) shuffle;
-    the per-doc rebuild is doc_line_dedup's sort-struct aggregate,
-    memory bounded by document length."""
-    from .dedup_ops import _augmented_docs
+    Scale shape, linear in corpus tokens: the shingle table and the
+    token stream are read from the PUBLISHED aug_shingle_store /
+    aug_token_store artifacts (r18; this plan references the shingle
+    table twice and the token grain twice — each reference was
+    previously a full corpus re-derivation, 8 documents scans in the
+    r17 plan); the duplicate-key groupBy is dup_span_mine's; the
+    position explode (sequence(start, start+K-1)) fans out ONLY
+    non-canonical duplicated occurrences — bounded by duplicated
+    text volume, not corpus size; the removed set anti-joins the
+    token stream on (doc, pos) — co-partitioned with the rebuild's
+    own (doc) shuffle; the per-doc rebuild is doc_line_dedup's
+    sort-struct aggregate, memory bounded by document length."""
+    from ..derived_store import aug_shingle_store, aug_token_store
 
     K = DUP_SPAN_K
-    aug = _augmented_docs(spark, sf_dir)
-    toks_arr = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-    tok_rows = aug.select(
-        "doc_id", F.posexplode(toks_arr).alias("pos0", "tok")
+    toked = aug_token_store(spark, sf_dir)
+    tok_rows = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
     )
-    shingled = _kgram_shingles(aug, K)
+    shingled = aug_shingle_store(spark, sf_dir, K)
     dup = (
         shingled.groupBy("key")
         .agg(
@@ -877,8 +849,8 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
-    totals = aug.select(
-        "doc_id", F.size(toks_arr).cast("long").alias("n_tokens")
+    totals = toked.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
     return (
         totals.join(rebuilt, "doc_id", "left")

@@ -653,24 +653,23 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind every retention dashboard (the reference's MAU/NPS
     summaries are its marginals).
 
-    Scale shape: activity months are de-dupped per user first
-    ((user, month) distinct), the first-month aggregate reuses that
-    shuffle's user partitioning, and the cohort join keys on user
-    again — one partitioning carried through three steps. Since
-    (user, month) is distinct and each user has exactly one cohort,
-    the final rollup needs count(*), not COUNT(DISTINCT) — no expand
-    shuffle. Cohort sizes are a months-cardinality table, joined
-    broadcast-by-AQE. retention is one IEEE division of exact
-    integers (bitwise-stable vs the oracle).
+    Scale shape: the distinct (user, month) membership reads the
+    PUBLISHED activity_month_store (r18; the pair-store pattern —
+    this plan references act twice and fm twice, and each reference
+    previously re-ran the raw-events scan + distinct shuffle: 3
+    events scans in the r17 plan; the r17 in-query persist was
+    measured at +60-90% and reverted — the store read is the form
+    that wins at both scales). The first-month aggregate and the
+    cohort join key on user. Since (user, month) is distinct and
+    each user has exactly one cohort, the final rollup needs
+    count(*), not COUNT(DISTINCT) — no expand shuffle. Cohort sizes
+    are a months-cardinality table, joined broadcast-by-AQE.
+    retention is one IEEE division of exact integers (bitwise-stable
+    vs the oracle).
     """
-    act = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.date_trunc("month", "ts").cast("date").alias("am"),
-        )
-        .distinct()
-    )
+    from ..derived_store import activity_month_store
+
+    act = activity_month_store(spark, sf_dir)
     fm = act.groupBy("user_id").agg(F.min("am").alias("cm"))
     cs = fm.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
     j = act.join(fm, "user_id").withColumn(

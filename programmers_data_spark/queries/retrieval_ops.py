@@ -218,18 +218,25 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned. Output is ids + rank + matched-term count; scores stay
     internal, as in embedding_topk.
 
-    Scale shape: the query-term table is LIMIT-5 -> broadcast; tf and
-    dl join on doc_id (the corpus-sized key); the only global step is
-    the final top-k sort, which TakeOrderedAndProject keeps as
-    per-partition heaps. avgdl/N are one 1-row aggregate collected to
-    literals (exact integer sums, so the division is reproducible).
+    Scale shape: the tf postings and per-doc lengths read the
+    PUBLISHED postings/token stores (r18; the pair-store pattern —
+    previously the tf table's two plan references each re-ran the
+    tokenize+explode+aggregate corpus pass, and dl two more raw-text
+    passes: 3 documents scans in the r17 plan). The query-term table
+    is LIMIT-5 -> broadcast; tf and dl join on doc_id (the
+    corpus-sized key); the only global step is the final top-k sort,
+    which TakeOrderedAndProject keeps as per-partition heaps. avgdl/N
+    are one 1-row aggregate collected to literals (exact integer
+    sums, so the division is reproducible).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(textfn.tokenize("text")).alias("term"))
-    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    from ..derived_store import postings_store, token_store
+
+    tf = postings_store(spark, sf_dir)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = df.orderBy(F.desc("df"), "term").limit(BM25_QTERMS)
-    dl = docs.select("doc_id", textfn.token_count("text").cast("long").alias("dl"))
+    dl = token_store(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
     totals = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
     ).collect()[0]

@@ -32,6 +32,7 @@ def _force(df) -> None:
 
 
 def _fresh_stores() -> None:
+    from programmers_data_spark.derived_store import DERIV_STORE_ENV
     from programmers_data_spark.embedding_index import EMB_STORE_ENV
     from programmers_data_spark.queries.dedup_ops import PAIR_STORE_ENV
     from programmers_data_spark.queries.interchange_ops import JSONL_STORE_ENV
@@ -48,6 +49,7 @@ def _fresh_stores() -> None:
         (AUDIO_SPEC.store_env, "pds_plan_aud_"),
         (VIDEO_SPEC.store_env, "pds_plan_vid_"),
         (EMB_STORE_ENV, "pds_plan_emb_"),
+        (DERIV_STORE_ENV, "pds_plan_der_"),
     ]:
         os.environ[env] = tempfile.mkdtemp(prefix=pfx)
 

@@ -291,14 +291,22 @@ def curation_stage_frames(
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    gated = docs.join(keep_ids, "doc_id", "semi")
+    # persist marked HERE, before the eager component resolution
+    # below (r18): the resolver's localCheckpoint materializes the
+    # scoped edge list, which reads `alive` = exact's ids on BOTH
+    # semi-join sides — unmarked, that first job re-ran the gopher
+    # gate and the md5 canon per side and the stage-count job then
+    # re-ran them AGAIN to fill the caches (the persists used to be
+    # marked after the resolve, so the resolve's own materialization
+    # pass could never populate them).
+    gated = docs.join(keep_ids, "doc_id", "semi").persist()
 
     canon = (
         gated.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact = gated.join(canon, "doc_id", "semi")
+    exact = gated.join(canon, "doc_id", "semi").persist()
 
     # Scope the verified near-dup pairs to the docs still alive at
     # this stage: a pair whose other end was already removed (quality
@@ -422,8 +430,8 @@ def curation_stage_frames(
     # clearCache keeps per-query accounting honest.
     frames = {
         "raw": docs,
-        "quality_gated": gated.persist(),
-        "exact_deduped": exact.persist(),
+        "quality_gated": gated,  # persisted at construction (r18)
+        "exact_deduped": exact,  # persisted at construction (r18)
         "near_deduped": survivors.persist(),
         "curated": curated.persist(),
     }

@@ -996,7 +996,15 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key share the single exchange, guide §2.4)."""
     from pyspark.sql.window import Window as W
 
-    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # isNotNull pins the r17 window rewrite row-identical to the old
+    # join-based form (r17 ADVICE #1): an inner join on event_type
+    # dropped null-keyed rows, a window would keep them as a group —
+    # fixtures carry no nulls, so this is a no-op filter today
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("event_type").isNotNull())
+    )
     wt = W.partitionBy("event_type")
     adev = events.withColumn(
         "med_c",

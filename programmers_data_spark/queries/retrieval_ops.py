@@ -1229,6 +1229,13 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regenerated fixture, unlike hand-written literals).
 N_PHRASES = 2
 
+# result memo per (applicationId, sf_dir): the query persists its
+# phrase table and phrase-postings match set for the positional
+# intersection's two sides — repeated calls must reuse the cached
+# plan, not stack new persisted copies (r17 ADVICE #2; the
+# *_CACHE contract, swept by bench._reset)
+_PHRASE_CACHE: dict = {}
+
 _PHRASE_TRI_DUCK = f"""
       SELECT doc_id,
              unnest(list_transform(
@@ -1282,6 +1289,14 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is one vocabulary-cardinality groupBy + TakeOrdered.
     At 100 TB the same plan serves ad-hoc phrases with zero
     recompute of the index stream."""
+    # result memo per (applicationId, sf_dir) — *_CACHE contract
+    # (r17 ADVICE #2): the query persists two frames (phrases,
+    # matches), and repeated calls in one session must reuse the
+    # cached plan rather than stack fresh persisted copies
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PHRASE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", textfn.tokenize("text").alias("toks"))
 
@@ -1363,11 +1378,13 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") == F.col("doc_id2"))
         & (F.col("p2") == F.col("p") + 1),
     )
-    return (
+    result = (
         hits.groupBy("phrase", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("phrase", "doc_id")
     )
+    _PHRASE_CACHE[key] = result
+    return result
 
 
 # --------------------------------------------------- chunk pooling

@@ -1144,9 +1144,14 @@ def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    # isNotNull pins the r17 window rewrite row-identical to the old
+    # join-based form (r17 ADVICE #1): the support inner join on
+    # l_partkey dropped null-keyed rows, a window would keep them as
+    # a group — fixtures carry no nulls, so this is a no-op today
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
         .distinct()
     )
     lif = (

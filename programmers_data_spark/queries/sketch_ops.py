@@ -44,6 +44,12 @@ HLL_REL_BOUND = 0.08
 # is the product.
 OVERLAP_UNION_BOUND = 0.1
 
+# result memo per (applicationId, sf_dir): segment_overlap_sketch
+# persists its distinct membership frame — repeated calls must reuse
+# the cached plan, not stack persists (r17 ADVICE #2; the *_CACHE
+# contract, swept by bench._reset)
+_SEGOVL_CACHE: dict = {}
+
 _SEGMENT_PAIRS = (("view", "purchase"), ("click", "purchase"), ("signup", "view"))
 
 
@@ -137,6 +143,13 @@ def segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer); every pair question merges TWO sketch blobs. The exact
     side here exists only to verify; production asks the sketches.
     """
+    # result memo per (applicationId, sf_dir) — *_CACHE contract
+    # (r17 ADVICE #2): the distinct membership frame is persisted;
+    # repeated calls must reuse the cached plan, not stack persists
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SEGOVL_CACHE.get(key)
+    if cached is not None:
+        return cached
     events = load_table(spark, sf_dir, "events")
     segs = [s for pair in _SEGMENT_PAIRS for s in pair]
     # Distinct BEFORE the exact-anchor self-join below (mirrors the
@@ -201,7 +214,7 @@ def segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("overlap_exact"))
     )
     union_exact = F.col("n_a") + F.col("n_b") - F.col("overlap_exact")
-    return (
+    result = (
         est.join(exact, ["seg_a", "seg_b"])
         .select(
             "seg_a",
@@ -214,6 +227,8 @@ def segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+    _SEGOVL_CACHE[key] = result
+    return result
 
 
 # Count-min sketch geometry. Width 512 gives eps = e/512 ~ 0.5% of

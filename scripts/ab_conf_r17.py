@@ -60,12 +60,27 @@ def _reset(spark) -> None:
 
 
 def _session(extra: dict[str, str]):
+    """Fresh session with variant conf. Stops BOTH the thread-active
+    session and the default instantiated one (r17 ADVICE #3: a
+    default session that is not thread-active would make getOrCreate
+    reuse the old JVM conf and the variant conf silently not apply),
+    then asserts the new session actually carries the requested
+    extras. Limitation (documented, measurement script only): the
+    --conf k=v,k=v parser splits on commas, so conf VALUES containing
+    commas cannot be passed."""
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    return get_spark(app_name="pds-ab-r17", extra_conf=extra)
+    default = getattr(SparkSession, "_instantiatedSession", None)
+    if default is not None:
+        default.stop()
+    spark = get_spark(app_name="pds-ab-r17", extra_conf=extra)
+    for k, v in extra.items():
+        got = spark.conf.get(k, None)
+        assert got == v, f"variant conf did not apply: {k}={got!r} != {v!r}"
+    return spark
 
 
 def _time_names(spark, sf: str, names: list[str]) -> dict[str, float]:

@@ -72,28 +72,29 @@ _QUERY_MODULES = (
 # this round's (or any later) record file can never falsify the test
 # (r9 VERDICT defect #1: the r9 version hand-pinned the as-of-builder
 # state and self-expired the moment CORRECTNESS_r09.json landed).
-WINDOW_ROUND = 17
+WINDOW_ROUND = 18
 
-# ROUND-18 ROTATION PLAN: group 1 (leads) is NEXT_WINDOW_LEADS below
-# (EMPTY after r17 — every never-driver-checked oracled registration
-# took an r17 window slot), then round-18 NEW registrations
-# (never-driver-checked outranks stale refreshes — the standing
-# principle), then 2-3 round-17-green sentinels on whatever the r18
-# diff touches, then the backlog: the REMAINING 23-name r12 tail (in
-# registration order: curation_funnel, neardup_incremental,
-# event_path_trigrams, rfm_segments, hard_negatives, rrf_fusion,
-# label_centroid_drift, multimodal_audio_meta,
-# source_temperature_weights, token_budget_allocation,
-# curriculum_phases, training_manifest, tfidf_shingle_pairs,
-# bpe_contract, dedup_keep_best_quality, stream_upsert_publish,
-# image_dhash, image_neardup_pairs, image_neardup_clusters,
-# image_lsh_recall, image_resize_hash_invariance, audio_fingerprint,
-# audio_neardup_pairs — derive from the records as always: names
-# whose latest green round is 12), then the r13 tier in (vintage,
+# ROUND-19 ROTATION PLAN: group 1 (leads) is NEXT_WINDOW_LEADS below
+# (EMPTY after r18 — no new registrations in the optimization
+# rounds), then round-19 NEW registrations (never-driver-checked
+# outranks stale refreshes — the standing principle), then 2-3
+# round-18-green sentinels on whatever the r19 diff touches, then
+# the backlog: the REMAINING 23-name r13 tail (in registration
+# order: returning_customers, churned_customers, ann_lsh_topk,
+# embedding_neardup_lsh, contrastive_training_pairs,
+# multimodal_png_roundtrip, ann_recall_at5, lsh_neardup_recall,
+# split_neardup_leakage, dsir_importance_proxy,
+# span_corruption_plan, tokenizer_fertility_by_source,
+# crossmodal_dup_consistency, image_neardup_incremental,
+# audio_neardup_clusters, crossmodal_quadmodal_consistency,
+# audio_lsh_recall, lang_confusion_matrix, corpus_snapshot_diff,
+# video_framehash, video_neardup_pairs, video_neardup_clusters,
+# video_lsh_recall — derive from the records as always: names whose
+# latest green round is 13), then the r14 tier in (vintage,
 # registration-order) order to fill 50. Keep stream_tws_value_stats
 # OUTSIDE the window (honestly gated: google.protobuf absent,
 # installs disallowed — semantics driver-certified r6 via the
-# applyInPandasWithState twin). Bump WINDOW_ROUND to 18 in the same
+# applyInPandasWithState twin). Bump WINDOW_ROUND to 19 in the same
 # commit that rewrites the groups — the bookkeeping test keys on it.
 
 # Queries registered WITHOUT an oracle, by design (k-means float
@@ -126,93 +127,84 @@ ROWS_ONLY = frozenset({
 # against the record instead of hand-kept counts.
 
 # Group 1 — never-driver-checked registrations from earlier rounds:
-# the two late-r16 registrations queued in r16's NEXT_WINDOW_LEADS
-# (the r16 VERDICT's explicit "the r17 window MUST lead with them"):
-# the vector family's published-pair-store report reads — exact
-# basis-point threshold sweep and per-label dup-rate. Both are
-# oracle-certified in-suite and READ the store the r16-green
-# maintenance rows certify.
-_WINDOW_LEADS = (
-    "embedding_threshold_sweep",
-    "embedding_dup_rate_by_label",
-)
+# EMPTY for round 18 (every oracled registration took an r17 window
+# slot and NEXT_WINDOW_LEADS drained to empty; round 18 is an
+# optimization round and registers nothing new).
+_WINDOW_LEADS: tuple[str, ...] = ()
 
-# Group 2 — round-17 NEW registrations (never driver-checked): the
-# embedding family's published-store READ paths (r16 VERDICT ask #4
-# — close the serving asymmetry): cos top-K serving that probes the
-# published bucketed signature store (no per-run signature
-# derivation), and the cluster-size health profile over the
-# published pair store. Both carry full oracles composed from the
-# registered embedding_neardup_lsh fragments.
-_WINDOW_NEW = (
-    "embedding_cos_topk",
-    "embedding_cluster_profile",
-)
+# Group 2 — round-18 NEW registrations: NONE (optimization round —
+# the round's published derived-table stores are internal helpers,
+# not registered queries).
+_WINDOW_NEW: tuple[str, ...] = ()
 
-# Group 3 — r16-green sentinels sitting directly on the round-17
-# diff: the three *_clusters_incremental queries re-certify the
-# star-contraction merge after it moved into the ONE shared
-# operators.merge_clusters engine (r16 VERDICT ask #5) — one
-# sentinel per rewired tier (text wrapper, embedding wrapper, and
-# the media engine's incremental_clusters via the audio spec).
+# Group 3 — r17-green sentinels sitting directly on the round-18
+# diff: pipeline_funnel_contract re-certifies the stage-frame
+# persist reordering in pipelines.curation_stage_frames;
+# copurchase_pairs re-certifies the _frequent_pairs null-key pin
+# (round11_ops, r17 ADVICE #1); segment_overlap_sketch re-certifies
+# the persisted-membership memoization (sketch_ops, r17 ADVICE #2).
 _WINDOW_SENTINELS = (
-    "text_neardup_clusters_incremental",
-    "embedding_neardup_clusters_incremental",
-    "audio_neardup_clusters_incremental",
+    "pipeline_funnel_contract",
+    "copurchase_pairs",
+    "segment_overlap_sketch",
 )
 
 # Group 4 — stale tiers oldest-first, in registration order: the
-# COMPLETE 19-name r11 tail (latest green driver row r11 — the
-# oldest vintage after r16 drained the r10 tier and the first 27
-# r11 names), then the first 24 of the 47-name r12 tier. The
-# trimmed 23-name r12 tail (curation_funnel onward) leads the r18
-# backlog per the ROUND-18 ROTATION PLAN above.
+# COMPLETE 23-name r12 tail (latest green driver row r12 — the
+# oldest vintage after r17 drained the r11 tier and the first 24
+# r12 names), then the first 24 of the 47-name r13 tier. The
+# trimmed 23-name r13 tail (returning_customers onward) leads the
+# r19 backlog per the ROUND-19 ROTATION PLAN above.
 _WINDOW_STALE = (
-    # r11 tail — drains the tier completely
-    "segment_overlap_sketch",
-    "cms_heavy_hitters",
-    "rolling_7d_revenue",
-    "daily_revenue_dense",
-    "ewma_daily_revenue",
-    "session_stats",
-    "unigram_seed_vocab",
-    "unigram_em_contract",
-    "ivf_incremental_assign",
-    "scd2_point_in_time",
-    "zorder_prune_contract",
-    "copurchase_pairs",
-    "rp_project",
-    "rp_distance_contract",
-    "triangle_counts",
-    "time_weighted_value",
-    "wordpiece_encoded_counts",
-    "ks_drift_by_source",
-    "pipeline_funnel_contract",
-    # r12 tier, registration-order prefix (24 of 47)
-    "incr_distinct",
-    "corpus_sample_hash",
-    "pii_redact",
-    "vocab_topk",
-    "top_terms_per_doc",
-    "doc_chunks",
-    "dedup_minhash",
-    "ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "minhash_jaccard_estimate",
-    "sequence_packing",
-    "packing_spans",
-    "repetition_profile",
-    "gopher_quality_flags",
-    "dedup_prefix",
-    "stratified_sample",
-    "shingle_novelty",
-    "code_fraction_by_source",
-    "decontam_overlap",
-    "doc_commonness",
-    "dedup_incremental",
-    "table_profile",
+    # r12 tail — drains the tier completely
+    "curation_funnel",
+    "neardup_incremental",
+    "event_path_trigrams",
+    "rfm_segments",
+    "hard_negatives",
+    "rrf_fusion",
+    "label_centroid_drift",
+    "multimodal_audio_meta",
+    "source_temperature_weights",
+    "token_budget_allocation",
+    "curriculum_phases",
+    "training_manifest",
+    "tfidf_shingle_pairs",
+    "bpe_contract",
+    "dedup_keep_best_quality",
+    "stream_upsert_publish",
+    "image_dhash",
+    "image_neardup_pairs",
+    "image_neardup_clusters",
+    "image_lsh_recall",
+    "image_resize_hash_invariance",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
+    # r13 tier, registration-order prefix (24 of 47)
+    "bigram_stats",
+    "doc_lang_mix",
+    "knn_label_vote",
+    "adaptive_quality_gate",
+    "near_dup_rate_by_source",
+    "corpus_shuffle",
+    "skew_profile",
+    "stream_tumbling_daily",
+    "stream_sliding_2d",
+    "stream_dedup",
+    "sessionization",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_enrich_segment",
+    "stream_join_attribution",
+    "stream_corpus_quality",
+    "stream_vocab_drift",
+    "mau",
+    "corpus_mixture_weights",
+    "source_vocab_divergence",
+    "doc_line_dedup",
+    "customers_with_orders",
+    "customers_without_orders",
+    "rollup_revenue",
 )
 
 _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
@@ -221,9 +213,8 @@ _WINDOW = _WINDOW_LEADS + _WINDOW_NEW + _WINDOW_SENTINELS + _WINDOW_STALE
 # slot without evicting protected stale names queue here, and the
 # NEXT round's window MUST lead with them (the bookkeeping test
 # asserts this tuple is EXACTLY the never-checked set outside the
-# window). EMPTY after round 17: the r16 leads and both r17 NEW
-# registrations all hold window slots, so no oracled registration
-# is waiting on a driver check.
+# window). EMPTY after round 18: no oracled registration is waiting
+# on a driver check (round 18 registered nothing).
 NEXT_WINDOW_LEADS: tuple[str, ...] = ()
 
 

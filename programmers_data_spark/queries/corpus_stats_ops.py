@@ -307,14 +307,19 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucketing is pure integer arithmetic on doc_id against broadcast
     min/max scalars — `(doc_id - mn) * {N_CHECKPOINTS} div span` —
     identical in both engines (operands non-negative); no global
-    rank/sort anywhere. Scale shape: one map-side pass builds
-    (bucket, token) and (bucket, bigram) streams; first-appearance
-    folds are vocabulary-cardinality groupBys with map-side partial
-    min; everything after lives on ≤{N_CHECKPOINTS} rows, where the
-    running sums ride a bounded_global_window (input provably tiny:
-    one row per checkpoint bucket)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", textfn.tokenize("text").alias("toks"))
+    rank/sort anywhere. Scale shape: the tokenized corpus reads the
+    PUBLISHED token store (r18; this plan references the tokenized
+    frame four times — bounds, per-bucket totals, unigram and bigram
+    first-appearance streams — and each reference previously re-ran
+    the trim+regex tokenize over raw text: 6 documents scans in the
+    r17 sweep); first-appearance folds are vocabulary-cardinality
+    groupBys with map-side partial min; everything after lives on
+    ≤{N_CHECKPOINTS} rows, where the running sums ride a
+    bounded_global_window (input provably tiny: one row per
+    checkpoint bucket)."""
+    from ..derived_store import token_store
+
+    toked = token_store(spark, sf_dir).select("doc_id", "toks")
     bounds = toked.agg(
         F.min("doc_id").cast("long").alias("mn"),
         F.max("doc_id").cast("long").alias("mx"),

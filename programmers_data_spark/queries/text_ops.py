@@ -639,12 +639,20 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch bounds the candidate set, not the answer.
 
     Distinct from vocab_topk (rank-based top-k needs a full-vocab
-    aggregate); threshold-exceeders admit the candidate-pruned plan."""
+    aggregate); threshold-exceeders admit the candidate-pruned plan.
+
+    The token stream reads the PUBLISHED token store (r18): this plan
+    references it three times (candidate pass, total count, verify
+    count) and each reference previously re-ran the trim+regex
+    tokenize over raw text. The pigeonhole superset guarantee holds
+    under ANY batching, so the store's row layout cannot affect the
+    exact output."""
     import pandas as pd
 
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(textfn.tokenize("text")).alias("tok"))
+    from ..derived_store import token_store
+
+    toks = token_store(spark, sf_dir).select(
+        F.explode("toks").alias("tok")
     )
 
     def batch_topk(batches):

@@ -135,6 +135,33 @@ def test_store_build_is_charged_once_per_version(spark, fresh_deriv_store, tmp_p
     assert gens2 == gens
 
 
+def test_bench_controls_code_untouched():
+    """r17 VERDICT ask #8, made a test: the pollution gate's controls
+    (pricing_summary / mau / ivf_probe_sweep) are the code-stable
+    reference the committed control priors were measured against —
+    speeding (or otherwise editing) a control silently changes
+    control ratios and can mask future host pollution. Any change to
+    a control's source MUST update the committed control priors in
+    the same commit and re-pin the hash here, deliberately."""
+    import hashlib
+    import inspect
+
+    pinned = {
+        "pricing_summary": "fd284c458e9dfee884b3ab48b4f93633",
+        "mau": "d3bee70fc7ebc88eb5610d157866ecf6",
+        "ivf_probe_sweep": "2e606ca0f98378933aa59d45a8f5c5a7",
+    }
+    for name, want in pinned.items():
+        src = inspect.getsource(registry.QUERIES[name])
+        got = hashlib.md5(src.encode()).hexdigest()
+        assert got == want, (
+            f"control {name!r} source changed ({got} != {want}): "
+            "update the committed control priors (BENCH_DETAIL.json) "
+            "in the SAME commit and re-pin this hash — see SCALE.md "
+            "'Pollution gate'"
+        )
+
+
 def test_skipgram_single_pass_plan(spark):
     """r18 opt: skipgram_cooccurrence scans documents ONCE (was one
     scan per context distance, WINDOW=3 unioned)."""
